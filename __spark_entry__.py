@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship full pipeline (docs → tfidf → search → rank)
+on sf0.001. ``queries()`` / ``oracle_sql()`` — one entry per implemented
+operator from SURVEY.md §2 plus the LLM-pipeline extension operators; the
+driver runs both sides at sf0.01 and hash-compares.
 """
 
 from __future__ import annotations
@@ -15,24 +14,39 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full docs → tfidf →
+    search → rank pipeline (reference Rank.main, 4 MR jobs → one lazy
+    Spark plan)."""
+    from hadoop_tfidf_spark.declared import q_rank
+
+    return q_rank(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    from hadoop_tfidf_spark.declared import CORE_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(CORE_QUERIES)
+    try:
+        from hadoop_tfidf_spark.extensions import EXTENSION_QUERIES
+
+        out.update(EXTENSION_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each queries() key (omitted ⇒ rows-only)."""
+    from hadoop_tfidf_spark.declared import CORE_ORACLE_SQL
+
+    out: dict[str, str] = {}
+    out.update(CORE_ORACLE_SQL)
+    try:
+        from hadoop_tfidf_spark.extensions import EXTENSION_ORACLE_SQL
+
+        out.update(EXTENSION_ORACLE_SQL)
+    except ImportError:
+        pass
+    return out

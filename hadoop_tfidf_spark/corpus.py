@@ -1,0 +1,83 @@
+"""Corpus loading and tokenization (reference operators O1–O3).
+
+Reference semantics being reproduced:
+
+* O1 text-corpus scan — the reference reads a directory of plain-text files
+  via ``TextInputFormat`` and recovers the document id from the input-split
+  file name (``DocWordCount.java:35,54``). :func:`load_text_dir` reproduces
+  that with ``spark.read.text`` + ``F.input_file_name()``; identity is file
+  provenance, not a data column.
+* O2 tokenize+flatten — every line is split with the Java regex
+  ``\\s*\\b\\s*`` skipping empties (``DocWordCount.java:49,58–64``). Spark
+  SQL's ``split`` uses the same ``java.util.regex`` engine, so
+  :data:`REFERENCE_TOKEN_PATTERN` is bit-identical to the reference
+  tokenizer: case-sensitive, punctuation runs are first-class terms,
+  underscore is a word char, no stemming/stopwords.
+* O3 empty-token filter — ``if (word.isEmpty()) continue;``
+  (``DocWordCount.java:59–61``) → a ``WHERE word <> ''`` Catalyst can fold
+  into the generate.
+
+Scale note: tokenization is a narrow map (explode) — no shuffle. At 100 TB
+the scan parallelism comes from parquet/text splits; the explode keeps the
+input partitioning, so the first shuffle of any downstream pipeline is the
+``groupBy`` in :func:`hadoop_tfidf_spark.tfidf.doc_word_count`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The reference tokenizer regex (DocWordCount.java:49). Spark runs the same
+#: JVM regex engine, so behavior is bit-identical to the reference.
+REFERENCE_TOKEN_PATTERN = r"\s*\b\s*"
+
+#: Simple whitespace tokenizer — for corpora whose text is known to be
+#: single-space separated (driver TESTDATA ``documents``); provably identical
+#: between Spark and the DuckDB oracle (FIXTURES.md determinism constraints).
+SPACE_TOKEN_PATTERN = " "
+
+
+def load_text_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-per-document corpus loader (reference O1).
+
+    Returns ``(doc_id STRING, text STRING)`` with one row per line, doc_id =
+    the file *name* (not path) — exactly the reference's
+    ``((FileSplit) ctx.getInputSplit()).getPath().getName()``
+    (DocWordCount.java:54).
+    """
+    return spark.read.text(path).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("doc_id"),
+        F.col("value").alias("text"),
+    )
+
+
+def load_docs(
+    spark: SparkSession,
+    source: str | DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Generalized corpus loader: any parquet path or DataFrame with a
+    document-id column and a text column → normalized ``(doc_id, text)``.
+
+    The reference only supports text directories; the engine treats the
+    corpus as a first-class table so any columnar source works (parquet
+    keeps column pruning + predicate pushdown on the scan).
+    """
+    df = spark.read.parquet(source) if isinstance(source, str) else source
+    return df.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+
+def tokenize(docs: DataFrame, pattern: str = REFERENCE_TOKEN_PATTERN) -> DataFrame:
+    """Tokenize + flatten (reference O2+O3): one output row per non-empty
+    token: ``(doc_id, word)``.
+
+    ``pattern`` is a Java regex passed to ``split``; the default reproduces
+    the reference tokenizer bit-identically (same JVM regex engine). This is
+    a narrow transformation — no shuffle.
+    """
+    return docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col("text"), pattern)).alias("word"),
+    ).where(F.col("word") != "")

@@ -1,0 +1,91 @@
+"""Query scoring and ranking (reference operators O13–O16, O20–O21).
+
+Reference semantics being reproduced:
+
+* O13 query-term filter — Search job3 scans every tf-idf record and, for
+  each *occurrence* of the record's word in the query, emits the score once
+  (Search.java:210–236). The dedupe ``break`` is commented out
+  (Search.java:230), so a repeated query term double-counts. That is
+  exactly an inner join against the query term **bag** (duplicates kept):
+  join multiplicity = term multiplicity. ``dedupe_query=True`` gives the
+  set semantics (left-semi join) instead.
+* O14 per-doc score sum — ``groupBy(doc_id).sum(score)``
+  (Search.java:238–252).
+* O15/O16 global descending rank — the reference sorts with a raw-byte
+  comparator hack through a single reducer (Rank.java:120–139,
+  TFIDFRank.java:76–94) and inverts (k,v) twice to make the framework sort
+  by score. Spark's ``orderBy`` is a sampled range-partitioned parallel
+  sort; ranks come from a window ``row_number`` with explicit tie-breaks
+  (the reference's ordering of equal scores is nondeterministic).
+* O21 (Search.java:104 comparator/grouping defect on Text keys) is a
+  documented reference bug and is **not** replicated — docs group by exact
+  doc_id.
+
+Scale notes: the query bag is tiny (a handful of terms) → ``F.broadcast``
+forces a broadcast hash join, so scoring never shuffles the tf-idf
+relation; the only shuffle is the final per-doc aggregation. Ranking per
+query partitions the window by ``query_id`` — top-k should use
+``.limit(k)`` after ``orderBy`` so Spark plans TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def query_term_bag(
+    spark: SparkSession,
+    queries: DataFrame | list[tuple[str, str]],
+    pattern: str = " ",
+) -> DataFrame:
+    """Explode ``(query_id, query_text)`` into the term **bag**
+    ``(query_id, word)`` — duplicates preserved (Search.java:225–231 with
+    the ``//break;`` commented out at :230)."""
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(queries, ["query_id", "query_text"])
+    return queries.select(
+        "query_id",
+        F.explode(F.split(F.col("query_text"), pattern)).alias("word"),
+    ).where(F.col("word") != "")
+
+
+def search(
+    tfidf_df: DataFrame,
+    query_terms: DataFrame,
+    dedupe_query: bool = False,
+) -> DataFrame:
+    """Score documents against queries (reference O13+O14).
+
+    Broadcast inner join on ``word`` (bag semantics — duplicate query terms
+    double-count, matching Search.java:230), then sum per (query, doc).
+    Returns ``(query_id, doc_id, score DOUBLE)``.
+    """
+    if dedupe_query:
+        query_terms = query_terms.dropDuplicates(["query_id", "word"])
+    scored = tfidf_df.join(F.broadcast(query_terms), "word", "inner")
+    return scored.groupBy("query_id", "doc_id").agg(F.sum("tfidf").alias("score"))
+
+
+def rank(search_df: DataFrame) -> DataFrame:
+    """Per-query descending rank (reference Rank job4, Rank.java:120–139).
+
+    Spark replaces the single-reducer byte-comparator sort with a window
+    ``row_number``; ties broken by doc_id for determinism (the reference's
+    tie order is an accident of its shuffle). Returns
+    ``(query_id, doc_id, score, rnk)``.
+    """
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return search_df.withColumn("rnk", F.row_number().over(w))
+
+
+def tfidf_rank(tfidf_df: DataFrame, limit: int | None = None) -> DataFrame:
+    """Global descending rank of all (word, doc) scores (reference
+    TFIDFRank.java:76–94).
+
+    ``orderBy`` → sampled range-partitioned parallel sort (no single-reducer
+    bottleneck); with ``limit`` Spark plans TakeOrderedAndProject (top-k
+    without a total sort). Ties broken (word, doc_id).
+    """
+    out = tfidf_df.orderBy(F.desc("tfidf"), F.asc("word"), F.asc("doc_id"))
+    return out.limit(limit) if limit is not None else out

@@ -1,0 +1,50 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror what a production deploy would set cluster-wide:
+AQE on (runtime coalesce + skew-join splitting), shuffle partitions sized to
+the parallelism actually available, Arrow enabled for the Pandas-UDF
+extension operators. On a real cluster only ``master`` and the memory knobs
+change; every query plan in this package is partition-strategy-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hadoop_tfidf_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``SPARK_GRAFT_CPUS`` (default 32) controls local parallelism and the
+    shuffle-partition count — at cluster scale you'd size
+    ``spark.sql.shuffle.partitions`` to ~2-3× total executor cores and let
+    AQE coalesce; locally matching the core count avoids tiny-partition
+    overhead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,38 @@
+"""Sinks (reference O17) and reference-parity output encoding (O4).
+
+The reference writes ``key \\t value`` text via ``TextOutputFormat``
+(DocWordCount.java:36) with composite keys string-packed as
+``word#####file`` (DocWordCount.java:62) or ``word@file`` (TFIDF.java:166).
+The engine's native sink is parquet (columnar, splittable, pushdown-friendly
+at scale); the text writers exist only for byte-level parity with the
+reference's on-disk format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Native columnar sink."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Tab-separated text sink — the reference's TextOutputFormat shape."""
+    df.write.mode(mode).option("sep", "\t").csv(path)
+
+
+def reference_doc_word_count_lines(dwc: DataFrame) -> DataFrame:
+    """``word#####file \\t n`` — byte-parity with DocWordCount.java:62,77."""
+    return dwc.select(
+        F.concat_ws("\t", F.concat(F.col("word"), F.lit("#####"), F.col("doc_id")), F.col("n")).alias("value")
+    )
+
+
+def reference_tfidf_lines(tfidf_df: DataFrame) -> DataFrame:
+    """``word@file \\t score`` — byte-parity with TFIDF.java:166–169."""
+    return tfidf_df.select(
+        F.concat_ws("\t", F.concat(F.col("word"), F.lit("@"), F.col("doc_id")), F.col("tfidf")).alias("value")
+    )
