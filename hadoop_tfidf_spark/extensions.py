@@ -1,0 +1,518 @@
+"""Extension declared queries — the LLM-data-pipeline + relational engine
+surface beyond the reference (north star in BASELINE.json): dedup,
+similarity search, text analysis, multimodal ingest, relational breadth,
+event windows. Each entry pairs a Spark builder with DuckDB oracle SQL
+following the same determinism contract as the core queries
+(``declared.py``): md5-based hashing (identical hex in both engines),
+monetary sums rounded to 2 (float-summation-order safety), ratios/scores
+to 6, every ranked output totally ordered with tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_tfidf_spark.corpus import load_docs
+from hadoop_tfidf_spark.functions.text import (
+    LANG_MARKERS,
+    QUALITY_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from hadoop_tfidf_spark.operators import dedup as D
+from hadoop_tfidf_spark.operators import relational as R
+from hadoop_tfidf_spark.operators import similarity as S
+from hadoop_tfidf_spark.operators.multimodal import media_pipeline
+from hadoop_tfidf_spark.sources.events import load_events
+
+#: Query vectors for the similarity-search declared queries.
+SIM_QUERY_IDS = [0, 1, 2, 3, 4]
+SIM_K = 10
+NEAR_DUP_COS = 0.9
+JACCARD_K = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_docs(spark, f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Spark builders
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(D.simhash(_docs(spark, sf_dir)))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return D.ngram_jaccard(docs, D.minhash_lsh_dedup(docs), k=JACCARD_K)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    return S.embedding_near_dup(_emb(spark, sf_dir), threshold=NEAR_DUP_COS)
+
+
+def q_sim_topk_brute(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    return S.brute_force_topk(emb, queries, k=SIM_K).select(
+        "query_id", "vec_id", "cos_sim", "rn"
+    )
+
+
+def q_sim_topk_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    return S.lsh_topk(emb, queries, k=SIM_K).select(
+        "query_id", "vec_id", "cos_sim", "rn"
+    )
+
+
+def q_text_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    return media_pipeline(_docs(spark, sf_dir))
+
+
+def q_rel_pricing_summary(spark, sf_dir):
+    return R.pricing_summary(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_rel_revenue_by_region(spark, sf_dir):
+    return R.revenue_by_region(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+def q_rel_top_customers(spark, sf_dir):
+    return R.top_customers_per_nation(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def q_rel_acctbal_rollup(spark, sf_dir):
+    return R.acctbal_rollup(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+def q_events_tumbling(spark, sf_dir):
+    return R.events_tumbling(load_events(spark, sf_dir))
+
+
+def q_events_sessionize(spark, sf_dir):
+    return R.sessionize(load_events(spark, sf_dir))
+
+
+def q_events_json_props(spark, sf_dir):
+    return R.json_props_stats(load_events(spark, sf_dir))
+
+
+EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+    "sim_topk_brute": q_sim_topk_brute,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_revenue_by_region": q_rel_revenue_by_region,
+    "rel_top_customers": q_rel_top_customers,
+    "rel_acctbal_rollup": q_rel_acctbal_rollup,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "events_json_props": q_events_json_props,
+}
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL (driver runs these over the same parquet views)
+# --------------------------------------------------------------------------
+
+#: Shared CTE block: shingles → MinHash signatures → LSH bands → candidate
+#: pairs (mirrors operators/dedup.py with k=3, 12 hashes, 4 bands × 3 rows).
+_MINHASH_CTES = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingle AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+    FROM words WHERE len(w) >= 3
+  )
+),
+sig AS (
+  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS minhash
+  FROM shingle CROSS JOIN generate_series(0, 11) t(h)
+  GROUP BY doc_id, h
+),
+bands AS (
+  SELECT doc_id, (h // 3) AS band,
+         md5(string_agg(minhash, ',' ORDER BY h)) AS band_key
+  FROM sig GROUP BY doc_id, (h // 3)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+_SIMHASH_CTES = """
+WITH tok AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+dwc AS (
+  SELECT doc_id, word, count(*) AS n FROM tok GROUP BY doc_id, word
+),
+wh AS (
+  SELECT word, ('0x' || substr(md5(word), 1, 15))::BIGINT AS wh
+  FROM (SELECT DISTINCT word FROM dwc)
+),
+contrib AS (
+  SELECT doc_id, j,
+         CASE WHEN ((wh >> j) & 1) = 1 THEN n ELSE -n END AS c
+  FROM dwc JOIN wh USING (word) CROSS JOIN generate_series(0, 31) t(j)
+),
+bitsum AS (
+  SELECT doc_id, j, sum(c) AS s FROM contrib GROUP BY doc_id, j
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bitsum GROUP BY doc_id
+)
+"""
+
+_EMB_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)" for d in range(8)
+)
+
+_SIM_CTES = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         {_EMB_BUCKET_EXPR} AS bucket
+  FROM embeddings
+)
+"""
+
+_STOPWORD_LIST_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+_MARKER_VALUES_SQL = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
+)
+
+EXTENSION_ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+    "dedup_minhash_lsh": _MINHASH_CTES + "SELECT doc_a, doc_b FROM cand",
+    "dedup_simhash": _SIMHASH_CTES + "SELECT doc_id, simhash FROM sh",
+    "dedup_simhash_pairs": _SIMHASH_CTES
+    + """
+, sb AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
+  FROM sh CROSS JOIN generate_series(0, 3) t(band)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sb a JOIN sb b ON a.band = b.band AND a.band_val = b.band_val
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    "dedup_ngram_jaccard": _MINHASH_CTES
+    + """
+, sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingle sa ON sa.doc_id = c.doc_a
+  JOIN shingle sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(coalesce(m.n_common, 0) AS BIGINT) AS n_common,
+       CAST(za.n_sh AS BIGINT) AS n_a,
+       CAST(zb.n_sh AS BIGINT) AS n_b,
+       round(coalesce(m.n_common, 0) /
+             (za.n_sh + zb.n_sh - coalesce(m.n_common, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+JOIN sizes za ON za.doc_id = c.doc_a
+JOIN sizes zb ON zb.doc_id = c.doc_b
+""",
+    "dedup_embedding": _SIM_CTES
+    + f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {NEAR_DUP_COS}
+""",
+    "sim_topk_brute": _SIM_CTES
+    + f"""
+, q AS (
+  SELECT vec_id AS query_id, vec AS q_vec FROM e
+  WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.vec, q.q_vec), 6) AS cos_sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= {SIM_K}
+""",
+    "sim_topk_lsh": _SIM_CTES
+    + f"""
+, q AS (
+  SELECT vec_id AS query_id, vec AS q_vec, bucket FROM e
+  WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.vec, q.q_vec), 6) AS cos_sim
+  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= {SIM_K}
+""",
+    "text_token_stats": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_wordlike,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(length(text) / len(string_split(text, ' ')), 6) AS mean_token_len
+FROM documents
+""",
+    "text_quality": f"""
+WITH x AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         w -> list_contains([{_STOPWORD_LIST_SQL}], w)))
+           AS n_stop,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       round(n_stop / n_tokens, 6) AS stop_ratio,
+       round(alpha_chars / n_chars, 6) AS alpha_ratio,
+       round(0.4 * least(n_tokens / 50.0, 1.0)
+           + 0.3 * (alpha_chars / n_chars)
+           + 0.3 * least((n_stop / n_tokens) / 0.1, 1.0), 6) AS quality
+FROM x
+""",
+    "text_lang_id": f"""
+WITH markers(lang, word) AS (VALUES {_MARKER_VALUES_SQL}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS hits
+  FROM tok t JOIN markers m ON t.word = m.word
+  GROUP BY t.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'und') AS pred_lang,
+       CAST(coalesce(b.hits, 0) AS BIGINT) AS marker_hits
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+""",
+    "text_fingerprint": """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingle AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+2], ' ')) AS h
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+    FROM words WHERE len(w) >= 3
+  )
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM shingle
+)
+SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS fp_min
+FROM fps GROUP BY doc_id
+""",
+    "multimodal_decode": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       ('0x' || substr(md5(text), 1, 2))::BIGINT AS width,
+       ('0x' || substr(md5(text), 3, 2))::BIGINT AS height,
+       ('0x' || substr(md5(text), 5, 1))::BIGINT AS n_frames
+FROM documents
+""",
+    "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "rel_revenue_by_region": """
+SELECT r.r_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, year(o.o_orderdate)
+""",
+    "rel_top_customers": """
+WITH per_cust AS (
+  SELECT n.n_name, c.c_custkey, c.c_name,
+         round(sum(o.o_totalprice), 2) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey, c.c_name
+),
+ranked AS (
+  SELECT n_name, c_custkey, c_name, revenue,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY revenue DESC, c_custkey) AS rnk
+  FROM per_cust
+)
+SELECT n_name, c_custkey, c_name, revenue, rnk FROM ranked WHERE rnk <= 5
+""",
+    "rel_acctbal_rollup": """
+SELECT coalesce(r.r_name, 'ALL') AS r_name,
+       coalesce(n.n_name, 'ALL') AS n_name,
+       round(sum(c.c_acctbal), 2) AS total_acctbal,
+       count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+    "events_tumbling": """
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS epoch_hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    "events_sessionize": """
+WITH x AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                > 1800000000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts_ns, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM x
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(min(ts_ns) // 1000000000 AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_id
+""",
+    "events_json_props": """
+SELECT event_type,
+       count(json_extract_string(props, '$.k')) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY event_type
+""",
+}

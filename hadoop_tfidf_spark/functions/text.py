@@ -1,0 +1,135 @@
+"""Text-analysis operators for LLM-data-pipeline curation (engine surface
+beyond the reference, per the north star): token statistics, quality
+scoring, heuristic language ID, and winnowing document fingerprints.
+
+All are pure DataFrame transformations over a ``(doc_id, text)`` corpus —
+JVM-side expressions only (no Python UDFs), so they run inside whole-stage
+codegen and scale linearly with executors; the only shuffles are the final
+per-document aggregations, keyed on ``doc_id`` (high-cardinality, evenly
+distributed — no skew concern at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker lexicons for the n-gram/stopword language-ID
+#: heuristic. Real deployments swap in a trained model (fastText et al.) via
+#: the same operator shape; the heuristic keeps the engine dependency-free.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "la", "de", "y", "es", "que"],
+    "fr": ["le", "la", "de", "et", "est", "que"],
+    "zh": ["de", "shi", "le", "bu", "wo", "zai"],
+}
+
+#: English stopwords used by the quality-score stopword ratio.
+QUALITY_STOPWORDS: list[str] = [
+    "the", "a", "an", "of", "and", "or", "is", "to", "in", "it",
+]
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token statistics: whitespace token count, alphabetic
+    "wordlike" count (BPE-ish ``[a-zA-Z]+`` pre-tokenizer segments), digit
+    run count, char length, mean token length.
+
+    Narrow projection — no shuffle at all.
+    """
+    text = F.col("text")
+    words = _words(text)
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.regexp_count(text, F.lit("[a-zA-Z]+")).cast("bigint").alias("n_wordlike"),
+        F.regexp_count(text, F.lit("[0-9]+")).cast("bigint").alias("n_digit_runs"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        F.round(F.length(text) / F.size(words), 6).alias("mean_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality score in [0, 1] from length, alphabetic
+    ratio, and stopword ratio — the standard pre-training corpus filters
+    (Gopher/C4-style rules) expressed as one vectorized projection.
+
+    score = 0.4·min(n_tokens/50, 1) + 0.3·alpha_ratio + 0.3·min(stop_ratio/0.1, 1)
+    """
+    text = F.col("text")
+    words = _words(text)
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*QUALITY_STOPWORDS)))
+    alpha_chars = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    stop_ratio = n_stop / n_tokens
+    alpha_ratio = alpha_chars / F.length(text)
+    score = (
+        F.lit(0.4) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio / F.lit(0.1), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: count marker-lexicon hits per language, pick
+    the argmax (ties broken by language code; zero hits → ``und``).
+
+    Plan shape: explode tokens → broadcast join the ~30-row marker table →
+    two hash aggregations keyed on doc_id. The marker table is broadcast, so
+    the corpus never shuffles before the per-doc aggregation.
+    """
+    spark = docs.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
+        "lang string, word string",
+    )
+    tokens = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    hits = (
+        tokens.join(F.broadcast(markers), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every ``k``-word shingle, slide a ``window``-wide frame over the
+    shingle sequence, keep each frame's minimum hash, dedupe.
+
+    Output: ``(doc_id, n_fingerprints, fp_min)`` — the count of distinct
+    selected fingerprints and the lexicographic minimum (a compact
+    per-document signature). md5-based so the DuckDB oracle reproduces it
+    exactly. Shuffle keyed on doc_id only.
+    """
+    from hadoop_tfidf_spark.operators.dedup import shingles
+
+    sh = shingles(docs, k=k)  # (doc_id, pos, shingle)
+    hashed = sh.select("doc_id", "pos", F.md5("shingle").alias("h"))
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    fps = hashed.select("doc_id", F.min("h").over(frame).alias("fp")).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fingerprints"),
+        F.min("fp").alias("fp_min"),
+    )

@@ -1,0 +1,266 @@
+"""Deduplication operators for pre-training-corpus curation: exact
+(hash-groupBy), MinHash + LSH banding, SimHash, and n-gram Jaccard
+verification. The reference engine has no dedup at all (SURVEY.md §2 gap
+table) — this is north-star engine surface.
+
+Every hash is md5-based (:mod:`hadoop_tfidf_spark.functions.hashing`) so the
+DuckDB oracle reproduces each operator bit-for-bit; everything is built-in
+Catalyst expressions — codegen'd, no Python in the data path.
+
+Scale design (100 TB):
+
+* exact dedup — one hash aggregation on ``md5(text)``; partial aggregation
+  collapses per-partition duplicates before the shuffle, and the shuffle key
+  (a hash) is uniformly distributed — no skew.
+* MinHash/LSH — the classic banded similarity join: signatures are a
+  map-side explode + per-(doc, hash-seed) min aggregation; candidate
+  generation is an equi-join on (band, band_key), i.e. a *bucket* join whose
+  fan-out is bounded by real near-duplicate cluster sizes, never the O(n²)
+  cross join. Skewed buckets (boilerplate docs) are AQE-split.
+* SimHash — 64→32-bit signature; candidate pairs via the pigeonhole band
+  trick (hamming ≤ 3 ⇒ some 8-bit band equal), again an equi-join.
+* Jaccard verify — exact intersection counts only over LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_tfidf_spark.functions.hashing import hex_to_long
+
+#: Default MinHash configuration: 12 hash functions in 4 bands × 3 rows —
+#: the LSH s-curve crosses ~ (1/4)^(1/3) ≈ 0.63 Jaccard.
+DEFAULT_NUM_HASHES = 12
+DEFAULT_ROWS_PER_BAND = 3
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns ``(text_hash, keep_doc_id, dup_count)`` — one row per distinct
+    text; ``keep_doc_id`` is the canonical survivor (minimum id).
+    """
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").cast("bigint").alias("dup_count"),
+    )
+
+
+def exact_dedup_apply(docs: DataFrame) -> DataFrame:
+    """Corpus with exact duplicates removed (keep min doc_id per text)."""
+    keep = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Word ``k``-gram shingles with positions: ``(doc_id, pos, shingle)``,
+    ``pos`` 1-based. Narrow transformation (split + transform + posexplode)
+    — no shuffle; docs shorter than ``k`` words produce no rows.
+    """
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    return (
+        docs.where(F.size(words) >= k)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "shingle"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """MinHash signature rows ``(doc_id, h, minhash)`` for seeds
+    ``h ∈ [0, num_hashes)``.
+
+    One scan: explode the seed array over the distinct shingles, take the
+    per-(doc, seed) min of ``md5(seed || ':' || shingle)``. min() is
+    algebraic, so Catalyst's partial aggregation keeps the shuffle at
+    O(docs × num_hashes) rows regardless of shingle volume.
+    """
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    return (
+        shingle_df.select("doc_id", "shingle")
+        .distinct()
+        .select("doc_id", "shingle", F.explode(seeds).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.min(F.md5(F.concat(F.col("h"), F.lit(":"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame, rows_per_band: int = DEFAULT_ROWS_PER_BAND
+) -> DataFrame:
+    """Collapse signature rows into LSH band keys ``(doc_id, band, band_key)``.
+
+    band = h div rows_per_band; band_key = md5 of the band's minhashes
+    joined in seed order (sort_array on (h, minhash) structs gives a
+    deterministic order without a window).
+    """
+    band = (F.col("h") / F.lit(rows_per_band)).cast("int").alias("band")
+    return (
+        signatures.select("doc_id", band, F.struct("h", "minhash").alias("hm"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("hm")), lambda s: s["minhash"]
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any (band, band_key)
+    bucket. Equi-join on the bucket key — never a cross join. Returns
+    distinct ``(doc_a, doc_b)`` with ``doc_a < doc_b``.
+    """
+    a = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    join. Returns candidate pairs ``(doc_a, doc_b)``."""
+    sh = shingles(docs, k=k)
+    return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
+
+
+def ngram_jaccard(
+    docs: DataFrame, pairs: DataFrame, k: int = 3, threshold: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for the given candidate pairs.
+
+    ``jaccard = |A ∩ B| / |A ∪ B|`` over distinct word ``k``-grams. Computed
+    only for ``pairs`` (the LSH output) — the standard candidate-then-verify
+    shape that avoids O(n²) at scale. Returns
+    ``(doc_a, doc_b, n_common, n_a, n_b, jaccard)``.
+    """
+    sh = shingles(docs, k=k).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    out = (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_common": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-document SimHash signature (Charikar'02 / Manku et al. WWW'07)
+    with term-frequency weights: ``(doc_id, simhash BIGINT)``.
+
+    Each distinct word's md5 is reduced to a 60-bit value once (vocabulary
+    is tiny vs. the corpus), joined back, then each of the ``bits`` bit
+    positions contributes ``±n`` per (doc, word); the signature bit is the
+    sign of the sum. All integer/bit arithmetic exists in both Spark and
+    DuckDB, so the oracle is exact.
+    """
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+    dwc = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    word_hash = (
+        dwc.select("word").distinct().select("word", hex_to_long(F.md5("word")).alias("wh"))
+    )
+    bit_idx = F.array(*[F.lit(i) for i in range(bits)])
+    contrib = (
+        dwc.join(F.broadcast(word_hash), "word")
+        .select("doc_id", "n", "wh", F.explode(bit_idx).alias("j"))
+        # column-valued shift amounts need the SQL form (the Python
+        # shiftrightunsigned() helper only takes int literals)
+        .select(
+            "doc_id",
+            "j",
+            F.expr(
+                "CASE WHEN (shiftrightunsigned(wh, j) & 1) = 1 THEN n ELSE -n END"
+            ).alias("c"),
+        )
+    )
+    bit_sums = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
+    terms = bit_sums.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("term"),
+    )
+    return terms.groupBy("doc_id").agg(F.sum("term").alias("simhash"))
+
+
+def simhash_pairs(
+    simhash_df: DataFrame, max_hamming: int = 3, band_bits: int = 8, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: with 32 bits in four 8-bit bands, hamming ≤ 3
+    implies at least one band is identical — so candidates come from an
+    equi-join on (band index, band value), then the exact
+    ``bit_count(xor)`` filter. Returns ``(doc_a, doc_b, hamming)``.
+    """
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = simhash_df.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(f"shiftrightunsigned(simhash, band * {band_bits}) & {mask}").alias(
+            "band_val"
+        ),
+    )
+    a = bands.select("band", "band_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = bands.select("band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

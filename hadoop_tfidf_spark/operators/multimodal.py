@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: image/audio/video payloads as opaque
+``binary`` columns with typed metadata, plus Arrow-batched decode /
+feature-extract stages via ``mapInPandas``.
+
+The decode step is a STUB (this container has no image/audio libraries):
+it derives deterministic fake features from the payload's md5, clearly
+marked below. Everything Spark-side — schemas, batch iteration, partition
+behavior, output typing — is real and tested, and the fake is reproducible
+in SQL, so even the Pandas-UDF path is covered by the DuckDB oracle.
+
+Scale design: payloads stay opaque bytes end-to-end (no driver collect);
+``mapInPandas`` streams Arrow record batches through Python with O(batch)
+memory; decode parallelism = input partitions, so a 100 TB media corpus
+just needs sane ``maxPartitionBytes``. Real deployments replace
+``_fake_decode_row`` with PIL/ffmpeg calls — the operator shape, schema
+contract, and partitioning are unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: Output schema of the decode stage — what a real image decoder would
+#: produce (dims + a compact feature digest) alongside the source id.
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the opaque media column: ``(doc_id, payload BINARY, media_type)``.
+
+    Here the payload is the utf-8 text bytes (the container has no real
+    media); a production ingest reads files via ``spark.read.format
+    ("binaryFile")`` into the identical schema.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _fake_decode_row(payload: bytes) -> tuple[int, str, int, int, int]:
+    """STUB decoder — deterministic fake features from the payload md5.
+
+    A real decoder (PIL / ffmpeg) is not installed in this container; this
+    fake keeps the full Arrow/mapInPandas plumbing testable and
+    oracle-checkable (md5-derived, so SQL reproduces it).
+    """
+    h = hashlib.md5(payload).hexdigest()
+    return (
+        len(payload),
+        h,
+        int(h[0:2], 16),  # "width"
+        int(h[2:4], 16),  # "height"
+        int(h[4:5], 16),  # "frame count"
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode / feature-extract stage: Arrow-batched ``mapInPandas`` over
+    the binary payload column. Returns :data:`DECODED_SCHEMA` rows."""
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [_fake_decode_row(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats,
+                columns=["n_bytes", "content_md5", "width", "height", "n_frames"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def media_pipeline(docs: DataFrame) -> DataFrame:
+    """Full multimodal ingest: attach payload → Arrow decode → typed
+    features. One narrow Python stage, no shuffle."""
+    return decode_media(with_binary_payload(docs))

@@ -1,0 +1,171 @@
+"""General relational operator surface over the TPC-H-ish testdata:
+aggregation pipelines, multi-way broadcast joins, window top-k, rollup
+grouping sets, and JSON extraction — the SURVEY.md §2 "capability gaps"
+table (joins / grouping sets / windows / scalar functions) exercised as
+declared, oracle-checked queries.
+
+Scale notes are per-function; the common theme: dimension tables
+(region/nation/customer at TPC-H proportions) are broadcast so the fact
+scan never shuffles for the join, and every aggregation keys on
+well-distributed columns with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter → wide aggregate.
+
+    One shuffle on the 6-value (returnflag, linestatus) key; partial
+    aggregation collapses ~everything map-side, so the exchange moves a few
+    rows per partition regardless of fact size. Filter + column pruning
+    reach the parquet scan.
+    """
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def revenue_by_region(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Fact → dim → dim → dim star join, all dims broadcast: revenue per
+    region per order year. The orders scan is the only large input; it
+    flows through three broadcast hash joins with zero shuffles, then one
+    aggregation exchange on (r_name, o_year)."""
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name"), F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+def top_customers_per_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, k: int = 5
+) -> DataFrame:
+    """Per-group top-k via window ranking: top ``k`` customers by order
+    revenue within each nation. The window partitions on n_name (25 keys
+    here; at scale partition on the natural higher-cardinality group) after
+    an aggregation that already shrank the data to one row per customer."""
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", "revenue")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def acctbal_rollup(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """ROLLUP grouping sets: account balance totals at (region, nation),
+    (region), and grand-total levels. NULL group labels are normalized to
+    'ALL' so the output is engine-portable and hash-stable."""
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count("*").cast("bigint").alias("n_customers"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
+            "total_acctbal",
+            "n_customers",
+        )
+    )
+
+
+def events_tumbling(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream (batch
+    form; the streaming form with watermarks is
+    :func:`hadoop_tfidf_spark.streaming.windows.windowed_event_counts`).
+
+    Window key = integer ``div`` on epoch nanos (``ts_ns`` from
+    ``sources.events.load_events``) — exact integer arithmetic, identical
+    to DuckDB's ``epoch_ns(ts) //``, timezone- and float-proof."""
+    hour = F.expr("ts_ns div 3600000000000").alias("epoch_hour")
+    return events.groupBy(hour, "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization: per-user sessions split at
+    ``gap_minutes`` of inactivity. Two windows over the same (user_id, ts)
+    partitioning — one shuffle total. Returns one row per session.
+
+    The streaming equivalent is ``F.session_window`` (see
+    ``streaming/windows.py``); this batch form is the oracle-checkable one.
+    All time math is integer nanos (``ts_ns``) — exact in both engines.
+    """
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    # event_id tie-break: same-ts rows can't open a session, but a total
+    # window order keeps the plan deterministic across engines/runs.
+    w_user = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "value",
+        F.when(
+            F.col("ts_ns") - F.lag("ts_ns", 1).over(w_user) > gap_ns, F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_sess"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.expr("min(ts_ns) div 1000000000").alias("session_start"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction + aggregation: pull ``$.k`` out of the ``props``
+    JSON string column, aggregate per event type. ``get_json_object`` is a
+    codegen'd JVM expression — no Python."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )

@@ -1,0 +1,149 @@
+"""Event-time streaming operators over the ``events`` table shape
+``(event_id, ts, user_id, event_type, value, props)``.
+
+Each builder takes a *streaming* DataFrame (``spark.readStream``) and
+returns a streaming DataFrame; the same transformations also accept a batch
+DataFrame (minus watermark semantics), which is how the DuckDB oracle
+checks the logic (see ``operators/relational.py`` batch twins).
+
+Scale design: watermarks bound state (late rows beyond the watermark are
+dropped, state for closed windows is evicted); aggregation state is keyed
+on (window, event_type) / (user_id, session) — naturally partitioned across
+executors by the shuffle. Output modes: ``update`` for dashboards,
+``append`` + watermark for exactly-once sink files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Schema of the events stream (matches testdata ``events.parquet``).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source event stream: picks up parquet files appearing under
+    ``path``. At scale this is the same code against Kafka
+    (``format("kafka")`` + from_json) — only the source line changes."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with a late-data watermark.
+
+    Batch twin: ``operators.relational.events_tumbling`` (epoch-hour key).
+    Output: (window_start, window_end, event_type, n_events, total_value).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_rates(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event rates (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (dynamic gap-based windows, state evicted at
+    the watermark). Batch twin: ``operators.relational.sessionize`` — the
+    gaps-and-islands formulation the oracle checks."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_term_counts(docs: DataFrame) -> DataFrame:
+    """Incremental corpus term statistics over a *document* stream
+    ``(doc_id, text)``: running (word, n_docs_seen) counts — the streaming
+    form of document frequency (reference O8 made incremental). Complete/
+    update output mode; state is one row per word."""
+    tokens = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .dropDuplicates(["doc_id", "word"])
+    )
+    return tokens.groupBy("word").agg(F.count("*").alias("df"))
+
+
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a file-backed stream with the availableNow trigger into an
+    in-memory sink; returns the sink table as a batch DataFrame. Test/demo
+    harness — production uses a durable sink + checkpointLocation."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
