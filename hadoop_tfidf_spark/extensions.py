@@ -70,8 +70,19 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
     docs = _docs(spark, sf_dir)
-    return D.ngram_jaccard(docs, D.minhash_lsh_dedup(docs), k=JACCARD_K)
+    # One persisted distinct-shingle relation feeds MinHash, both verify
+    # join sides, and the size aggregate (Spark recomputes diamonds).
+    sh = (
+        D.shingles(docs, k=JACCARD_K)
+        .select("doc_id", "shingle")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = D.minhash_lsh_dedup(docs, shingle_df=sh)
+    return D.ngram_jaccard(docs, pairs, k=JACCARD_K, shingle_df=sh)
 
 
 def q_dedup_embedding(spark, sf_dir):

@@ -137,15 +137,20 @@ def minhash_lsh_dedup(
     k: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     join. Returns candidate pairs ``(doc_a, doc_b)``."""
-    sh = shingles(docs, k=k)
+    sh = shingle_df if shingle_df is not None else shingles(docs, k=k)
     return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
 
 
 def ngram_jaccard(
-    docs: DataFrame, pairs: DataFrame, k: int = 3, threshold: float = 0.0
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.0,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for the given candidate pairs.
 
@@ -153,8 +158,17 @@ def ngram_jaccard(
     only for ``pairs`` (the LSH output) — the standard candidate-then-verify
     shape that avoids O(n²) at scale. Returns
     ``(doc_a, doc_b, n_common, n_a, n_b, jaccard)``.
+
+    ``shingle_df`` lets the caller share one (ideally persisted) distinct
+    shingle relation across the LSH and verify stages — it feeds four plan
+    branches (sizes, both join sides, and MinHash upstream), and Spark
+    recomputes diamonds (see ``tfidf.tfidf`` docstring).
     """
-    sh = shingles(docs, k=k).select("doc_id", "shingle").distinct()
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingles(docs, k=k).select("doc_id", "shingle").distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -80,6 +80,7 @@ def tfidf(
     num_docs: int | None = None,
     exact_idf: bool = False,
     tokenizer_pattern: str | None = None,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """TF-IDF scores ``(word, doc_id, tf, df, tfidf)`` (reference O9–O10,
     TFIDF.java:163–170).
@@ -88,14 +89,35 @@ def tfidf(
     ``log10(1 + FLOOR(numDocs / df))``; ``exact_idf=True`` uses true
     division. ``num_docs`` overrides the corpus count exactly like the
     reference's CLI arg.
+
+    The (word, doc) count feeds both the tf and df branches — a diamond.
+    Spark's exchange-reuse can't dedupe it (column pruning rewrites the df
+    branch's aggregate, so the subtrees aren't canonically equal; verified
+    empirically), and the window-over-word alternative is skew-fatal at
+    scale (every row of a stopword lands on one task with no partial
+    aggregation). The two options that survive 100 TB:
+
+    * ``persist_intermediate=False`` (default): recompute the branch — two
+      corpus scans, both linear, shuffle volume unchanged; zero memory
+      footprint, works for streaming-ish one-shot plans.
+    * ``persist_intermediate=True``: persist the counted relation
+      (MEMORY_AND_DISK) — one corpus scan; the right call whenever the
+      plan is executed to completion (bench/driver queries use this). At
+      cluster scale prefer ``StorageLevel.DISK_ONLY`` for a corpus-sized
+      intermediate.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from hadoop_tfidf_spark.corpus import REFERENCE_TOKEN_PATTERN, tokenize
 
     if tokens is None:
         tokens = tokenize(docs, tokenizer_pattern or REFERENCE_TOKEN_PATTERN)
 
-    tf = term_frequency(doc_word_count(tokens))
-    df = doc_frequency(doc_word_count(tokens))
+    dwc = doc_word_count(tokens)
+    if persist_intermediate:
+        dwc = dwc.persist(StorageLevel.MEMORY_AND_DISK)
+    tf = term_frequency(dwc)
+    df = doc_frequency(dwc)
 
     if num_docs is not None:
         n_col = F.lit(int(num_docs))
