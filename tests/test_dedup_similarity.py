@@ -1,0 +1,123 @@
+"""Machinery tests for the dedup / similarity operators on crafted inputs —
+the declared-query oracles prove engine parity; these prove the operators
+actually FIND planted duplicates and neighbors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_tfidf_spark.operators import dedup as D
+from hadoop_tfidf_spark.operators import similarity as S
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late evening sun"
+)  # one word differs
+UNRELATED = (
+    "completely different subject matter about distributed query engines "
+    "and columnar storage formats for analytical workloads"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, UNRELATED)],
+        ["doc_id", "text"],
+    )
+
+
+class TestExactDedup:
+    def test_groups_exact_duplicates(self, spark, corpus):
+        groups = {r.keep_doc_id: r.dup_count for r in D.exact_dedup(corpus).collect()}
+        assert groups[1] == 2  # docs 1,2 identical
+        assert groups[3] == 1 and groups[4] == 1
+
+    def test_apply_keeps_canonical(self, spark, corpus):
+        kept = sorted(r.doc_id for r in D.exact_dedup_apply(corpus).collect())
+        assert kept == [1, 3, 4]
+
+
+class TestMinHashLSH:
+    def test_finds_planted_near_dups(self, spark, corpus):
+        pairs = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_dedup(corpus).collect()}
+        assert (1, 2) in pairs  # identical docs always collide
+        assert (1, 3) in pairs and (2, 3) in pairs  # 1-word-off near-dup
+        assert not any(4 in p for p in pairs)  # unrelated never pairs
+
+    def test_jaccard_exact_values(self, spark, corpus):
+        pairs = D.minhash_lsh_dedup(corpus)
+        jac = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.ngram_jaccard(corpus, pairs).collect()
+        }
+        assert jac[(1, 2)] == 1.0
+        # one word differs → k=3 shingles: 19 total per doc, 3 broken
+        assert 0.5 < jac[(1, 3)] < 1.0
+
+    def test_signature_shape(self, spark, corpus):
+        sig = D.minhash_signatures(D.shingles(corpus, k=3))
+        per_doc = sig.groupBy("doc_id").count().collect()
+        assert all(r["count"] == D.DEFAULT_NUM_HASHES for r in per_doc)
+
+
+class TestSimHash:
+    def test_identical_docs_same_hash(self, spark, corpus):
+        sh = {r.doc_id: r.simhash for r in D.simhash(corpus).collect()}
+        assert sh[1] == sh[2]
+        assert sh[1] != sh[4]
+
+    def test_near_dup_small_hamming(self, spark, corpus):
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in D.simhash_pairs(D.simhash(corpus), max_hamming=6).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs  # near-dup within hamming 6
+        assert not any(4 in p for p in pairs)
+
+
+class TestSimilaritySearch:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        # centered (±) clusters — coordinate-sign LSH assumes centered data:
+        # cluster A ~ (+,-,+,-,...), cluster B ~ (-,+,-,+,...)
+        rows = [
+            (0, [1.0, -1.0, 1.0, -1.0, 0.9, -0.9, 1.1, -1.1]),
+            (1, [0.9, -1.1, 1.1, -0.9, 1.0, -1.0, 0.9, -1.0]),
+            (2, [1.1, -0.9, 0.9, -1.0, 1.0, -1.1, 1.0, -0.9]),
+            (3, [-1.0, 1.0, -1.0, 1.0, -0.9, 0.9, -1.1, 1.1]),
+            (4, [-0.9, 1.1, -1.1, 0.9, -1.0, 1.0, -0.9, 1.0]),
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_brute_topk_orders_by_cosine(self, spark, vectors):
+        q = vectors.where(F.col("vec_id") == 0)
+        top = S.brute_force_topk(vectors, q, k=2).orderBy("rn").collect()
+        assert [r.vec_id for r in top] == [1, 2]  # same-cluster first
+        assert top[0].cos_sim > 0.99
+
+    def test_lsh_topk_subset_of_brute(self, spark, vectors):
+        q = vectors.where(F.col("vec_id") == 0)
+        brute = {r.vec_id for r in S.brute_force_topk(vectors, q, k=4).collect()}
+        approx = {r.vec_id for r in S.lsh_topk(vectors, q, k=4, n_bits=4).collect()}
+        assert approx <= brute
+        assert 1 in approx  # same sign-bucket neighbor found
+
+    def test_near_dup_pairs_within_cluster_only(self, spark, vectors):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in S.embedding_near_dup(vectors, threshold=0.95, n_bits=4).collect()
+        }
+        assert (0, 1) in pairs and (3, 4) in pairs
+        assert not any(a in (0, 1, 2) and b in (3, 4) for a, b in pairs)
+
+    def test_cosine_expr_value(self, spark):
+        df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"])
+        v = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+        assert v == pytest.approx(0.9746318461970762)

@@ -1,0 +1,96 @@
+"""Structured Streaming tests: file-source event stream drained with the
+availableNow trigger into a memory sink; results cross-checked against the
+batch twins (the DuckDB-oracle-verified formulations)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_tfidf_spark.operators.relational import events_tumbling
+from hadoop_tfidf_spark.sources.events import load_events
+from hadoop_tfidf_spark.streaming.windows import (
+    read_event_stream,
+    run_to_completion,
+    session_windows,
+    streaming_term_counts,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Micros-precision copy of the events table as a streaming source dir
+    (the raw testdata file is nanos, which the file stream source can't
+    schema-infer)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_events(spark, SF_DIR).drop("ts_ns").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=2)
+    result = run_to_completion(
+        windowed_event_counts(stream), "t_windowed", output_mode="append"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in result.collect()
+    }
+    batch = events_tumbling(load_events(spark, SF_DIR))
+    want = {}
+    for r in batch.collect():
+        key_start = r.epoch_hour * 3600
+        want[(key_start, r.event_type)] = (r.n_events, r.total_value)
+    got_norm = {
+        (int(k[0].timestamp()), k[1]): v for k, v in got.items()
+    }
+    # Append mode only emits windows CLOSED by the watermark — windows
+    # still open when the stream drains are withheld (correct late-data
+    # semantics, not loss). Require completeness up to max_ts - watermark.
+    max_ts = load_events(spark, SF_DIR).agg(
+        F.max(F.col("ts_ns") / 1e9).alias("m")
+    ).collect()[0].m
+    closed = {
+        k: v for k, v in want.items() if k[0] + 3600 <= max_ts - 2 * 3600
+    }
+    assert set(closed) <= set(got_norm)
+    assert set(got_norm) <= set(want)
+    for key, (n, total) in got_norm.items():
+        assert want[key][0] == n, key
+        # float sums: streaming micro-batch order ≠ batch order, so the
+        # 6th rounded decimal can differ — compare to 1e-4
+        assert want[key][1] == pytest.approx(total, abs=1e-4), key
+
+
+def test_session_windows_run(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    result = run_to_completion(
+        session_windows(stream, gap="30 minutes"), "t_sessions", output_mode="append"
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    assert {"session_start", "session_end", "user_id", "n_events", "total_value"} <= set(
+        result.columns
+    )
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_streaming_term_counts(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a")], ["doc_id", "text"]
+    )
+    docs.write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    result = run_to_completion(
+        streaming_term_counts(stream), "t_terms", output_mode="complete"
+    )
+    got = {r.word: r.df for r in result.collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}
