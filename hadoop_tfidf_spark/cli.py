@@ -1,0 +1,131 @@
+"""Command-line entry points mirroring the reference's six tools
+(DocWordCount, TermFrequency, TFIDF, Search, Rank, TFIDFRank — each a
+``main`` + ``ToolRunner`` pair in the reference, e.g. TFIDF.java:31–34).
+
+Differences by design (SURVEY.md O18–O20):
+
+* one lazy Spark plan per command instead of 2–4 chained MR jobs with HDFS
+  text re-parsing between them;
+* the query is an argument (``--query``), not interactive stdin
+  (Search.java:37–47) — scriptable; stdin is still read when ``--query`` is
+  omitted, for drop-in parity;
+* ``--num-docs`` replicates the reference's user-supplied corpus size
+  (CLI args[3], TFIDF.java:58); defaults to computing it from the data;
+* output is parquet by default, ``--format tsv`` for the reference's
+  ``key \\t value`` text shape (O17).
+
+Usage::
+
+    python -m hadoop_tfidf_spark.cli docwordcount  IN OUT
+    python -m hadoop_tfidf_spark.cli termfrequency IN OUT
+    python -m hadoop_tfidf_spark.cli tfidf         IN OUT [--num-docs N]
+    python -m hadoop_tfidf_spark.cli search        IN OUT --query "a b"
+    python -m hadoop_tfidf_spark.cli rank          IN OUT --query "a b"
+    python -m hadoop_tfidf_spark.cli tfidfrank     IN OUT [--limit K]
+
+``IN`` is a text directory (file-per-document, the reference's input
+shape) or a parquet path with (doc_id, text) columns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _load(spark: SparkSession, path: str) -> DataFrame:
+    from hadoop_tfidf_spark.corpus import load_docs, load_text_dir
+
+    if path.endswith(".parquet") or path.endswith(".pq"):
+        return load_docs(spark, path)
+    return load_text_dir(spark, path)
+
+
+def _write(df: DataFrame, path: str, fmt: str) -> None:
+    from hadoop_tfidf_spark.sinks import write_parquet, write_tsv
+
+    (write_tsv if fmt == "tsv" else write_parquet)(df, path)
+
+
+def _query_text(args: argparse.Namespace) -> str:
+    if args.query is not None:
+        return args.query
+    # stdin parity with the reference's interactive prompt (Search.java:37–41)
+    print("input query terms:", file=sys.stderr, flush=True)
+    return sys.stdin.readline().strip()
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="hadoop_tfidf_spark")
+    p.add_argument("tool", choices=[
+        "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
+    ])
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--query", default=None, help="query terms (default: stdin)")
+    p.add_argument("--num-docs", type=int, default=None)
+    p.add_argument("--limit", type=int, default=None, help="top-k for tfidfrank")
+    p.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
+    p.add_argument("--exact-idf", action="store_true")
+    p.add_argument("--dedupe-query", action="store_true")
+    args = p.parse_args(argv)
+
+    from hadoop_tfidf_spark.corpus import tokenize
+    from hadoop_tfidf_spark.search import query_term_bag, rank, search, tfidf_rank
+    from hadoop_tfidf_spark.session import get_spark
+    from hadoop_tfidf_spark.tfidf import doc_word_count, term_frequency, tfidf
+
+    spark = get_spark(app_name=f"hadoop_tfidf_spark_{args.tool}")
+    docs = _load(spark, args.input)
+
+    if args.tool == "docwordcount":
+        out = doc_word_count(tokenize(docs))
+    elif args.tool == "termfrequency":
+        out = term_frequency(doc_word_count(tokenize(docs))).select(
+            "word", "doc_id", "tf"
+        )
+    elif args.tool == "tfidf":
+        out = tfidf(
+            docs,
+            num_docs=args.num_docs,
+            exact_idf=args.exact_idf,
+            persist_intermediate=True,
+        ).select("word", "doc_id", "tfidf")
+    elif args.tool in ("search", "rank"):
+        bag = query_term_bag(
+            spark, [("q1", _query_text(args))], pattern=r"\s+"
+        )
+        t = tfidf(
+            docs,
+            num_docs=args.num_docs,
+            exact_idf=args.exact_idf,
+            persist_intermediate=True,
+        )
+        scored = search(t, bag, dedupe_query=args.dedupe_query).select(
+            "doc_id", "score"
+        )
+        out = (
+            rank(scored.withColumn("query_id", F.lit("q1"))).select(
+                "doc_id", "score", "rnk"
+            )
+            if args.tool == "rank"
+            else scored
+        )
+    else:  # tfidfrank
+        t = tfidf(
+            docs,
+            num_docs=args.num_docs,
+            exact_idf=args.exact_idf,
+            persist_intermediate=True,
+        ).select("word", "doc_id", "tfidf")
+        out = tfidf_rank(t, limit=args.limit)
+
+    _write(out, args.output, args.format)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

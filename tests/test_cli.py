@@ -1,0 +1,81 @@
+"""CLI end-to-end tests: every reference tool shape runs against a
+file-per-document text corpus (the reference's own input format) and a
+parquet corpus, writing both sink formats."""
+
+from __future__ import annotations
+
+import math
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def text_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    (d / "doc_a.txt").write_text("spark data data\n")
+    (d / "doc_b.txt").write_text("data lake\n")
+    return str(d)
+
+
+def _run(tool, inp, out, *extra):
+    import os
+
+    cmd = [
+        sys.executable, "-m", "hadoop_tfidf_spark.cli", tool, inp, out,
+        *extra,
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_docwordcount_text_corpus(text_corpus, tmp_path):
+    out = str(tmp_path / "dwc")
+    _run("docwordcount", text_corpus, out)
+    rows = duckdb.sql(f"SELECT word, doc_id, n FROM '{out}/*.parquet'").fetchall()
+    got = {(w, d): n for w, d, n in rows}
+    assert got[("data", "doc_a.txt")] == 2
+    assert got[("spark", "doc_a.txt")] == 1
+    assert got[("lake", "doc_b.txt")] == 1
+
+
+def test_tfidf_tsv_sink(text_corpus, tmp_path):
+    out = str(tmp_path / "tfidf")
+    _run("tfidf", text_corpus, out, "--format", "tsv")
+    rows = duckdb.sql(
+        f"SELECT * FROM read_csv('{out}/*.csv', sep='\t', header=false)"
+    ).fetchall()
+    # (spark,a), (data,a), (data,b), (lake,b)
+    assert len(rows) == 4
+
+
+def test_search_with_query_arg(text_corpus, tmp_path):
+    out = str(tmp_path / "search")
+    _run("search", text_corpus, out, "--query", "data")
+    rows = duckdb.sql(f"SELECT doc_id, score FROM '{out}/*.parquet'").fetchall()
+    got = dict(rows)
+    # data: df=2, N=2 → idf=log10(2); doc_a tf=1+log10(2)
+    assert got["doc_a.txt"] == pytest.approx((1 + math.log10(2)) * math.log10(2))
+    assert got["doc_b.txt"] == pytest.approx(1.0 * math.log10(2))
+
+
+def test_rank_orders_desc(text_corpus, tmp_path):
+    out = str(tmp_path / "rank")
+    _run("rank", text_corpus, out, "--query", "data")
+    rows = duckdb.sql(
+        f"SELECT doc_id, rnk FROM '{out}/*.parquet' ORDER BY rnk"
+    ).fetchall()
+    assert rows[0] == ("doc_a.txt", 1) and rows[1] == ("doc_b.txt", 2)
+
+
+def test_tfidfrank_limit(text_corpus, tmp_path):
+    out = str(tmp_path / "tr")
+    _run("tfidfrank", text_corpus, out, "--limit", "2")
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n == 2

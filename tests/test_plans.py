@@ -1,0 +1,100 @@
+"""Physical-plan assertions — executable documentation that Catalyst picks
+the scale-correct strategy for each operator family (SURVEY.md §4).
+
+These run the plan (AQE finalizes join strategies at runtime) and then
+assert on the operator census: broadcast joins for dim/query-bag joins, no
+cartesian products anywhere, bounded shuffle counts, parquet scans not
+duplicated beyond design.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from hadoop_tfidf_spark.plans import plan_stats
+from tests.conftest import SF_DIR_SMOKE
+
+QS = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def stats_of(spark):
+    def _get(name):
+        return plan_stats(QS[name](spark, SF_DIR_SMOKE))
+    return _get
+
+
+def test_search_uses_broadcast_join_no_cartesian(stats_of):
+    """The query bag joins broadcast — the tf-idf side never reshuffles for
+    the join (SURVEY.md §3 entry-point-2 trace)."""
+    s = stats_of("search")
+    assert s.broadcast_hash_joins >= 1
+    assert s.cartesian_products == 0
+    assert s.sort_merge_joins == 0
+
+
+def test_tfidf_shuffle_budget(stats_of):
+    """TF-IDF = two logical regroupings (by (word,doc), by word) — the
+    reference's two MR jobs. Persisted-intermediate plan: ≤ 3 shuffle
+    exchanges (count, df agg, + at most one AQE artifact), df-side joined
+    by broadcast."""
+    s = stats_of("tfidf")
+    assert s.shuffle_exchanges <= 3
+    assert s.broadcast_hash_joins >= 1
+    assert s.cartesian_products == 0
+
+
+def test_rel_star_join_all_broadcast(stats_of):
+    """Fact→dim→dim→dim star join: every dim broadcast, zero sort-merge
+    joins, exactly one shuffle (the final aggregation)."""
+    s = stats_of("rel_revenue_by_region")
+    assert s.broadcast_hash_joins == 3
+    assert s.sort_merge_joins == 0
+    assert s.shuffle_exchanges == 1
+
+
+def test_pricing_summary_single_shuffle(stats_of):
+    s = stats_of("rel_pricing_summary")
+    assert s.shuffle_exchanges == 1
+    assert s.parquet_scans == 1
+
+
+def test_lsh_topk_is_equi_join(stats_of):
+    """Bucketed ANN must plan an equi-join on the bucket id — never a
+    cartesian/nested-loop over the corpus."""
+    s = stats_of("sim_topk_lsh")
+    assert s.cartesian_products == 0
+    assert s.broadcast_hash_joins >= 1
+
+
+def test_minhash_lsh_no_cartesian(stats_of):
+    """LSH candidate generation is a bucket equi-join, not all-pairs."""
+    s = stats_of("dedup_minhash_lsh")
+    assert s.cartesian_products == 0
+
+
+def test_multimodal_no_shuffle(stats_of):
+    """Decode is a narrow Arrow stage: zero exchanges of any kind."""
+    s = stats_of("multimodal_decode")
+    assert s.shuffle_exchanges == 0
+    assert s.broadcast_exchanges == 0
+
+
+def test_tokens_narrow(stats_of):
+    """Tokenize+flatten never shuffles (SURVEY.md O2 scale note)."""
+    s = stats_of("tokens")
+    assert s.shuffle_exchanges == 0
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Predicate + column pruning reach the parquet scan (SURVEY.md §4 P7/P8
+    — the reference scans everything, always)."""
+    from hadoop_tfidf_spark.plans.inspect import executed_plan
+
+    li = spark.read.parquet(f"{SF_DIR_SMOKE}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = executed_plan(q, run=False)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan

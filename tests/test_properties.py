@@ -1,0 +1,106 @@
+"""Property-based tests (SURVEY.md §5.3) — invariants that must hold for
+ANY corpus: tf ≥ 1, idf ≥ log10(2), per-doc count conservation, search
+score decomposition, rank-is-permutation.
+
+Hypothesis drives corpus generation; examples are kept small and few
+because every example pays Spark job latency.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_tfidf_spark.corpus import tokenize
+from hadoop_tfidf_spark.search import query_term_bag, rank, search
+from hadoop_tfidf_spark.tfidf import doc_word_count, tfidf
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_tf_and_idf_bounds(spark, texts):
+    """tf = 1 + log10(n) ≥ 1; idf = log10(1 + ⌊N/df⌋) ≥ log10(2) since
+    N ≥ df ≥ 1 ⇒ floor ≥ 1 — so tfidf ≥ log10(2) > 0 always."""
+    out = tfidf(_docs(spark, texts), tokenizer_pattern=" ").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.tf >= 1.0
+        assert r.tfidf >= math.log10(2) - 1e-12
+        assert r.tfidf <= r.tf * math.log10(1 + len(texts))
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_count_conservation(spark, texts):
+    """Σ per-doc (word,doc) counts = token count of the doc."""
+    docs = _docs(spark, texts)
+    dwc = doc_word_count(tokenize(docs, " "))
+    got = {
+        r.doc_id: r.total
+        for r in dwc.groupBy("doc_id").agg(F.sum("n").alias("total")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == len(t.split(" "))
+
+
+@given(
+    texts=corpus_strategy,
+    query=st.lists(st.sampled_from(WORDS), min_size=1, max_size=4).map(" ".join),
+)
+@SETTINGS
+def test_search_score_decomposition(spark, texts, query):
+    """score(q, d) = Σ_{t ∈ bag(q)} tfidf(t, d) — bag semantics, duplicates
+    counted per occurrence (Search.java:230)."""
+    docs = _docs(spark, texts)
+    t = tfidf(docs, tokenizer_pattern=" ")
+    bag = query_term_bag(spark, [("q", query)])
+    scores = {r.doc_id: r.score for r in search(t, bag).collect()}
+    tf_map = {(r.word, r.doc_id): r.tfidf for r in t.collect()}
+    for d in range(len(texts)):
+        expected = sum(
+            tf_map.get((w, d), 0.0) for w in query.split(" ")
+        )
+        if expected > 0:
+            assert scores[d] == pytest.approx(expected)
+        else:
+            assert d not in scores  # inner join: no matching term, no row
+
+
+@given(
+    texts=corpus_strategy,
+    query=st.lists(st.sampled_from(WORDS), min_size=1, max_size=3).map(" ".join),
+)
+@SETTINGS
+def test_rank_is_permutation(spark, texts, query):
+    docs = _docs(spark, texts)
+    t = tfidf(docs, tokenizer_pattern=" ")
+    s = search(t, query_term_bag(spark, [("q", query)]))
+    r = rank(s).collect()
+    scores = sorted((x.score for x in r), reverse=True)
+    by_rank = [x.score for x in sorted(r, key=lambda x: x.rnk)]
+    assert by_rank == scores  # rank order matches descending score order
+    assert sorted(x.rnk for x in r) == list(range(1, len(r) + 1))
