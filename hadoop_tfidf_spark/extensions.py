@@ -166,6 +166,80 @@ def q_events_json_props(spark, sf_dir):
     return R.json_props_stats(load_events(spark, sf_dir))
 
 
+def q_asof_last_purchase(spark, sf_dir):
+    """Backward as-of join: each event gets the user's most recent purchase
+    value at-or-before its timestamp. Oracle = DuckDB's native ASOF LEFT
+    JOIN — an independent implementation checking the union+window one."""
+    from hadoop_tfidf_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir)
+    # microsecond basis: DuckDB truncates nanosecond parquet timestamps to
+    # micros on read, so cross-engine event-time comparisons use ts_us
+    ev = ev.withColumn("ts_us", F.expr("ts_ns div 1000"))
+    left = ev.select("event_id", "user_id", "ts_us")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts_us").alias("pts"))
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(
+        left, right, on="user_id", left_time="ts_us", right_time="pts",
+        right_values=["pval"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("pval_asof").alias("last_purchase_value"),
+    )
+
+
+def q_rel_event_pivot(spark, sf_dir):
+    return R.event_type_pivot(load_events(spark, sf_dir))
+
+
+def q_rel_region_year_cube(spark, sf_dir):
+    return R.region_year_cube(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+def q_rel_customers_without_orders(spark, sf_dir):
+    return R.customers_without_orders(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def q_rel_approx_distinct(spark, sf_dir):
+    """Sketch-based aggregates — rows-only (no oracle entry: HLL++/GK
+    results are approximations; tests/test_relational_ops.py bounds the
+    error against exact instead)."""
+    return R.approx_distinct_stats(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_streaming_tumbling(spark, sf_dir):
+    """Structured Streaming windowed aggregation, drained with the
+    availableNow trigger — rows-only (streaming is not SQL-expressible for
+    the oracle; tests cross-check against the oracle-verified batch twin)."""
+    import tempfile
+    import uuid
+
+    from hadoop_tfidf_spark.streaming.windows import (
+        read_event_stream,
+        run_to_completion,
+        windowed_event_counts,
+    )
+
+    path = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
+    stream = read_event_stream(spark, path, max_files_per_trigger=4)
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(
+        windowed_event_counts(stream), name, output_mode="append"
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -187,6 +261,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
+    "asof_last_purchase": q_asof_last_purchase,
+    "rel_event_pivot": q_rel_event_pivot,
+    "rel_region_year_cube": q_rel_region_year_cube,
+    "rel_customers_without_orders": q_rel_customers_without_orders,
+    "rel_approx_distinct": q_rel_approx_distinct,
+    "streaming_tumbling": q_streaming_tumbling,
 }
 
 
@@ -495,22 +575,22 @@ FROM events GROUP BY 1, 2
 """,
     "events_sessionize": """
 WITH x AS (
-  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value,
-         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER
-                (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-                > 1800000000000
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ),
 s AS (
-  SELECT user_id, ts_ns, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+  SELECT user_id, ts_us, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM x
 )
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-       CAST(min(ts_ns) // 1000000000 AS BIGINT) AS session_start,
+       CAST(min(ts_us) // 1000000 AS BIGINT) AS session_start,
        count(*) AS n_events,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, session_id
@@ -525,5 +605,42 @@ SELECT event_type,
        CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
          AS max_k
 FROM events GROUP BY event_type
+""",
+    "asof_last_purchase": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS pts, max(value) AS pval
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts)
+),
+e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+)
+SELECT e.event_id, e.user_id, e.ts_us, p.pval AS last_purchase_value
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.pts
+""",
+    "rel_event_pivot": """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+""",
+    "rel_region_year_cube": """
+SELECT coalesce(r.r_name, 'ALL') AS r_name,
+       CAST(coalesce(year(o.o_orderdate), -1) AS BIGINT) AS o_year,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY CUBE (r.r_name, year(o.o_orderdate))
+""",
+    "rel_customers_without_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 }

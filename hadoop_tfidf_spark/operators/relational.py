@@ -130,19 +130,22 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     The streaming equivalent is ``F.session_window`` (see
     ``streaming/windows.py``); this batch form is the oracle-checkable one.
-    All time math is integer nanos (``ts_ns``) — exact in both engines.
+    All time math is integer MICROseconds: exact in both engines (DuckDB
+    truncates nanosecond parquet timestamps to micros on read, so the
+    micro basis is the finest cross-engine-stable one).
     """
-    gap_ns = gap_minutes * 60 * 1_000_000_000
+    gap_us = gap_minutes * 60 * 1_000_000
     # event_id tie-break: same-ts rows can't open a session, but a total
     # window order keeps the plan deterministic across engines/runs.
-    w_user = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    flagged = events.select(
+    with_us = events.withColumn("ts_us", F.expr("ts_ns div 1000"))
+    w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = with_us.select(
         "user_id",
-        "ts_ns",
+        "ts_us",
         "event_id",
         "value",
         F.when(
-            F.col("ts_ns") - F.lag("ts_ns", 1).over(w_user) > gap_ns, F.lit(1)
+            F.col("ts_us") - F.lag("ts_us", 1).over(w_user) > gap_us, F.lit(1)
         ).otherwise(F.lit(0)).alias("new_sess"),
     )
     sessions = flagged.withColumn(
@@ -152,9 +155,75 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         ).cast("bigint"),
     )
     return sessions.groupBy("user_id", "session_id").agg(
-        F.expr("min(ts_ns) div 1000000000").alias("session_start"),
+        F.expr("min(ts_us) div 1000000").alias("session_start"),
         F.count("*").cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot: per-user event-type counts as columns. ``groupBy().pivot()``
+    with the value list given explicitly — at scale an explicit list avoids
+    the extra distinct-values job and keeps the schema stable."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}") for t in types],
+    )
+
+
+def region_year_cube(orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """CUBE grouping sets over (region, order-year): all four aggregation
+    levels in one pass (Spark expands to a single shuffle with a grouping-id
+    column — not four scans)."""
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", F.year("o_orderdate").cast("bigint").alias("o_year"), "o_totalprice")
+    )
+    return (
+        joined.cube("r_name", "o_year")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+            F.coalesce(F.col("o_year"), F.lit(-1)).cast("bigint").alias("o_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set-op / anti-join surface: customers with no orders at all.
+    Expressed as a left-anti join (the scalable form of EXCEPT on a key —
+    no full-row comparison, one shuffle on the key, AQE may broadcast)."""
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def approx_distinct_stats(lineitem: DataFrame) -> DataFrame:
+    """Approximate aggregates (HyperLogLog++ / GK quantiles) — sketch-based,
+    so NOT oracle-hash-checkable (declared rows-only; the unit test bounds
+    the error vs exact instead). At 100 TB these replace exact distinct
+    counts: fixed-size sketch state, one shuffle, no giant hash tables."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
     )
 
 
