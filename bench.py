@@ -16,6 +16,27 @@ import re
 import sys
 import time
 
+#: The headline set: the full core TF-IDF pipeline plus one representative
+#: query per extension family. The remaining declared queries still run in
+#: the correctness gate (they're all in queries()); keeping the bench set
+#: curated bounds wall-clock and keeps the timing signal per-family.
+HEADLINE = [
+    # core pipeline (reference parity)
+    "tokens", "doc_word_count", "term_frequency", "doc_frequency",
+    "tfidf", "search", "rank", "tfidf_rank",
+    # dedup family
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    # similarity search
+    "sim_topk_brute", "sim_topk_lsh",
+    # text analysis
+    "text_quality", "text_fingerprint",
+    # multimodal (Arrow mapInPandas path)
+    "multimodal_decode",
+    # relational / events
+    "rel_pricing_summary", "rel_revenue_by_region", "rel_top_customers",
+    "events_sessionize", "asof_last_purchase",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,11 +58,16 @@ def main() -> None:
     # doesn't pay one-time session costs.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    for name in sorted(queries):
+    names = [n for n in HEADLINE if n in queries]
+    for name in names:
         df = queries[name](spark, sf_dir)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # queries may persist shared intermediates (tfidf dwc, shingle
+        # sets); drop them so memory stays flat across the whole set and
+        # no query is timed against another's cache
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

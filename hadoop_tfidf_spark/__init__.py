@@ -16,7 +16,14 @@ counting, fingerprinting), multimodal binary-column plumbing, and
 Structured-Streaming incremental term stats.
 """
 
-from hadoop_tfidf_spark.corpus import REFERENCE_TOKEN_PATTERN, load_docs, load_text_dir, tokenize
+from hadoop_tfidf_spark.corpus import (
+    REFERENCE_TOKEN_PATTERN,
+    load_csv,
+    load_docs,
+    load_jsonl,
+    load_text_dir,
+    tokenize,
+)
 from hadoop_tfidf_spark.tfidf import (
     doc_frequency,
     doc_word_count,
@@ -28,7 +35,9 @@ from hadoop_tfidf_spark.search import query_term_bag, rank, search, tfidf_rank
 
 __all__ = [
     "REFERENCE_TOKEN_PATTERN",
+    "load_csv",
     "load_docs",
+    "load_jsonl",
     "load_text_dir",
     "tokenize",
     "doc_word_count",

@@ -69,6 +69,33 @@ def load_docs(
     return df.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
 
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV corpus loader → normalized ``(doc_id, text)``. The reference has
+    exactly one source format (text dirs); the engine treats sources as
+    pluggable."""
+    df = spark.read.option("header", header).option("sep", sep).csv(path)
+    return df.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+
+def load_jsonl(
+    spark: SparkSession,
+    path: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """JSON-lines corpus loader → normalized ``(doc_id, text)`` — the
+    common LLM-pipeline interchange shape (one JSON doc per line)."""
+    df = spark.read.json(path)
+    return df.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+
 def tokenize(docs: DataFrame, pattern: str = REFERENCE_TOKEN_PATTERN) -> DataFrame:
     """Tokenize + flatten (reference O2+O3): one output row per non-empty
     token: ``(doc_id, word)``.

@@ -117,11 +117,28 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any (band, band_key)
     bucket. Equi-join on the bucket key — never a cross join. Returns
     distinct ``(doc_a, doc_b)`` with ``doc_a < doc_b``.
+
+    ``max_bucket_size`` is the 100 TB safety valve: a boilerplate template
+    shared by millions of docs puts them all in one bucket, and the
+    self-join squares it. Capping drops buckets above the threshold (their
+    members still pair through their OTHER bands unless equally megahot —
+    the standard recall-for-survival trade; log what was dropped and
+    handle megaclusters with exact dedup first). Cap detection is one
+    aggregation on the bucket key, not a window.
     """
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("_bs"))
+        bands = (
+            bands.join(
+                sizes.where(F.col("_bs") <= max_bucket_size), ["band", "band_key"]
+            ).drop("_bs")
+        )
     a = bands.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (

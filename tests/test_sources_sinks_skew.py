@@ -1,0 +1,93 @@
+"""Tests for source loaders (csv/jsonl/text-dir), reference-parity sink
+encodings, LSH bucket-size capping, and the skew helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_tfidf_spark.corpus import load_csv, load_jsonl, tokenize
+from hadoop_tfidf_spark.operators import dedup as D
+from hadoop_tfidf_spark.operators.skew import salted_agg, skewed_broadcast_join
+from hadoop_tfidf_spark.sinks import (
+    reference_doc_word_count_lines,
+    reference_tfidf_lines,
+)
+from hadoop_tfidf_spark.tfidf import doc_word_count, tfidf
+
+
+def test_load_csv(spark, tmp_path):
+    p = str(tmp_path / "c.csv")
+    with open(p, "w") as f:
+        f.write("doc_id,text\nd1,hello world\nd2,spark rocks\n")
+    docs = load_csv(spark, p)
+    assert {(r.doc_id, r.text) for r in docs.collect()} == {
+        ("d1", "hello world"), ("d2", "spark rocks"),
+    }
+
+
+def test_load_jsonl(spark, tmp_path):
+    p = str(tmp_path / "c.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": "d1", "text": "hello world"}\n')
+        f.write('{"doc_id": "d2", "text": "spark rocks"}\n')
+    docs = load_jsonl(spark, p)
+    assert docs.count() == 2
+    assert set(docs.columns) == {"doc_id", "text"}
+
+
+def test_reference_parity_line_encodings(spark):
+    """word#####file \\t n and word@file \\t score — byte shapes of
+    DocWordCount.java:62 and TFIDF.java:166."""
+    docs = spark.createDataFrame([("f1.txt", "a a b")], ["doc_id", "text"])
+    dwc = doc_word_count(tokenize(docs, " "))
+    lines = {r.value for r in reference_doc_word_count_lines(dwc).collect()}
+    assert "a#####f1.txt\t2" in lines and "b#####f1.txt\t1" in lines
+
+    t = tfidf(docs, tokenizer_pattern=" ")
+    tl = {r.value for r in reference_tfidf_lines(t).collect()}
+    assert any(line.startswith("a@f1.txt\t") for line in tl)
+
+
+def test_lsh_bucket_cap_drops_megabucket(spark):
+    """With a cap below the boilerplate cluster size, the megacluster's
+    pairs disappear; distinct small clusters survive."""
+    boiler = "exact same boilerplate text repeated across many documents here"
+    pair = "a unique pair of documents that nearly match each other closely"
+    rows = [(i, boiler) for i in range(10)] + [(100, pair), (101, pair)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bands = D.lsh_bands(D.minhash_signatures(D.shingles(docs, k=3)))
+    uncapped = {(r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(bands).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_candidate_pairs(bands, max_bucket_size=5).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert any(a < 10 and b < 10 for a, b in uncapped)
+    assert not any(a < 10 and b < 10 for a, b in capped)
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)] + [("cold", 1.0)],
+        ["k", "v"],
+    )
+    salted = {
+        r.k: r.total
+        for r in salted_agg(df, "k", F.sum("v"), "total", salt_buckets=8).collect()
+    }
+    plain = {
+        r.k: r.total
+        for r in df.groupBy("k").agg(F.sum("v").alias("total")).collect()
+    }
+    assert salted == plain
+
+
+def test_skewed_broadcast_join_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [(1, "x")] * 50 + [(2, "y"), (3, "z")], ["k", "payload"]
+    )
+    dim = spark.createDataFrame([(1, "A"), (2, "B"), (3, "C")], ["k", "label"])
+    split = skewed_broadcast_join(fact, dim, "k", hot_keys=[1])
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, split.collect())) == sorted(map(tuple, plain.collect()))
