@@ -218,6 +218,14 @@ def q_rel_approx_distinct(spark, sf_dir):
     return R.approx_distinct_stats(_tbl(spark, sf_dir, "lineitem"))
 
 
+def q_events_moving_avg(spark, sf_dir):
+    return R.user_value_moving_avg(load_events(spark, sf_dir))
+
+
+def q_rel_repeat_customers(spark, sf_dir):
+    return R.repeat_customers(_tbl(spark, sf_dir, "orders"), 1996, 1997)
+
+
 def q_streaming_tumbling(spark, sf_dir):
     """Structured Streaming windowed aggregation, drained with the
     availableNow trigger — rows-only (streaming is not SQL-expressible for
@@ -266,6 +274,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_region_year_cube": q_rel_region_year_cube,
     "rel_customers_without_orders": q_rel_customers_without_orders,
     "rel_approx_distinct": q_rel_approx_distinct,
+    "events_moving_avg": q_events_moving_avg,
+    "rel_repeat_customers": q_rel_repeat_customers,
     "streaming_tumbling": q_streaming_tumbling,
 }
 
@@ -642,5 +652,18 @@ GROUP BY CUBE (r.r_name, year(o.o_orderdate))
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    "events_moving_avg": """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(avg(value) OVER w, 6) AS moving_avg,
+       count(*) OVER w AS frame_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    "rel_repeat_customers": """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 """,
 }

@@ -227,6 +227,35 @@ def approx_distinct_stats(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def user_value_moving_avg(events: DataFrame, frame_rows: int = 7) -> DataFrame:
+    """Sliding window-frame aggregation: per-user trailing ``frame_rows``-row
+    moving average of ``value`` (lag/lead/rowsBetween surface — the
+    reference has no window functions at all). One shuffle on user_id;
+    frame state is O(frame) per task."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+    with_us = events.withColumn("ts_us", F.expr("ts_ns div 1000"))
+    return with_us.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+        F.count("*").over(w).cast("bigint").alias("frame_n"),
+    )
+
+
+def repeat_customers(orders: DataFrame, year_a: int, year_b: int) -> DataFrame:
+    """Set-op surface: custkeys ordering in BOTH years (INTERSECT). Spark
+    plans intersect as a left-semi aggregate join — one shuffle per side on
+    the key, no full-row sort."""
+    a = orders.where(F.year("o_orderdate") == year_a).select("o_custkey")
+    b = orders.where(F.year("o_orderdate") == year_b).select("o_custkey")
+    return a.intersect(b)
+
+
 def json_props_stats(events: DataFrame) -> DataFrame:
     """JSON extraction + aggregation: pull ``$.k`` out of the ``props``
     JSON string column, aggregate per event type. ``get_json_object`` is a

@@ -129,6 +129,103 @@ def lsh_topk(
     )
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids (``iters`` Lloyd rounds) and
+    the corpus with a ``cluster`` assignment column.
+
+    Deterministic seeding: the first ``k`` vectors by id. Each Lloyd round
+    is one DataFrame aggregation (posexplode dims → per-(cluster, dim)
+    mean) plus a driver-side collect of the k×dim centroid matrix — the
+    centroids are tiny, so the collect is the legitimate kind; the corpus
+    itself never leaves executors. At 100 TB: train on a sample
+    (``.sample()`` upstream), assign the full corpus once.
+    """
+    dim_count = len(embeddings.select(vec_col).first()[0])
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in embeddings.orderBy(id_col).limit(k).collect()
+    ]
+
+    def assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+        cent_arr = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+        )
+        # argmin over squared L2 distance to each centroid
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(_as_double(F.col(vec_col)), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return df.withColumn(
+            "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        )
+
+    assigned = assign(embeddings, cents)
+    for _ in range(iters):
+        means = (
+            assigned.select("cluster", F.posexplode(_as_double(F.col(vec_col))).alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, list[float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, [0.0] * dim_count)[r.d] = r.m
+        cents = [by_cluster.get(c, cents[c]) for c in range(len(cents))]
+        assigned = assign(embeddings, cents)
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest clusters per query, exact
+    cosine rank within them. Candidates come from an equi-join on the
+    cluster id — scan cost ~ nprobe/k of the corpus per query."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    cent = np.array(centroids)
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(r[vec_col], dtype=float)
+        d2 = ((cent - v) ** 2).sum(axis=1)
+        for c in np.argsort(d2)[:nprobe]:
+            probe_rows.append((r[id_col], list(map(float, r[vec_col])), int(c)))
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"query_id BIGINT, q_vec ARRAY<DOUBLE>, cluster INT"
+    )
+    joined = assigned.join(F.broadcast(probes), "cluster").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.9,
