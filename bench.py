@@ -58,16 +58,22 @@ def main() -> None:
     # doesn't pay one-time session costs.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     names = [n for n in HEADLINE if n in queries]
     for name in names:
-        df = queries[name](spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # queries may persist shared intermediates (tfidf dwc, shingle
-        # sets); drop them so memory stays flat across the whole set and
-        # no query is timed against another's cache
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(trials):
+            df = queries[name](spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # queries may persist shared intermediates (tfidf dwc, shingle
+            # sets); drop them so memory stays flat across the whole set,
+            # no query is timed against another's cache, and trial 2
+            # rebuilds from scratch (min-of-N damps host-contention noise)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -247,29 +247,26 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     word_hash = (
         dwc.select("word").distinct().select("word", hex_to_long(F.md5("word")).alias("wh"))
     )
-    bit_idx = F.array(*[F.lit(i) for i in range(bits)])
-    contrib = (
-        dwc.join(F.broadcast(word_hash), "word")
-        .select("doc_id", "n", "wh", F.explode(bit_idx).alias("j"))
-        # column-valued shift amounts need the SQL form (the Python
-        # shiftrightunsigned() helper only takes int literals)
-        .select(
-            "doc_id",
-            "j",
-            F.expr(
-                "CASE WHEN (shiftrightunsigned(wh, j) & 1) = 1 THEN n ELSE -n END"
-            ).alias("c"),
+    # Columnar bit sums: one aggregation keyed on doc_id with `bits` sum
+    # columns — the shuffle moves |docs| rows × bits values instead of the
+    # row-per-bit explode's |dwc| × bits rows (same argument as the
+    # columnar MinHash signatures). Shift amounts are literals, so the
+    # whole thing stays in codegen.
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(shiftrightunsigned(wh, {j}) & 1) = 1"), F.col("n"))
+            .otherwise(-F.col("n"))
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    per_doc = dwc.join(F.broadcast(word_hash), "word").groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    bit_sums = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
-    terms = bit_sums.select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) "
-            "ELSE CAST(0 AS BIGINT) END"
-        ).alias("term"),
-    )
-    return terms.groupBy("doc_id").agg(F.sum("term").alias("simhash"))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(

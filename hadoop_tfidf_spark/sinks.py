@@ -24,6 +24,29 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("sep", "\t").csv(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-partitions the data by hash of
+    ``bucket_col`` at write time so later joins/aggregations on that key
+    need NO exchange (Spark recognizes the bucketing as a satisfied
+    distribution requirement — verified in tests/test_bucketing.py).
+
+    The 100 TB pattern: land both fact tables of a recurring join bucketed
+    on the join key with equal bucket counts; every subsequent join is
+    co-located. Sort within buckets to enable merge-join without a sort
+    step."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def reference_doc_word_count_lines(dwc: DataFrame) -> DataFrame:
     """``word#####file \\t n`` — byte-parity with DocWordCount.java:62,77."""
     return dwc.select(
