@@ -57,6 +57,12 @@ def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_exact_apply(spark, sf_dir):
+    """The corpus after exact dedup (keep min doc_id per text) — the
+    apply side of dedup_exact."""
+    return D.exact_dedup_apply(_docs(spark, sf_dir)).select("doc_id")
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_dedup(_docs(spark, sf_dir))
 
@@ -250,6 +256,7 @@ def q_streaming_tumbling(spark, sf_dir):
 
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_apply": q_dedup_exact_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -365,6 +372,11 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
        count(*) AS dup_count
 FROM documents GROUP BY md5(text)
+""",
+    "dedup_exact_apply": """
+SELECT doc_id FROM (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
 """,
     "dedup_minhash_lsh": _MINHASH_CTES + "SELECT doc_a, doc_b FROM cand",
     "dedup_simhash": _SIMHASH_CTES + "SELECT doc_id, simhash FROM sh",

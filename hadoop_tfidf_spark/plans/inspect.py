@@ -108,5 +108,7 @@ def plan_stats(df: DataFrame, run: bool = True) -> PlanStats:
         nested_loop_joins=n(r"BroadcastNestedLoopJoin"),
         cartesian_products=n(r"CartesianProduct"),
         sorts=n(r"\bSort\b"),
-        codegen_spans=n(r"WholeStageCodegen"),
+        # toString marks codegen stages as "*(n)" prefixes (the name
+        # WholeStageCodegen only appears in formatted explain output)
+        codegen_spans=len({m for m in re.findall(r"\*\((\d+)\)", plan)}),
     )

@@ -78,6 +78,26 @@ def test_session_windows_run(spark, event_dir):
     assert all(r.n_events >= 1 for r in rows)
 
 
+def test_sliding_windows_overlap(spark, event_dir):
+    """Sliding windows (1h window / 15min slide): each event lands in 4
+    overlapping windows, so total window-event membership = 4× events
+    (modulo edge windows at stream end withheld by the watermark)."""
+    from hadoop_tfidf_spark.streaming.windows import sliding_event_rates
+
+    stream = read_event_stream(spark, event_dir)
+    result = run_to_completion(
+        sliding_event_rates(stream), "t_sliding", output_mode="append"
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    starts = sorted({r.window_start for r in rows})
+    # slide = 15 min: consecutive distinct starts are 900s apart
+    gaps = {
+        int((b - a).total_seconds()) for a, b in zip(starts, starts[1:])
+    }
+    assert gaps and all(g % 900 == 0 for g in gaps)
+
+
 def test_streaming_term_counts(spark, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("docs_stream"))
     docs = spark.createDataFrame(
