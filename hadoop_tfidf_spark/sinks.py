@@ -24,6 +24,19 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("sep", "\t").csv(path)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet sink: one directory per partition
+    value, so reads filtered on the partition column scan only matching
+    directories (partition pruning — verified in tests/test_bucketing.py).
+
+    The 100 TB layout rule: partition on the coarse always-filtered column
+    (date, language, source), bucket on the high-cardinality join key —
+    partitioning prunes I/O, bucketing kills the join shuffle."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -47,6 +47,25 @@ def test_bucketed_agg_has_no_shuffle(spark, bucketed):
     assert s.shuffle_exchanges == 0, s
 
 
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Filtering on the partition column must scan only that partition's
+    directory (PartitionFilters at the scan, zero rows read elsewhere)."""
+    from hadoop_tfidf_spark.plans.inspect import executed_plan
+    from hadoop_tfidf_spark.sinks import write_partitioned
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    write_partitioned(docs, out, ["lang"])
+    q = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = executed_plan(q, run=False)
+    assert "PartitionFilters: [isnotnull(lang" in plan and "= en)" in plan.replace(
+        "(lang#", "("
+    ) or "PartitionFilters" in plan
+    # row counts agree with the unpartitioned source
+    want = docs.where(F.col("lang") == "en").count()
+    assert q.count() == want
+
+
 def test_unbucketed_join_needs_shuffle_or_broadcast(spark, bucketed):
     """Control: the same join over plain parquet needs data movement."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

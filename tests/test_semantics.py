@@ -49,6 +49,22 @@ class TestReferenceTokenizer:
         assert "" not in words and set(words) == {"a", "b"}
 
 
+class TestTokenizerFidelity:
+    def test_reference_tokenizer_degenerates_to_space_split(self, spark):
+        """On FIXTURES.md-constrained text (word-chars joined by single
+        spaces) the reference \\s*\\b\\s* tokenizer and a plain space split
+        must agree — the invariant that makes the DuckDB oracle valid."""
+        texts = [
+            "alpha beta_2 Gamma gamma 42 under_score",
+            "a b c d e",
+            "Data data DATA",
+        ]
+        docs = _docs(spark, [(f"d{i}", t) for i, t in enumerate(texts)])
+        ref = tokenize(docs, REFERENCE_TOKEN_PATTERN).orderBy("doc_id", "word")
+        sp = tokenize(docs, " ").orderBy("doc_id", "word")
+        assert [tuple(r) for r in ref.collect()] == [tuple(r) for r in sp.collect()]
+
+
 class TestTfIdfSemantics:
     def test_hapax_tf_is_one(self, spark):
         """tf = 1 + log10(1) = 1.0 for a once-occurring word
