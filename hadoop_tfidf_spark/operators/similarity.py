@@ -66,6 +66,10 @@ def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     return total.cast("int")
 
 
+def _cos_from_parts(dot_col: Column, n_a: Column, n_b: Column) -> Column:
+    return dot_col / (n_a * n_b)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -75,20 +79,32 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: every query vector against the full corpus.
 
-    ``queries`` is broadcast (small by contract); ranking uses the rounded
-    score with id tie-breaks so results are total-ordered and
-    engine-portable. Returns ``(query_id, vec_id, cos_sim, rn)``.
+    ``queries`` is broadcast (small by contract); each side's norm is
+    computed ONCE per row before the join (not per pair — at q queries
+    that's a q× saving on half the flops). Ranking uses the rounded score
+    with id tie-breaks so results are total-ordered and engine-portable.
+    Returns ``(query_id, vec_id, cos_sim, rn)``.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    emb_n = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
     )
-    joined = embeddings.crossJoin(F.broadcast(q)).where(
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("_qnrm"),
+    )
+    joined = emb_n.crossJoin(F.broadcast(q)).where(
         F.col(id_col) != F.col("query_id")
     )
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        F.round(
+            _cos_from_parts(
+                dot(F.col(vec_col), F.col("q_vec")), F.col("_nrm"), F.col("_qnrm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -106,12 +122,19 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the query's LSH
-    bucket, then exact cosine rank within it. Same output shape as
-    :func:`brute_force_topk`; recall < 1 by design."""
-    emb_b = embeddings.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
+    bucket, then exact cosine rank within it (norms precomputed per row,
+    as in :func:`brute_force_topk`). Same output shape; recall < 1 by
+    design."""
+    emb_b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_nrm"),
+        sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("_qnrm"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
     joined = emb_b.join(F.broadcast(q), "bucket").where(
@@ -120,7 +143,12 @@ def lsh_topk(
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        F.round(
+            _cos_from_parts(
+                dot(F.col(vec_col), F.col("q_vec")), F.col("_nrm"), F.col("_qnrm")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -240,17 +268,31 @@ def embedding_near_dup(
     b = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
         sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
     )
-    left = b.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    right = b.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    left = b.select(
+        "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    right = b.select(
+        "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     return (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(
+                _cos_from_parts(
+                    dot(F.col("vec_a"), F.col("vec_b")),
+                    F.col("nrm_a"),
+                    F.col("nrm_b"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
         .distinct()
