@@ -95,8 +95,13 @@ def main(argv: list[str] | None = None) -> None:
             persist_intermediate=True,
         ).select("word", "doc_id", "tfidf")
     elif args.tool in ("search", "rank"):
+        # query tokenized with the SAME boundary pattern as the corpus
+        # (Search.java:225 splits the query with WORD_BOUNDARY, not \s+),
+        # so punctuated queries like "data-set" produce identical terms
+        from hadoop_tfidf_spark.corpus import REFERENCE_TOKEN_PATTERN
+
         bag = query_term_bag(
-            spark, [("q1", _query_text(args))], pattern=r"\s+"
+            spark, [("q1", _query_text(args))], pattern=REFERENCE_TOKEN_PATTERN
         )
         t = tfidf(
             docs,

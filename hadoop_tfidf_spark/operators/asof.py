@@ -39,19 +39,33 @@ def asof_join(
     duplicates (the declared query does ``max(value)`` per (user, ts)).
     """
     lt, rt = F.col(left_time), F.col(right_time)
+    # Each right value rides inside a marker struct that is non-null for
+    # every right row — last(ignorenulls=True) then selects by row recency,
+    # not value nullity, so a genuinely NULL right value still wins as the
+    # most recent match (a bare last(value, ignorenulls) would skip it and
+    # wrongly carry an older non-NULL value forward; DuckDB ASOF picks the
+    # latest row regardless of value nullity).
+    def _wrap(v: str):
+        return F.struct(F.col(v).alias("v"))
+
     l_tag = left.select(
         F.col(on).alias("_k"),
         lt.alias("_t"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_rv_{v}") for v in right_values],
+        *[
+            F.lit(None)
+            .cast(f"struct<v:{right.schema[v].dataType.simpleString()}>")
+            .alias(f"_rv_{v}")
+            for v in right_values
+        ],
     )
     r_tag = right.select(
         F.col(on).alias("_k"),
         rt.alias("_t"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        *[F.col(v).alias(f"_rv_{v}") for v in right_values],
+        *[_wrap(v).alias(f"_rv_{v}") for v in right_values],
     )
     # right rows sort BEFORE left rows at equal time (_is_left ascending):
     # a right row at exactly left_time is visible to that left row (<=).
@@ -71,6 +85,6 @@ def asof_join(
     )
     out = carried.where(F.col("_is_left") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_rv_{v}").alias(f"{v}{suffix}") for v in right_values],
+        *[F.col(f"_rv_{v}.v").alias(f"{v}{suffix}") for v in right_values],
     )
     return out

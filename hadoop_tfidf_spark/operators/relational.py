@@ -218,12 +218,15 @@ def approx_distinct_stats(lineitem: DataFrame) -> DataFrame:
     so NOT oracle-hash-checkable (declared rows-only; the unit test bounds
     the error vs exact instead). At 100 TB these replace exact distinct
     counts: fixed-size sketch state, one shuffle, no giant hash tables."""
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        # scalar columns, not one array column: the driver's rows-only check
+        # still canonicalizes via pandas sort, which can't sort list cells
+        F.round(q.getItem(0), 2).alias("price_p50"),
+        F.round(q.getItem(1), 2).alias("price_p95"),
+        F.round(q.getItem(2), 2).alias("price_p99"),
     )
 
 

@@ -26,7 +26,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        # v + 0.0 folds -0.0 into +0.0 so both engines format zero the same
+        return f"{v + 0.0:.6f}"
     return v
 
 

@@ -47,3 +47,31 @@ def test_incremental_matches_batch(spark, tmp_path):
     import math
     assert idf["a"] == pytest.approx(math.log10(1 + 5 // 4))  # df(a)=4
     assert idf["e"] == pytest.approx(math.log10(1 + 5 // 1))  # df(e)=1
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after a crash
+    between the state write and the checkpoint commit must not
+    double-count df/num_docs."""
+    stats = IncrementalTfidfStats(spark, str(tmp_path / "stats"))
+    b0 = spark.createDataFrame([(1, "a b"), (2, "a")], ["doc_id", "text"])
+    stats.merge_batch(b0, batch_id=0)
+    stats.merge_batch(b0, batch_id=0)  # replay — must be a no-op
+    got = {r.word: r.df for r in stats.df_table().collect()}
+    assert got == {"a": 2, "b": 1}
+    assert stats.num_docs() == 2
+    assert stats.last_batch_id() == 0
+    # staging dir cleaned up after the swap
+    leftovers = [p.name for p in (tmp_path / "stats").iterdir() if "tmp" in p.name]
+    assert leftovers == []
+
+
+def test_transient_read_error_propagates(spark, tmp_path):
+    """A corrupt (non-parquet) state file must raise, not silently reset
+    the accumulated stats to empty."""
+    stats_dir = tmp_path / "stats"
+    (stats_dir / "df").mkdir(parents=True)
+    (stats_dir / "df" / "part-00000.parquet").write_bytes(b"not parquet at all")
+    stats = IncrementalTfidfStats(spark, str(stats_dir))
+    with pytest.raises(Exception):
+        stats.df_table().collect()

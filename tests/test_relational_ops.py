@@ -40,6 +40,21 @@ class TestAsofJoin:
     def test_left_rows_preserved(self, joined):
         assert len(joined) == 5  # every left row appears exactly once
 
+    def test_null_right_value_wins(self, spark):
+        """A genuinely NULL right value is still the most recent match —
+        it must NOT be skipped in favor of an older non-NULL value
+        (DuckDB ASOF picks the latest row regardless of value nullity)."""
+        left = spark.createDataFrame([(1, 30)], ["k", "t"])
+        right = spark.createDataFrame(
+            [(1, 10, 5.0), (1, 20, None)], "k BIGINT, rt BIGINT, v DOUBLE"
+        )
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            right_values=["v"],
+        ).collect()
+        assert len(out) == 1
+        assert out[0].v_asof is None  # the t=20 NULL row, not the t=10 5.0
+
 
 def test_approx_distinct_error_bound(spark):
     """HLL++ with rsd=0.02 should land within a few percent of exact; the
@@ -50,5 +65,4 @@ def test_approx_distinct_error_bound(spark):
     for r in rows:
         rel_err = abs(r.approx_parts - r.exact_parts) / r.exact_parts
         assert rel_err < 0.1, (r.l_returnflag, r.approx_parts, r.exact_parts)
-        q50, q95, q99 = r.price_quantiles
-        assert q50 <= q95 <= q99
+        assert r.price_p50 <= r.price_p95 <= r.price_p99
