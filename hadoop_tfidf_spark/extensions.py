@@ -293,7 +293,39 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 #: Shared CTE block: shingles → MinHash signatures → LSH bands → candidate
 #: pairs (mirrors operators/dedup.py with k=3, 12 hashes, 4 bands × 3 rows).
-_MINHASH_CTES = """
+#: Integer Carter–Wegman form, generated from the SAME constants the Spark
+#: operator uses: base = md5(shingle)[:15 hex] mod M31, then
+#: mh_h = (A[h]·base + B[h]) mod M31, band_key = polynomial combine. The
+#: DISTINCT in ``shingle`` is kept for the Jaccard CTEs; min() makes it
+#: irrelevant to the signatures (as on the Spark side).
+from hadoop_tfidf_spark.operators.dedup import (  # noqa: E402
+    BAND_KEY_K,
+    DEFAULT_NUM_HASHES,
+    DEFAULT_ROWS_PER_BAND,
+    M31,
+    MINHASH_A,
+    MINHASH_B,
+)
+
+_MH_MIN_COLS = ",\n         ".join(
+    f"min(({MINHASH_A[h]} * base + {MINHASH_B[h]}) % {M31}) AS mh_{h}"
+    for h in range(DEFAULT_NUM_HASHES)
+)
+_N_BANDS = DEFAULT_NUM_HASHES // DEFAULT_ROWS_PER_BAND
+
+
+def _band_key_sql(b: int) -> str:
+    expr = f"mh_{DEFAULT_ROWS_PER_BAND * b}"
+    for i in range(1, DEFAULT_ROWS_PER_BAND):
+        expr = f"(({expr}) * {BAND_KEY_K} + mh_{DEFAULT_ROWS_PER_BAND * b + i}) % {M31}"
+    return expr
+
+
+_BAND_KEY_CASE = " ".join(
+    f"WHEN {b} THEN {_band_key_sql(b)}" for b in range(_N_BANDS)
+)
+
+_MINHASH_CTES = f"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
@@ -304,15 +336,19 @@ shingle AS (
     FROM words WHERE len(w) >= 3
   )
 ),
+sh_base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {M31} AS base
+  FROM shingle
+),
 sig AS (
-  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS minhash
-  FROM shingle CROSS JOIN generate_series(0, 11) t(h)
-  GROUP BY doc_id, h
+  SELECT doc_id,
+         {_MH_MIN_COLS}
+  FROM sh_base GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, (h // 3) AS band,
-         md5(string_agg(minhash, ',' ORDER BY h)) AS band_key
-  FROM sig GROUP BY doc_id, (h // 3)
+  SELECT doc_id, band, CASE band {_BAND_KEY_CASE} END AS band_key
+  FROM sig CROSS JOIN generate_series(0, {_N_BANDS - 1}) t(band)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -34,6 +34,26 @@ from hadoop_tfidf_spark.functions.hashing import hex_to_long
 DEFAULT_NUM_HASHES = 12
 DEFAULT_ROWS_PER_BAND = 3
 
+#: Carter–Wegman universal-hash family for MinHash: each seed h maps the
+#: shingle's base hash x to ``(A[h]·x + B[h]) mod M31``. One md5 per shingle
+#: (the base) instead of one per (shingle, seed); the 12 derived hashes are
+#: two integer ops each, and signatures shuffle as BIGINTs, not 32-char hex
+#: strings. M31 = 2³¹−1 keeps every product < 2⁶² — overflow-free in both
+#: Spark (Java long) and DuckDB (BIGINT, which *errors* on overflow).
+M31 = (1 << 31) - 1
+MINHASH_A = [
+    1000000007, 998244353, 754974721, 167772161, 469762049, 1073741789,
+    2147483587, 1999999973, 1299709, 15485863, 32452843, 49979687,
+]
+MINHASH_B = [
+    15485867, 49979693, 86028121, 122949823, 141650939, 160481183,
+    179424673, 198491317, 217645177, 236887691, 256203161, 275604541,
+]
+#: Polynomial combine constant for band keys: band_key =
+#: ((mh₀·K + mh₁) mod M31 · K + mh₂) mod M31 — pure integer math, no
+#: md5-of-concat string round-trip.
+BAND_KEY_K = 1000003
+
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by content hash.
@@ -74,24 +94,26 @@ def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
     """MinHash signatures in columnar form: one row per doc,
-    ``(doc_id, mh_0 … mh_{num_hashes-1})``.
+    ``(doc_id, mh_0 … mh_{num_hashes-1} BIGINT)``.
 
     One aggregation keyed on doc_id with ``num_hashes`` independent
-    ``min(md5(seed:shingle))`` columns — no seed explode, so the shuffle
-    moves |docs| rows of ``num_hashes`` values instead of
-    |shingles| × num_hashes rows (the earlier row-per-seed form cost 12×
-    the shuffle volume; the md5 CPU is identical and stays map-side).
-    min() is algebraic → partial aggregation collapses per-partition.
+    ``min((a·x + b) mod M31)`` columns over the shingle's base hash
+    ``x = md5(shingle)[:15 hex] mod M31`` — ONE md5 per shingle total, the
+    rest is integer arithmetic. No seed explode (shuffle moves |docs| rows
+    of ``num_hashes`` BIGINTs) and **no pre-distinct**: min() is invariant
+    under duplicate shingles, so the distinct's full extra shuffle of the
+    shingle stream is dropped; partial aggregation collapses duplicates
+    map-side for free.
     """
+    base = hex_to_long(F.md5(F.col("shingle"))) % F.lit(M31)
     mins = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))
-        ).alias(f"mh_{h}")
+        F.min((F.lit(MINHASH_A[h]) * F.col("_base") + F.lit(MINHASH_B[h])) % F.lit(M31)).alias(
+            f"mh_{h}"
+        )
         for h in range(num_hashes)
     ]
     return (
-        shingle_df.select("doc_id", "shingle")
-        .distinct()
+        shingle_df.select("doc_id", base.alias("_base"))
         .groupBy("doc_id")
         .agg(*mins)
     )
@@ -100,29 +122,27 @@ def minhash_signatures(
 def lsh_bands(
     signatures: DataFrame, rows_per_band: int = DEFAULT_ROWS_PER_BAND
 ) -> DataFrame:
-    """LSH band keys ``(doc_id, band, band_key)`` from columnar signatures.
+    """LSH band keys ``(doc_id, band, band_key BIGINT)`` from columnar
+    signatures.
 
-    band_key = md5 of the band's minhashes joined in seed order. A narrow
-    projection + explode of ``num_bands`` structs per doc — no extra
-    aggregation or sort (the earlier row-per-seed form needed a second
-    shuffle + collect_list here).
+    band_key = polynomial combine of the band's minhashes
+    (``((mh₀·K + mh₁) mod M31 · K + mh₂) mod M31``) — integer math that
+    joins on 8-byte keys instead of md5 hex strings. A narrow projection +
+    explode of ``num_bands`` structs per doc — no extra aggregation or
+    sort.
     """
     mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
     n_bands = len(mh_cols) // rows_per_band
+
+    def _key(b: int):
+        expr = F.col(f"mh_{b * rows_per_band}")
+        for i in range(1, rows_per_band):
+            expr = (expr * F.lit(BAND_KEY_K) + F.col(f"mh_{b * rows_per_band + i}")) % F.lit(M31)
+        return expr
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh_{b * rows_per_band + i}")
-                            for i in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band"), _key(b).alias("band_key"))
             for b in range(n_bands)
         ]
     )
