@@ -232,6 +232,45 @@ def q_rel_repeat_customers(spark, sf_dir):
     return R.repeat_customers(_tbl(spark, sf_dir, "orders"), 1996, 1997)
 
 
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF (k-means coarse quantizer) ANN variant — rows-only (iterative
+    Lloyd rounds aren't single-pass SQL; tests/test_ivf.py bounds recall
+    against the brute-force oracle-checked baseline instead)."""
+    emb = _emb(spark, sf_dir)
+    assigned, cents = S.ivf_build(emb, k=16, iters=2)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    return S.ivf_topk(assigned, cents, queries, k=SIM_K).select(
+        "query_id", "vec_id", "cos_sim", "rn"
+    )
+
+
+def q_rel_price_bands(spark, sf_dir):
+    return R.price_band_summary(_tbl(spark, sf_dir, "orders"), spark)
+
+
+def q_rel_order_calendar(spark, sf_dir):
+    return R.order_calendar(_tbl(spark, sf_dir, "orders"))
+
+
+def q_events_click_purchase(spark, sf_dir):
+    return R.click_purchase_funnel(load_events(spark, sf_dir))
+
+
+def q_rel_lapsed_customers(spark, sf_dir):
+    return R.lapsed_customers(_tbl(spark, sf_dir, "orders"), 1996, 1997)
+
+
+def q_text_ngram_freq(spark, sf_dir):
+    from hadoop_tfidf_spark.functions.text import ngram_freq
+
+    return ngram_freq(_docs(spark, sf_dir), n=2, top=100)
+
+
+def q_dedup_near_canonical(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return D.near_dup_canonical(docs, D.minhash_lsh_dedup(docs))
+
+
 def q_streaming_tumbling(spark, sf_dir):
     """Structured Streaming windowed aggregation, drained with the
     availableNow trigger — rows-only (streaming is not SQL-expressible for
@@ -284,6 +323,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_moving_avg": q_events_moving_avg,
     "rel_repeat_customers": q_rel_repeat_customers,
     "streaming_tumbling": q_streaming_tumbling,
+    "sim_topk_ivf": q_sim_topk_ivf,
+    "rel_price_bands": q_rel_price_bands,
+    "rel_order_calendar": q_rel_order_calendar,
+    "events_click_purchase": q_events_click_purchase,
+    "rel_lapsed_customers": q_rel_lapsed_customers,
+    "text_ngram_freq": q_text_ngram_freq,
+    "dedup_near_canonical": q_dedup_near_canonical,
 }
 
 
@@ -713,5 +759,66 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+""",
+    "rel_price_bands": """
+WITH bands(band, lo, hi) AS (VALUES
+  ('small', 0.0, 100000.0), ('medium', 100000.0, 250000.0),
+  ('large', 250000.0, 600000.0))
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY band
+""",
+    "rel_order_calendar": """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(month(o_orderdate) AS BIGINT) AS o_month,
+       CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+       date_trunc('month', o_orderdate)::DATE AS month_start,
+       CAST(datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS BIGINT)
+         AS epoch_days,
+       string_split(o_orderpriority, '-')[1]::BIGINT AS prio_num,
+       lower(string_split(o_orderpriority, '-')[2]) AS prio_word
+FROM orders
+""",
+    "events_click_purchase": """
+WITH c AS (
+  SELECT user_id, count(*) AS n_clicks FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+),
+p AS (
+  SELECT user_id, count(*) AS n_purchases, round(sum(value), 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases,
+       coalesce(purchase_value, 0.0) AS purchase_value
+FROM c FULL JOIN p ON c.user_id = p.user_id
+""",
+    "rel_lapsed_customers": """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+""",
+    "text_ngram_freq": """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT array_to_string(w[i:i+1], ' ') AS ngram
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+    FROM words WHERE len(w) >= 2
+  )
+)
+SELECT ngram, count(*) AS n FROM grams
+GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100
+""",
+    "dedup_near_canonical": _MINHASH_CTES
+    + """
+SELECT d.doc_id, coalesce(min(c.doc_a), d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN cand c ON c.doc_b = d.doc_id
+GROUP BY d.doc_id
 """,
 }

@@ -111,6 +111,29 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def ngram_freq(docs: DataFrame, n: int = 2, top: int = 100) -> DataFrame:
+    """Corpus-wide n-gram frequency table, top ``top`` by count — the
+    n-gram LM statistics pass of a training-data pipeline (also the input
+    to contamination checks and boilerplate detection).
+
+    Plan: narrow shingle explode → one aggregation on the n-gram (partial
+    map-side combine collapses the heavy hitters before the shuffle) →
+    TakeOrderedAndProject for the top-k (no global sort materialization).
+    N-gram keys are near-Zipfian — exactly the skew case partial
+    aggregation exists for; the shuffle moves one row per distinct n-gram
+    per partition, not one per occurrence.
+    """
+    from hadoop_tfidf_spark.operators.dedup import shingles
+
+    grams = shingles(docs, k=n).select(F.col("shingle").alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(top)
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     hash every ``k``-word shingle, slide a ``window``-wide frame over the
@@ -119,7 +142,10 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     Output: ``(doc_id, n_fingerprints, fp_min)`` — the count of distinct
     selected fingerprints and the lexicographic minimum (a compact
     per-document signature). md5-based so the DuckDB oracle reproduces it
-    exactly. Shuffle keyed on doc_id only.
+    exactly. ONE shuffle keyed on doc_id: the window's hash partitioning
+    already satisfies the final aggregation, and the dedup is fused into
+    ``countDistinct`` instead of a separate ``.distinct()`` (which would
+    re-shuffle on (doc_id, fp)).
     """
     from hadoop_tfidf_spark.operators.dedup import shingles
 
@@ -128,8 +154,8 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     frame = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     )
-    fps = hashed.select("doc_id", F.min("h").over(frame).alias("fp")).distinct()
+    fps = hashed.select("doc_id", F.min("h").over(frame).alias("fp"))
     return fps.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_fingerprints"),
+        F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
         F.min("fp").alias("fp_min"),
     )

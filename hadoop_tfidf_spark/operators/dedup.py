@@ -250,6 +250,33 @@ def ngram_jaccard(
     return out
 
 
+def near_dup_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-duplicate canonicalization: map every doc to its cluster
+    representative — the min doc_id among its LSH candidate neighbors and
+    itself (1-hop star clustering over the ``(doc_a, doc_b)`` pair list,
+    ``doc_a < doc_b``).
+
+    This is the "apply" step after candidate generation: docs whose
+    ``canonical_id`` ≠ ``doc_id`` are the drop set. One left join + one
+    aggregation, both keyed on doc_id. Full transitive closure (connected
+    components) is the iterative large-star/small-star algorithm — out of
+    declared-query scope because it isn't single-pass SQL; 1-hop is the
+    standard first-pass contraction and is exact when clusters are cliques
+    (near-dup clusters from banded LSH overwhelmingly are).
+    """
+    nbrs = pairs.select(F.col("doc_b").alias("doc_id"), "doc_a")
+    return (
+        docs.select("doc_id")
+        .join(nbrs, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.min("doc_a").alias("_min_nbr"))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_min_nbr"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Per-document SimHash signature (Charikar'02 / Manku et al. WWW'07)
     with term-frequency weights: ``(doc_id, simhash BIGINT)``.

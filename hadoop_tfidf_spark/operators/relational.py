@@ -259,6 +259,103 @@ def repeat_customers(orders: DataFrame, year_a: int, year_b: int) -> DataFrame:
     return a.intersect(b)
 
 
+def range_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range (band) join: attach to each fact row the band whose
+    ``[lo, hi)`` interval contains ``value_col`` — a non-equi join the
+    reference engine has no analog for (SURVEY.md §2 gap table: range/as-of
+    joins).
+
+    The band table is broadcast (bands are small by nature), so Spark plans
+    a BroadcastNestedLoopJoin: the fact side streams through executors with
+    zero shuffle. At 100 TB this is the right physical shape for O(10–100)
+    bands; for large interval tables the scale path is equi-bucketing (join
+    on ``width_bucket``-style coarse buckets, then the residual range
+    filter), which turns it into a shuffle-free broadcast equi-join too.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(bands), cond, "inner")
+
+
+def price_band_summary(orders: DataFrame, spark: SparkSession) -> DataFrame:
+    """Declared range-join query: order revenue binned into static price
+    bands. One broadcast NLJ + one 3-key aggregation."""
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100_000.0), ("medium", 100_000.0, 250_000.0),
+         ("large", 250_000.0, 600_000.0)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        range_join(orders, bands, "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def order_calendar(orders: DataFrame) -> DataFrame:
+    """Scalar-function surface: date parts, truncation, epoch arithmetic,
+    and string parsing in one narrow projection (no shuffle at all) — the
+    date/string/math function families the reference lacks entirely
+    (SURVEY.md §2 gap table; its only scalar ops are log10/*/+/concat)."""
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("o_year"),
+        F.quarter(d).cast("bigint").alias("o_quarter"),
+        F.month(d).cast("bigint").alias("o_month"),
+        # weekday(): 0=Monday — +1 matches DuckDB's isodow (1=Mon..7=Sun)
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        F.trunc(d, "month").alias("month_start"),
+        F.datediff(d, F.lit("1970-01-01")).cast("bigint").alias("epoch_days"),
+        F.split("o_orderpriority", "-").getItem(0).cast("bigint").alias("prio_num"),
+        F.lower(F.split("o_orderpriority", "-").getItem(1)).alias("prio_word"),
+    )
+
+
+def click_purchase_funnel(events: DataFrame) -> DataFrame:
+    """FULL OUTER join surface: per-user click counts joined with per-user
+    purchase stats — users exist on one side only in both directions, so
+    both null-extensions are exercised. Using-join on user_id coalesces the
+    key; counts are null-filled to 0. One shuffle per side + the join
+    exchange (AQE may broadcast the smaller aggregate)."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_clicks"))
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("purchase_value"),
+        )
+    )
+    return clicks.join(purchases, "user_id", "full_outer").select(
+        "user_id",
+        F.coalesce("n_clicks", F.lit(0)).cast("bigint").alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+def lapsed_customers(orders: DataFrame, year_a: int, year_b: int) -> DataFrame:
+    """Set-op surface: custkeys ordering in ``year_a`` but NOT in
+    ``year_b`` (EXCEPT — the complement of :func:`repeat_customers`).
+    Spark plans except as a left-anti aggregate join."""
+    a = orders.where(F.year("o_orderdate") == year_a).select("o_custkey")
+    b = orders.where(F.year("o_orderdate") == year_b).select("o_custkey")
+    return a.subtract(b)
+
+
 def json_props_stats(events: DataFrame) -> DataFrame:
     """JSON extraction + aggregation: pull ``$.k`` out of the ``props``
     JSON string column, aggregate per event type. ``get_json_object`` is a
