@@ -271,6 +271,13 @@ def q_dedup_near_canonical(spark, sf_dir):
     return D.near_dup_canonical(docs, D.minhash_lsh_dedup(docs))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Fixpoint canonicalization (connected components over LSH candidate
+    pairs) — survivor-valid representatives, unlike the 1-hop star."""
+    docs = _docs(spark, sf_dir)
+    return D.near_dup_components(docs, D.minhash_lsh_dedup(docs))
+
+
 def q_streaming_tumbling(spark, sf_dir):
     """Structured Streaming windowed aggregation, drained with the
     availableNow trigger — rows-only (streaming is not SQL-expressible for
@@ -330,6 +337,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_lapsed_customers": q_rel_lapsed_customers,
     "text_ngram_freq": q_text_ngram_freq,
     "dedup_near_canonical": q_dedup_near_canonical,
+    "dedup_components": q_dedup_components,
 }
 
 
@@ -820,5 +828,22 @@ GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100
 SELECT d.doc_id, coalesce(min(c.doc_a), d.doc_id) AS canonical_id
 FROM documents d LEFT JOIN cand c ON c.doc_b = d.doc_id
 GROUP BY d.doc_id
+""",
+    # transitive closure as a recursive CTE: reach(d, r) = r reachable from
+    # d over the undirected candidate graph; canonical = min reachable.
+    # UNION (not UNION ALL) dedups per iteration, guaranteeing termination.
+    "dedup_components": _MINHASH_CTES.replace("WITH words", "WITH RECURSIVE words")
+    + """
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id AS r FROM documents
+  UNION
+  SELECT reach.doc_id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
+)
+SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
 """,
 }

@@ -258,11 +258,15 @@ def near_dup_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
     This is the "apply" step after candidate generation: docs whose
     ``canonical_id`` ≠ ``doc_id`` are the drop set. One left join + one
-    aggregation, both keyed on doc_id. Full transitive closure (connected
-    components) is the iterative large-star/small-star algorithm — out of
-    declared-query scope because it isn't single-pass SQL; 1-hop is the
-    standard first-pass contraction and is exact when clusters are cliques
-    (near-dup clusters from banded LSH overwhelmingly are).
+    aggregation, both keyed on doc_id. 1-hop is the standard first-pass
+    contraction and is exact when clusters are cliques (near-dup clusters
+    from banded LSH overwhelmingly are).
+
+    **Not a fixpoint under chains**: with pairs (a,b) and (b,c) but not
+    (a,c), c maps to b while b maps to a — c's canonical_id is itself a
+    dropped doc. Callers that need survivor-valid representatives (every
+    canonical_id maps to itself) should use ``near_dup_components``, the
+    iterative transitive closure.
     """
     nbrs = pairs.select(F.col("doc_b").alias("doc_id"), "doc_a")
     return (
@@ -274,6 +278,63 @@ def near_dup_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("_min_nbr"), F.col("doc_id")).alias("canonical_id"),
         )
+    )
+
+
+def near_dup_components(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Transitive-closure canonicalization: map every doc to the minimum
+    doc_id in its *connected component* of the candidate-pair graph —
+    the fixpoint ``near_dup_canonical`` is not (chains a-b, b-c resolve
+    to a for all three). Every emitted ``canonical_id`` maps to itself,
+    so it is always a surviving representative.
+
+    Algorithm: iterative min-label propagation — each round every doc
+    takes ``min(own label, neighbors' labels)``; converges in
+    O(component diameter) rounds. Near-dup components are shallow (LSH
+    bands connect most members directly), so 2–4 rounds is typical.
+    Each round is one shuffle join keyed on doc_id over the pair list
+    (|pairs| rows, not |docs|²); ``localCheckpoint`` truncates lineage
+    so plans don't grow exponentially with rounds. At extreme graph
+    scale the round count can be driven to O(log d) with the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the per-round
+    dataflow here is the same join+min-aggregate shape.
+
+    Raises after ``max_iter`` rounds without convergence rather than
+    returning silently-partial clusters.
+    """
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("canonical_id"))
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(
+                F.col("doc_id").alias("v"), F.col("canonical_id").alias("nbr_label")
+            ),
+            "v",
+        ).select(F.col("u").alias("doc_id"), F.col("nbr_label").alias("canonical_id"))
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("canonical_id").alias("canonical_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"near_dup_components did not converge in {max_iter} rounds"
     )
 
 

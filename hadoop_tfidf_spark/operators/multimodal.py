@@ -18,7 +18,6 @@ contract, and partitioning are unchanged.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -62,32 +61,32 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_decode_row(payload: bytes) -> tuple[int, str, int, int, int]:
-    """STUB decoder — deterministic fake features from the payload md5.
-
-    A real decoder (PIL / ffmpeg) is not installed in this container; this
-    fake keeps the full Arrow/mapInPandas plumbing testable and
-    oracle-checkable (md5-derived, so SQL reproduces it).
-    """
-    h = hashlib.md5(payload).hexdigest()
-    return (
-        len(payload),
-        h,
-        int(h[0:2], 16),  # "width"
-        int(h[2:4], 16),  # "height"
-        int(h[4:5], 16),  # "frame count"
-    )
-
-
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode / feature-extract stage: Arrow-batched ``mapInPandas`` over
-    the binary payload column. Returns :data:`DECODED_SCHEMA` rows."""
+    the binary payload column. Returns :data:`DECODED_SCHEMA` rows.
+
+    The worker function is deliberately self-contained (no references to
+    this module's globals) so cloudpickle ships it BY VALUE — Python
+    workers never need ``hadoop_tfidf_spark`` importable, which matters
+    when an external driver process imports this package off sys.path
+    without installing it.
+    """
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
         import pandas as pd
 
+        def fake_decode(payload: bytes) -> tuple[int, str, int, int, int]:
+            # STUB decoder — deterministic fake features from the payload
+            # md5. A real decoder (PIL / ffmpeg) is not installed in this
+            # container; the fake keeps the full Arrow plumbing testable
+            # and oracle-checkable (md5-derived, so SQL reproduces it).
+            h = hashlib.md5(payload).hexdigest()
+            return (len(payload), h, int(h[0:2], 16), int(h[2:4], 16), int(h[4:5], 16))
+
         for pdf in batches:
-            feats = [_fake_decode_row(bytes(p)) for p in pdf["payload"]]
+            feats = [fake_decode(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats,
                 columns=["n_bytes", "content_md5", "width", "height", "n_frames"],

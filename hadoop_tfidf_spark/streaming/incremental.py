@@ -8,65 +8,112 @@ plus a 1-row ``(num_docs, last_batch_id)`` side table, from which idf is
 derivable at query time — so TF-IDF scoring stays current without
 recomputing the corpus.
 
-Storage: plain parquet with read-merge-overwrite per batch (atomic-rename
-semantics are the lakehouse layer's job — on a cluster this merge is one
-``MERGE INTO`` against Delta/Iceberg with identical dataflow; the
-read-merge-write here keeps the container dependency-free). State volume
-is |vocabulary| rows, not corpus-sized, so the merge stays cheap at any
-corpus scale.
+Storage & commit protocol: each merge writes a complete new *generation*
+directory ``{stats_dir}/gen=<batch_id>/`` containing BOTH the ``df`` and
+``meta`` tables, staged under ``{stats_dir}/_staging_<batch_id>`` and
+committed with a single Hadoop ``FileSystem.rename`` — atomic on HDFS and
+POSIX local filesystems, so df and num_docs/last_batch_id can never be
+observed out of sync. Readers resolve the highest committed generation.
+All path operations go through the Hadoop FileSystem API (``spark._jvm``),
+so ``stats_dir`` may be ``file:``, ``hdfs://``, ``s3a://``, etc.; note
+that on S3 the rename is copy+delete, not atomic — use a real table
+format (Delta/Iceberg ``MERGE INTO``) there; the dataflow is identical.
 
-Failure semantics under foreachBatch's at-least-once contract: the meta
-table records the last applied ``batch_id``; a batch replayed after a
-crash between the state write and the checkpoint commit is detected and
-skipped, so df/num_docs are never double-counted. First-run missing-path
-reads are the ONLY errors treated as empty state — transient I/O or
-corrupt-footer errors propagate instead of silently zeroing the
-accumulated stats.
+Crash windows under foreachBatch's at-least-once contract:
+- crash before the rename: the staging dir is garbage (swept on the next
+  merge), committed state is untouched, and the replayed batch re-merges
+  normally — no loss, no double count.
+- crash after the rename: the replayed batch sees
+  ``batch_id <= last_batch_id`` and is skipped — no double count.
+- stale older generations left by a crash-after-rename are swept on the
+  next merge; readers always take the max, so they are inert.
+
+State volume is |vocabulary| rows, not corpus-sized, so the merge stays
+cheap at any corpus scale. First-run missing-state reads are the ONLY
+condition treated as empty state — transient I/O or corrupt-footer errors
+propagate instead of silently zeroing the accumulated stats.
 """
 
 from __future__ import annotations
 
-import shutil
-
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _is_missing_path(e: AnalysisException) -> bool:
-    msg = str(e)
-    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+_GEN_PREFIX = "gen="
+_STAGING_PREFIX = "_staging_"
 
 
 class IncrementalTfidfStats:
-    """Maintains ``{stats_dir}/df`` (word, df) and ``{stats_dir}/meta``
-    (num_docs, last_batch_id) under a stream of new documents."""
+    """Maintains ``{stats_dir}/gen=<bid>/{df,meta}`` under a stream of new
+    documents; ``df`` is (word, df), ``meta`` is 1 row
+    (num_docs, last_batch_id)."""
 
     def __init__(self, spark: SparkSession, stats_dir: str) -> None:
         self.spark = spark
-        self.stats_dir = stats_dir
+        self.stats_dir = stats_dir.rstrip("/")
+
+    # -- Hadoop FS plumbing (works for file:, hdfs://, s3a://, ...) --------
+    def _jpath(self, p: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self):
+        return self._jpath(self.stats_dir).getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+
+    def _list_generations(self) -> list[int]:
+        fs = self._fs()
+        root = self._jpath(self.stats_dir)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(_GEN_PREFIX):
+                out.append(int(name[len(_GEN_PREFIX):]))
+        return sorted(out)
+
+    def _latest(self) -> int | None:
+        gens = self._list_generations()
+        return gens[-1] if gens else None
+
+    def _sweep(self, keep: int) -> None:
+        """Best-effort delete of staging leftovers and superseded
+        generations (< keep). Failures are non-fatal: stale dirs are inert
+        (readers take the max generation) and get retried next merge."""
+        fs = self._fs()
+        root = self._jpath(self.stats_dir)
+        if not fs.exists(root):
+            return
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            doomed = name.startswith(_STAGING_PREFIX) or (
+                name.startswith(_GEN_PREFIX)
+                and int(name[len(_GEN_PREFIX):]) < keep
+            )
+            if doomed:
+                try:
+                    fs.delete(st.getPath(), True)
+                except Exception:
+                    pass
 
     # -- state access ------------------------------------------------------
     def df_table(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(f"{self.stats_dir}/df")
-        except AnalysisException as e:
-            # only the first-run missing-path case means "empty state";
-            # any other read failure must surface, not reset the stats
-            if _is_missing_path(e):
-                return self.spark.createDataFrame([], "word STRING, df BIGINT")
-            raise
+        gen = self._latest()
+        if gen is None:
+            return self.spark.createDataFrame([], "word STRING, df BIGINT")
+        return self.spark.read.parquet(
+            f"{self.stats_dir}/{_GEN_PREFIX}{gen}/df"
+        )
 
     def _meta(self) -> tuple[int, int]:
         """(num_docs, last_batch_id); (0, -1) on first run."""
-        try:
-            rows = self.spark.read.parquet(f"{self.stats_dir}/meta").collect()
-        except AnalysisException as e:
-            if _is_missing_path(e):
-                return 0, -1
-            raise
-        if not rows:
+        gen = self._latest()
+        if gen is None:
             return 0, -1
+        rows = self.spark.read.parquet(
+            f"{self.stats_dir}/{_GEN_PREFIX}{gen}/meta"
+        ).collect()
         r = rows[0]
         return int(r.num_docs), int(r.last_batch_id)
 
@@ -77,12 +124,12 @@ class IncrementalTfidfStats:
         return self._meta()[1]
 
     # -- merge -------------------------------------------------------------
-    def merge_batch(self, docs_batch: DataFrame, batch_id: int = 0) -> None:
+    def merge_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
         """foreachBatch body: fold one micro-batch of (doc_id, text) into
-        the stats tables. Idempotent under at-least-once replay: a
-        ``batch_id`` at or below the recorded ``last_batch_id`` (a replay
-        of a batch whose state write completed but whose checkpoint commit
-        did not) is skipped."""
+        the stats tables. ``batch_id`` must be monotonically increasing
+        across calls (``attach()`` supplies the stream's epoch id).
+        Idempotent under at-least-once replay: a ``batch_id`` at or below
+        the recorded ``last_batch_id`` is skipped."""
         total, last_applied = self._meta()
         if batch_id <= last_applied:
             return
@@ -101,19 +148,25 @@ class IncrementalTfidfStats:
             .groupBy("word")
             .agg(F.sum("df").cast("bigint").alias("df"))
         )
-        n_new = docs_batch.select("doc_id").distinct().count()
-        total += n_new
-        # overwrite via temp-then-replace: the read above materialized into
-        # the plan, but parquet overwrite of the path being read is unsafe;
-        # stage to a sibling and swap, then drop the staging dir
-        tmp = f"{self.stats_dir}/df_tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(f"{self.stats_dir}/df")
+        total += docs_batch.select("doc_id").distinct().count()
+
+        staging = f"{self.stats_dir}/{_STAGING_PREFIX}{batch_id}"
+        merged.write.mode("overwrite").parquet(f"{staging}/df")
         self.spark.createDataFrame(
             [(total, batch_id)], "num_docs BIGINT, last_batch_id BIGINT"
-        ).write.mode("overwrite").parquet(f"{self.stats_dir}/meta")
-        shutil.rmtree(tmp.removeprefix("file:"), ignore_errors=True)
+        ).write.mode("overwrite").parquet(f"{staging}/meta")
+        # commit point: one rename makes df+meta visible together
+        fs = self._fs()
+        committed = fs.rename(
+            self._jpath(staging),
+            self._jpath(f"{self.stats_dir}/{_GEN_PREFIX}{batch_id}"),
+        )
+        if not committed:
+            raise IOError(
+                f"commit rename failed for batch {batch_id} "
+                f"({staging} -> {_GEN_PREFIX}{batch_id})"
+            )
+        self._sweep(keep=batch_id)
 
     # -- wiring ------------------------------------------------------------
     def attach(self, doc_stream: DataFrame):

@@ -47,23 +47,6 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _update_totals(
-    key: tuple[Any, ...],
-    pdfs: Iterator["pd.DataFrame"],
-    state: GroupState,
-) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
-
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-    )
-
-
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user running (n_events, total_value) maintained across
     micro-batches — the custom-state operator shape (the built-in
@@ -72,10 +55,29 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     model, or a fraud heuristic without changing the plan).
 
     Emits the updated totals for every user seen in each micro-batch
-    (``update`` output mode).
+    (``update`` output mode). The state-update function is nested and
+    global-free so cloudpickle ships it by value — workers don't need
+    this package importable (external drivers load it off sys.path).
     """
+
+    def update_totals(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
     return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
-        _update_totals,
+        update_totals,
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",

@@ -60,6 +60,31 @@ class TestMinHashLSH:
         # one word differs → k=3 shingles: 19 total per doc, 3 broken
         assert 0.5 < jac[(1, 3)] < 1.0
 
+
+class TestCanonicalization:
+    def test_one_hop_star_is_not_fixpoint_on_chains(self, spark):
+        """Documented limitation (ADVICE r2): chain (1,2),(2,3) without
+        (1,3) leaves 3 pointing at dropped doc 2 under the 1-hop star."""
+        docs = spark.createDataFrame([(i, "x") for i in (1, 2, 3)], ["doc_id", "text"])
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+        got = {r.doc_id: r.canonical_id for r in D.near_dup_canonical(docs, pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 2}  # 3 → 2, but 2 is itself dropped
+
+    def test_components_reach_fixpoint_on_chains(self, spark):
+        """near_dup_components resolves the whole chain to one survivor."""
+        docs = spark.createDataFrame([(i, "x") for i in range(1, 7)], ["doc_id", "text"])
+        # chain 1-2-3-4 (diameter 3, needs >1 round) + isolated 5, pair 6-5? no:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6)], ["doc_a", "doc_b"]
+        )
+        got = {
+            r.doc_id: r.canonical_id
+            for r in D.near_dup_components(docs, pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+        # fixpoint property: every canonical_id maps to itself
+        assert all(got[c] == c for c in set(got.values()))
+
     def test_signature_shape(self, spark, corpus):
         """Columnar signatures: one row per doc, one mh_i column per seed."""
         sig = D.minhash_signatures(D.shingles(corpus, k=3))

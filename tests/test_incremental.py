@@ -61,17 +61,59 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert got == {"a": 2, "b": 1}
     assert stats.num_docs() == 2
     assert stats.last_batch_id() == 0
-    # staging dir cleaned up after the swap
-    leftovers = [p.name for p in (tmp_path / "stats").iterdir() if "tmp" in p.name]
-    assert leftovers == []
+
+
+def test_crash_before_commit_rename_is_recoverable(spark, tmp_path):
+    """A staging dir left by a crash BEFORE the commit rename must not be
+    visible as state, and the replayed batch must merge normally; the
+    leftover is swept by the next merge."""
+    stats = IncrementalTfidfStats(spark, str(tmp_path / "stats"))
+    b0 = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    stats.merge_batch(b0, batch_id=0)
+    # simulate a crashed batch 1: staging written, rename never happened
+    crashed = tmp_path / "stats" / "_staging_1"
+    (crashed / "df").mkdir(parents=True)
+    assert stats.last_batch_id() == 0  # staging invisible to readers
+    b1 = spark.createDataFrame([(2, "a c")], ["doc_id", "text"])
+    stats.merge_batch(b1, batch_id=1)  # the replay
+    got = {r.word: r.df for r in stats.df_table().collect()}
+    assert got == {"a": 2, "b": 1, "c": 1}
+    assert stats.num_docs() == 2
+    # staging leftovers and superseded generations swept
+    names = [p.name for p in (tmp_path / "stats").iterdir()]
+    assert "_staging_1" not in names and "gen=0" not in names
+    assert "gen=1" in names
+
+
+def test_stale_generation_is_ignored_and_swept(spark, tmp_path):
+    """A crash after rename but before the old-generation sweep leaves two
+    gen dirs; readers must take the max and the next merge must sweep."""
+    stats = IncrementalTfidfStats(spark, str(tmp_path / "stats"))
+    stats.merge_batch(
+        spark.createDataFrame([(1, "a")], ["doc_id", "text"]), batch_id=0
+    )
+    # resurrect a fake stale generation below the committed one
+    import shutil
+
+    shutil.copytree(tmp_path / "stats" / "gen=0", tmp_path / "stats" / "gen=-1")
+    # readers pick gen=0 (num_docs 1), not the stale copy
+    assert stats.last_batch_id() == 0
+    stats.merge_batch(
+        spark.createDataFrame([(2, "b")], ["doc_id", "text"]), batch_id=1
+    )
+    names = [p.name for p in (tmp_path / "stats").iterdir()]
+    assert "gen=-1" not in names and "gen=0" not in names
+    assert stats.num_docs() == 2
 
 
 def test_transient_read_error_propagates(spark, tmp_path):
     """A corrupt (non-parquet) state file must raise, not silently reset
     the accumulated stats to empty."""
     stats_dir = tmp_path / "stats"
-    (stats_dir / "df").mkdir(parents=True)
-    (stats_dir / "df" / "part-00000.parquet").write_bytes(b"not parquet at all")
+    (stats_dir / "gen=0" / "df").mkdir(parents=True)
+    (stats_dir / "gen=0" / "df" / "part-00000.parquet").write_bytes(
+        b"not parquet at all"
+    )
     stats = IncrementalTfidfStats(spark, str(stats_dir))
     with pytest.raises(Exception):
         stats.df_table().collect()
