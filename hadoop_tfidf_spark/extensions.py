@@ -37,8 +37,11 @@ NEAR_DUP_COS = 0.9
 JACCARD_K = 3
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_docs(spark, f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, rebalance: bool = False) -> DataFrame:
+    """``rebalance=True`` for md5-per-shingle CPU-bound operators (MinHash,
+    Jaccard, fingerprint): spreads an under-partitioned scan across cores
+    (no-op on a well-split cluster read — see ``corpus.rebalance_scan``)."""
+    return load_docs(spark, f"{sf_dir}/documents.parquet", rebalance=rebalance)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +67,7 @@ def q_dedup_exact_apply(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return D.minhash_lsh_dedup(_docs(spark, sf_dir))
+    return D.minhash_lsh_dedup(_docs(spark, sf_dir, rebalance=True))
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -78,7 +81,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from pyspark.storagelevel import StorageLevel
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, rebalance=True)
     # One persisted distinct-shingle relation feeds MinHash, both verify
     # join sides, and the size aggregate (Spark recomputes diamonds).
     sh = (
@@ -124,7 +127,7 @@ def q_text_lang_id(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    return fingerprint(_docs(spark, sf_dir))
+    return fingerprint(_docs(spark, sf_dir, rebalance=True))
 
 
 def q_multimodal_decode(spark, sf_dir):

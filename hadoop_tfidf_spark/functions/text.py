@@ -142,20 +142,34 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     Output: ``(doc_id, n_fingerprints, fp_min)`` — the count of distinct
     selected fingerprints and the lexicographic minimum (a compact
     per-document signature). md5-based so the DuckDB oracle reproduces it
-    exactly. ONE shuffle keyed on doc_id: the window's hash partitioning
-    already satisfies the final aggregation, and the dedup is fused into
-    ``countDistinct`` instead of a separate ``.distinct()`` (which would
-    re-shuffle on (doc_id, fp)).
-    """
-    from hadoop_tfidf_spark.operators.dedup import shingles
+    exactly.
 
-    sh = shingles(docs, k=k)  # (doc_id, pos, shingle)
-    hashed = sh.select("doc_id", "pos", F.md5("shingle").alias("h"))
-    frame = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    ZERO shuffle: a document's whole shingle sequence lives in its own row,
+    so the sliding-window min, dedup, and reduction are higher-order array
+    expressions (``transform`` + ``array_min``/``array_distinct`` over
+    ``slice`` frames) fused into the scan stage — no posexplode, no
+    per-doc sort, no Exchange. Frames are right-clipped at the sequence end
+    (``slice`` truncates), matching the window-function formulation
+    ``rowsBetween(0, window-1)``. Docs with fewer than ``k`` words produce
+    no row.
+    """
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
     )
-    fps = hashed.select("doc_id", F.min("h").over(frame).alias("fp"))
-    return fps.groupBy("doc_id").agg(
-        F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
-        F.min("fp").alias("fp_min"),
+    hashes = F.transform(grams, F.md5)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_h"))),
+        lambda p: F.array_min(F.slice(F.col("_h"), p, window)),
+    )
+    return (
+        docs.where(F.size(words) >= k)
+        .select("doc_id", hashes.alias("_h"))
+        .select("doc_id", mins.alias("_fps"))
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(F.col("_fps"))).cast("bigint").alias("n_fingerprints"),
+            F.array_min(F.col("_fps")).alias("fp_min"),
+        )
     )

@@ -119,6 +119,51 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_from_docs(
+    docs: DataFrame, k: int = 3, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """MinHash signatures computed row-locally — ZERO shuffle.
+
+    Same output as ``shingles → minhash_signatures`` (min() over the
+    shingle multiset is duplicate-invariant and all shingles of a doc live
+    in its own row), but the whole computation is higher-order array
+    expressions inside the scan stage: split → k-gram transform → md5
+    base per gram → ``array_min`` per hash seed. No posexplode of the
+    shingle stream, no hash aggregation, no exchange — the scan
+    partitioning is preserved. Docs with fewer than ``k`` words produce no
+    row (same as the shingle path).
+
+    Use when attaching signatures as document metadata or inside
+    streaming/incremental flows where every shuffle is a stateful barrier.
+    Two caveats versus the aggregate path (why it is NOT the LSH-pipeline
+    default): higher-order lambdas evaluate interpreted (outside
+    whole-stage codegen), and a forked downstream plan (e.g. the LSH
+    self-join) re-scans the corpus because there is no Exchange for
+    ReuseExchange to collapse — persist, or add an explicit repartition,
+    before forking.
+    """
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    bases = F.transform(grams, lambda g: hex_to_long(F.md5(g)) % F.lit(M31))
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("_bases"),
+                lambda b: (F.lit(MINHASH_A[h]) * b + F.lit(MINHASH_B[h])) % F.lit(M31),
+            )
+        ).alias(f"mh_{h}")
+        for h in range(num_hashes)
+    ]
+    return (
+        docs.where(F.size(words) >= k)
+        .select("doc_id", bases.alias("_bases"))
+        .select("doc_id", *sig_cols)
+    )
+
+
 def lsh_bands(
     signatures: DataFrame, rows_per_band: int = DEFAULT_ROWS_PER_BAND
 ) -> DataFrame:
@@ -191,7 +236,15 @@ def minhash_lsh_dedup(
     shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
-    join. Returns candidate pairs ``(doc_a, doc_b)``."""
+    join. Returns candidate pairs ``(doc_a, doc_b)``.
+
+    Uses the aggregate signature path: its signature Exchange sits below
+    the self-join's rename fork, so ReuseExchange computes signatures ONCE
+    and the corpus is scanned once (measured faster than the zero-shuffle
+    :func:`minhash_signatures_from_docs`, whose fork would re-scan, and
+    whole-stage codegen compiles the per-shingle md5 that higher-order
+    array lambdas evaluate interpreted).
+    """
     sh = shingle_df if shingle_df is not None else shingles(docs, k=k)
     return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
 

@@ -33,6 +33,7 @@ def executed_plan(df: DataFrame, run: bool = True) -> str:
 @dataclass
 class PlanStats:
     shuffle_exchanges: int
+    rebalance_exchanges: int
     broadcast_exchanges: int
     reused_exchanges: int
     parquet_scans: int
@@ -97,9 +98,15 @@ def plan_stats(df: DataFrame, run: bool = True) -> PlanStats:
         return count
 
     return PlanStats(
-        # "Exchange hashpartitioning/rangepartitioning/..." = a real shuffle;
-        # BroadcastExchange is counted separately (no all-to-all data motion).
-        shuffle_exchanges=n(r"(?<!Broadcast)(?<!Reused)Exchange (?:hash|range|Single|RoundRobin)"),
+        # "Exchange hashpartitioning/rangepartitioning/..." = a logical
+        # regrouping shuffle; BroadcastExchange is counted separately (no
+        # all-to-all data motion). Round-robin exchanges are the adaptive
+        # scan rebalance (corpus.rebalance_scan) — data-parallelism repair
+        # for under-partitioned inputs, not a semantic regrouping, and
+        # absent on a well-partitioned cluster read — tracked separately so
+        # shuffle budgets stay environment-independent.
+        shuffle_exchanges=n(r"(?<!Broadcast)(?<!Reused)Exchange (?:hash|range|Single)"),
+        rebalance_exchanges=n(r"(?<!Broadcast)(?<!Reused)Exchange RoundRobin"),
         broadcast_exchanges=n(r"BroadcastExchange"),
         reused_exchanges=n(r"ReusedExchange"),
         parquet_scans=n(r"Scan parquet|FileScan parquet"),

@@ -93,6 +93,17 @@ class TestCanonicalization:
         assert sig.count() == corpus.count()
         assert sig.select("doc_id").distinct().count() == sig.count()
 
+    def test_row_local_signatures_match_aggregate_path(self, spark, corpus):
+        """The zero-shuffle row-local signature operator is value-identical
+        to shingles→minhash_signatures, including dropping docs < k words."""
+        short = spark.createDataFrame([(99, "two words")], ["doc_id", "text"])
+        docs = corpus.unionByName(short)
+        agg = D.minhash_signatures(D.shingles(docs, k=3))
+        row = D.minhash_signatures_from_docs(docs, k=3)
+        assert agg.exceptAll(row).count() == 0
+        assert row.exceptAll(agg).count() == 0
+        assert row.where(F.col("doc_id") == 99).count() == 0
+
 
 class TestSimHash:
     def test_identical_docs_same_hash(self, spark, corpus):
