@@ -281,6 +281,97 @@ def q_dedup_components(spark, sf_dir):
     return D.near_dup_components(docs, D.minhash_lsh_dedup(docs))
 
 
+def q_rel_grouping_sets(spark, sf_dir):
+    return R.segment_region_grouping_sets(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+def q_rel_order_gaps(spark, sf_dir):
+    return R.order_gaps(_tbl(spark, sf_dir, "orders"))
+
+
+def q_rel_acctbal_ntiles(spark, sf_dir):
+    return R.acctbal_ntiles(
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "nation")
+    )
+
+
+def q_rel_percentiles(spark, sf_dir):
+    return R.price_percentiles(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_events_hopping(spark, sf_dir):
+    return R.events_hopping(load_events(spark, sf_dir))
+
+
+def q_rel_parts_with_shipments(spark, sf_dir):
+    return R.parts_with_shipments(
+        _tbl(spark, sf_dir, "part"), _tbl(spark, sf_dir, "lineitem"), 1995
+    )
+
+
+#: As-of tolerance: purchases older than this (µs) don't carry forward.
+ASOF_TOLERANCE_US = 30 * 24 * 3600 * 1_000_000
+
+
+def q_asof_last_purchase_30d(spark, sf_dir):
+    """Tolerance-bounded as-of join: the matched purchase value is kept
+    only when it is at most 30 days old at event time (the standard
+    tolerance/staleness knob of time-series as-of joins). The match time
+    rides along as a second as-of value column; the tolerance is a
+    post-join projection, so the join dataflow is identical to the
+    unbounded variant."""
+    from hadoop_tfidf_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    left = ev.select("event_id", "user_id", "ts_us")
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts_us").alias("pts"))
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(
+        left, right, on="user_id", left_time="ts_us", right_time="pts",
+        right_values=["pval", "pts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(
+            F.col("pts_asof") >= F.col("ts_us") - F.lit(ASOF_TOLERANCE_US),
+            F.col("pval_asof"),
+        ).alias("recent_purchase_value"),
+    )
+
+
+def q_streaming_incremental_df(spark, sf_dir):
+    """Incremental TF-IDF document-frequency stats maintained by
+    foreachBatch micro-batch upserts over a 4-file document stream — the
+    final stats table must hash-match the BATCH document-frequency oracle
+    (the whole point of the incremental path: same answer, maintained
+    incrementally). Exercises generation-commit atomicity, batch-id
+    idempotence, and the upsert merge end-to-end."""
+    import tempfile
+
+    from hadoop_tfidf_spark.streaming.incremental import IncrementalTfidfStats
+
+    base = tempfile.mkdtemp(prefix="spark_graft_incdf_")
+    docs = load_docs(spark, f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{base}/docs")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{base}/docs").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/docs")
+    )
+    stats = IncrementalTfidfStats(spark, f"{base}/stats")
+    stats.attach(stream).awaitTermination()
+    return stats.df_table()
+
+
 def q_streaming_tumbling(spark, sf_dir):
     """Structured Streaming windowed aggregation, drained with the
     availableNow trigger — rows-only (streaming is not SQL-expressible for
@@ -341,6 +432,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngram_freq": q_text_ngram_freq,
     "dedup_near_canonical": q_dedup_near_canonical,
     "dedup_components": q_dedup_components,
+    "rel_grouping_sets": q_rel_grouping_sets,
+    "rel_order_gaps": q_rel_order_gaps,
+    "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
+    "rel_percentiles": q_rel_percentiles,
+    "events_hopping": q_events_hopping,
+    "rel_parts_with_shipments": q_rel_parts_with_shipments,
+    "asof_last_purchase_30d": q_asof_last_purchase_30d,
+    "streaming_incremental_df": q_streaming_incremental_df,
 }
 
 
@@ -848,5 +947,79 @@ reach(doc_id, r) AS (
   SELECT reach.doc_id, e.v AS r FROM reach JOIN edges e ON reach.r = e.u
 )
 SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+""",
+    "rel_grouping_sets": """
+SELECT coalesce(r_name, 'ALL') AS r_name,
+       coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+       round(sum(c_acctbal), 2) AS total_acctbal,
+       count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment))
+""",
+    "rel_order_gaps": """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       epoch(o_orderdate)::BIGINT - lag(epoch(o_orderdate)::BIGINT) OVER w AS gap_s,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "rel_acctbal_ntiles": """
+WITH t AS (
+  SELECT n_name, c_acctbal,
+         ntile(4) OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, quartile, count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM t GROUP BY n_name, quartile
+""",
+    "rel_percentiles": """
+SELECT l_returnflag, count(*) AS n_items,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+FROM lineitem GROUP BY l_returnflag
+""",
+    "events_hopping": """
+WITH h AS (
+  SELECT unnest([epoch_ns(ts) // 1800000000000,
+                 epoch_ns(ts) // 1800000000000 - 1]) AS hop_id,
+         event_type, value
+  FROM events
+)
+SELECT hop_id * 1800 AS window_start_s, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM h GROUP BY hop_id, event_type
+""",
+    "rel_parts_with_shipments": """
+SELECT p_partkey, p_brand, p_type FROM part p
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND year(l_shipdate) = 1995
+)
+""",
+    "asof_last_purchase_30d": """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS pts, max(value) AS pval
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts)
+),
+e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+)
+SELECT e.event_id, e.user_id, e.ts_us,
+       CASE WHEN p.pts >= e.ts_us - 2592000000000
+            THEN p.pval END AS recent_purchase_value
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.pts
+""",
+    "streaming_incremental_df": """
+SELECT word, count(DISTINCT doc_id) AS df FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+) WHERE word <> '' GROUP BY word
 """,
 }

@@ -202,6 +202,135 @@ def region_year_cube(orders: DataFrame, customer: DataFrame, nation: DataFrame, 
     )
 
 
+def segment_region_grouping_sets(
+    customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Explicit GROUPING SETS ((region), (segment), (region, segment)) —
+    the non-hierarchical sets neither ROLLUP nor CUBE expresses (no
+    grand-total set). One pass, one shuffle: Spark expands the sets into
+    a single aggregation keyed by (groups, grouping-id), exactly like the
+    rollup/cube plans. NULL group labels normalized to 'ALL'."""
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "c_mktsegment", "c_acctbal")
+    )
+    return (
+        joined.groupingSets(
+            [["r_name"], ["c_mktsegment"], ["r_name", "c_mktsegment"]],
+            "r_name",
+            "c_mktsegment",
+        )
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count("*").cast("bigint").alias("n_customers"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("c_mktsegment"),
+            "total_acctbal",
+            "n_customers",
+        )
+    )
+
+
+def order_gaps(orders: DataFrame) -> DataFrame:
+    """Per-customer order sequencing with lag + running frames: order
+    index, seconds since the customer's previous order, and running spend.
+
+    Window partitioned by ``o_custkey`` (never global — scales with the
+    key space) and totally ordered by (date, key) so lag/row_number are
+    deterministic. Gap arithmetic on epoch seconds (exact integers, no
+    date-part/timezone semantics to align across engines)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NTZ → timestamp → long = epoch seconds under the session's UTC zone,
+    # matching DuckDB epoch() on naive timestamps
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        (epoch - F.lag(epoch).over(w)).alias("gap_s"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+    )
+
+
+def acctbal_ntiles(
+    customer: DataFrame, nation: DataFrame, n_tiles: int = 4
+) -> DataFrame:
+    """Within-nation account-balance quartiles: ntile over a totally
+    ordered per-nation window, re-aggregated to one row per
+    (nation, quartile). The window partitions by nation — bounded
+    partitions, never the single-partition global-ntile antipattern."""
+    w = Window.partitionBy("n_name").orderBy("c_acctbal", "c_custkey")
+    tiled = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_acctbal", "c_custkey")
+        .withColumn("quartile", F.ntile(n_tiles).over(w).cast("bigint"))
+    )
+    return tiled.groupBy("n_name", "quartile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+def price_percentiles(lineitem: DataFrame) -> DataFrame:
+    """EXACT continuous percentiles (median / p90) per return flag —
+    complements the sketch-based ``approx_distinct_stats``: ``percentile``
+    interpolates linearly on the sorted group exactly as DuckDB's
+    ``quantile_cont``, so this one IS oracle-hash-checkable. Exact
+    percentiles need the full group in memory per key — fine for
+    low-cardinality keys like returnflag; use ``percentile_approx`` when
+    the key space or group size explodes."""
+    p = F.percentile("l_extendedprice", F.lit([0.5, 0.9]))
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(p.getItem(0), 6).alias("price_p50"),
+        F.round(p.getItem(1), 6).alias("price_p90"),
+    )
+
+
+def events_hopping(events: DataFrame) -> DataFrame:
+    """Sliding (hopping) 60-minute windows every 30 minutes, batch form:
+    each event belongs to exactly two hops. Window id by integer ``div``
+    on epoch nanos (``ts_ns``) — exact arithmetic, engine-portable — and
+    the 2× fan-out is a narrow ``explode`` before the single aggregation
+    shuffle (the streaming twin is ``F.window(ts, '60 minutes',
+    '30 minutes')``, same semantics)."""
+    hop = F.expr("ts_ns div 1800000000000")
+    return (
+        events.select(
+            F.explode(F.array(hop, hop - F.lit(1))).alias("hop_id"),
+            "event_type",
+            "value",
+        )
+        .groupBy((F.col("hop_id") * 1800).alias("window_start_s"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def parts_with_shipments(part: DataFrame, lineitem: DataFrame, year: int) -> DataFrame:
+    """Left-semi join surface (EXISTS): parts with at least one lineitem
+    shipped in ``year``. Semi join keeps only the key from the probe side
+    — no fact-table payload crosses the shuffle, and AQE may broadcast
+    the aggregated key set."""
+    shipped = lineitem.where(F.year("l_shipdate") == year).select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return part.join(shipped, "p_partkey", "left_semi").select(
+        "p_partkey", "p_brand", "p_type"
+    )
+
+
 def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
     """Set-op / anti-join surface: customers with no orders at all.
     Expressed as a left-anti join (the scalable form of EXCEPT on a key —
