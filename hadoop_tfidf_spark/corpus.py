@@ -109,6 +109,18 @@ def load_csv(
     return df.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
 
+def load_orc(
+    spark: SparkSession,
+    path: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ORC corpus loader → normalized ``(doc_id, text)``. Spark's built-in
+    ORC source keeps predicate pushdown + column pruning like parquet."""
+    df = spark.read.orc(path)
+    return df.select(F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+
 def load_jsonl(
     spark: SparkSession,
     path: str,

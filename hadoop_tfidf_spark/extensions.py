@@ -134,6 +134,18 @@ def q_multimodal_decode(spark, sf_dir):
     return media_pipeline(_docs(spark, sf_dir))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    from hadoop_tfidf_spark.operators.multimodal import resize_media
+
+    return resize_media(media_pipeline(_docs(spark, sf_dir)))
+
+
+def q_multimodal_frames(spark, sf_dir):
+    from hadoop_tfidf_spark.operators.multimodal import sample_frames
+
+    return sample_frames(media_pipeline(_docs(spark, sf_dir)))
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     return R.pricing_summary(_tbl(spark, sf_dir, "lineitem"))
 
@@ -394,6 +406,26 @@ def q_streaming_tumbling(spark, sf_dir):
     )
 
 
+def q_streaming_session(spark, sf_dir):
+    """Structured Streaming native session windows drained with the
+    availableNow trigger — rows-only (the oracle-checked batch twin is
+    ``events_sessionize``; tests cross-check counts)."""
+    import tempfile
+    import uuid
+
+    from hadoop_tfidf_spark.streaming.windows import (
+        read_event_stream,
+        run_to_completion,
+        session_windows,
+    )
+
+    path = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
+    stream = read_event_stream(spark, path, max_files_per_trigger=4)
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(session_windows(stream), name, output_mode="append")
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_apply": q_dedup_exact_apply,
@@ -440,6 +472,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_parts_with_shipments": q_rel_parts_with_shipments,
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "streaming_incremental_df": q_streaming_incremental_df,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    "streaming_session": q_streaming_session,
 }
 
 
@@ -1021,5 +1056,35 @@ FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.pts
 SELECT word, count(DISTINCT doc_id) AS df FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 ) WHERE word <> '' GROUP BY word
+""",
+    "multimodal_resize": """
+WITH d AS (
+  SELECT doc_id,
+         md5(text) AS content_md5,
+         ('0x' || substr(md5(text), 1, 2))::BIGINT AS width,
+         ('0x' || substr(md5(text), 3, 2))::BIGINT AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       least(width, 64) AS out_width,
+       least(height, 64) AS out_height,
+       md5(content_md5 || ':' || least(width, 64) || 'x' || least(height, 64))
+         AS resized_md5
+FROM d
+""",
+    "multimodal_frames": """
+WITH d AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         ('0x' || substr(md5(text), 5, 1))::BIGINT AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT DISTINCT doc_id, content_md5, (k.k * n_frames) // 3 AS frame_idx
+  FROM d CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+  WHERE n_frames > 0
+)
+SELECT doc_id, frame_idx,
+       md5(content_md5 || ':' || frame_idx) AS frame_md5
+FROM f
 """,
 }

@@ -101,3 +101,100 @@ def media_pipeline(docs: DataFrame) -> DataFrame:
     """Full multimodal ingest: attach payload → Arrow decode → typed
     features. One narrow Python stage, no shuffle."""
     return decode_media(with_binary_payload(docs))
+
+
+#: Output schema of the resize stage.
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_width", LongType()),
+        StructField("out_height", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_media(decoded: DataFrame, max_dim: int = 64) -> DataFrame:
+    """Resize stage over decoded media: clamp each dimension to
+    ``max_dim`` preserving nothing fancy (STUB — a real implementation
+    calls PIL/opencv per row; the fake derives the "resized" content
+    digest from the source digest + target dims so the DuckDB oracle can
+    reproduce it). Same 1:1 Arrow ``mapInPandas`` shape as decode: O(batch)
+    memory, no shuffle, parallelism = input partitions."""
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        md = max_dim  # closed-over scalar; no module globals
+
+        for pdf in batches:
+            ow = pdf["width"].clip(upper=md)
+            oh = pdf["height"].clip(upper=md)
+            rh = [
+                hashlib.md5(f"{m}:{w}x{h}".encode()).hexdigest()
+                for m, w, h in zip(pdf["content_md5"], ow, oh)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pdf["width"].values,
+                    "height": pdf["height"].values,
+                    "out_width": ow.values,
+                    "out_height": oh.values,
+                    "resized_md5": rh,
+                }
+            )
+
+    return decoded.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+#: Output schema of the frame-sampling stage (1:N fan-out).
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(decoded: DataFrame, n_samples: int = 3) -> DataFrame:
+    """Frame-sampling stage: emit up to ``n_samples`` evenly spaced frames
+    per media item — the 1:N fan-out shape (video → frames) the 1:1 decode
+    doesn't exercise. Sampled indices are ``floor(k·n_frames/n_samples)``
+    for k < n_samples, deduped; items with ``n_frames = 0`` emit nothing.
+    STUB frame content: md5 of ``content_md5:frame_idx`` (deterministic,
+    SQL-reproducible). ``mapInPandas`` may yield more rows than its input
+    batch — the fan-out happens inside the Arrow stream, no explode/join.
+    """
+
+    def frame_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        ns = n_samples
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, md5_, n_frames in zip(
+                pdf["doc_id"], pdf["content_md5"], pdf["n_frames"]
+            ):
+                n = int(n_frames)
+                if n <= 0:
+                    continue
+                for idx in sorted({(k * n) // ns for k in range(ns)}):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    digests.append(
+                        hashlib.md5(f"{md5_}:{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return decoded.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)

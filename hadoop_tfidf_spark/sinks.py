@@ -24,6 +24,12 @@ def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("sep", "\t").csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC columnar sink (built-in Spark format) — same pushdown/pruning
+    properties as parquet for shops standardized on ORC."""
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:

@@ -54,3 +54,36 @@ def test_partitioning_preserved(spark):
     docs = _docs(spark).repartition(3)
     out = decode_media(with_binary_payload(docs))
     assert out.rdd.getNumPartitions() == 3
+
+
+def test_resize_clamps_and_hashes(spark):
+    from hadoop_tfidf_spark.operators.multimodal import RESIZED_SCHEMA, resize_media
+
+    out = resize_media(media_pipeline(_docs(spark)), max_dim=64)
+    assert out.schema == RESIZED_SCHEMA
+    rows = {r.doc_id: r for r in out.collect()}
+    h = hashlib.md5(b"hello world").hexdigest()
+    w, ht = int(h[0:2], 16), int(h[2:4], 16)
+    ow, oh = min(w, 64), min(ht, 64)
+    assert (rows[1].out_width, rows[1].out_height) == (ow, oh)
+    assert rows[1].resized_md5 == hashlib.md5(f"{h}:{ow}x{oh}".encode()).hexdigest()
+
+
+def test_sample_frames_fanout(spark):
+    """1:N fan-out inside the Arrow stream: up to 3 evenly spaced frames,
+    deduped; zero-frame items emit nothing."""
+    from hadoop_tfidf_spark.operators.multimodal import FRAMES_SCHEMA, sample_frames
+
+    out = sample_frames(media_pipeline(_docs(spark)), n_samples=3)
+    assert out.schema == FRAMES_SCHEMA
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_md5))
+    for doc_id, text in [(1, b"hello world"), (2, b"spark engine"), (3, b"")]:
+        h = hashlib.md5(text).hexdigest()
+        n = int(h[4:5], 16)
+        want = sorted({(k * n) // 3 for k in range(3)}) if n > 0 else []
+        idxs = sorted(i for i, _ in got.get(doc_id, []))
+        assert idxs == want, (doc_id, n)
+        for idx, fh in got.get(doc_id, []):
+            assert fh == hashlib.md5(f"{h}:{idx}".encode()).hexdigest()

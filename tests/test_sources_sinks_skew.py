@@ -36,6 +36,22 @@ def test_load_jsonl(spark, tmp_path):
     assert set(docs.columns) == {"doc_id", "text"}
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink roundtrip preserves rows and schema."""
+    from hadoop_tfidf_spark.corpus import load_orc
+    from hadoop_tfidf_spark.sinks import write_orc
+
+    p = str(tmp_path / "docs_orc")
+    src = spark.createDataFrame(
+        [("d1", "hello world"), ("d2", "spark rocks")], ["doc_id", "text"]
+    )
+    write_orc(src, p)
+    docs = load_orc(spark, p)
+    assert {(r.doc_id, r.text) for r in docs.collect()} == {
+        ("d1", "hello world"), ("d2", "spark rocks"),
+    }
+
+
 def test_reference_parity_line_encodings(spark):
     """word#####file \\t n and word@file \\t score — byte shapes of
     DocWordCount.java:62 and TFIDF.java:166."""
