@@ -406,6 +406,36 @@ def q_streaming_tumbling(spark, sf_dir):
     )
 
 
+def q_doc_frequency_salted(spark, sf_dir):
+    """Document frequency via the two-phase SALTED aggregation — the skew
+    path (operators/skew.salted_agg) under the strong oracle gate: a hot
+    word spreads over 32 salt buckets in phase 1, phase 2 merges partials;
+    the result must hash-match the plain doc_frequency oracle (salting is
+    value-preserving)."""
+    from hadoop_tfidf_spark.corpus import SPACE_TOKEN_PATTERN, tokenize
+    from hadoop_tfidf_spark.operators.skew import salted_agg
+    from hadoop_tfidf_spark.tfidf import doc_word_count
+
+    dwc = doc_word_count(tokenize(_docs(spark, sf_dir), SPACE_TOKEN_PATTERN))
+    return salted_agg(dwc, "word", F.count(F.lit(1)), "df", merge="sum")
+
+
+def q_sql_tfidf_top100(spark, sf_dir):
+    """The engine's SQL surface under the driver gate: the global top-100
+    TF-IDF scores expressed as ``spark.sql`` text over the registered lazy
+    views (sql.register_views) — the view re-plans per query, so Catalyst
+    still prunes/pushes inside the derived relations."""
+    from hadoop_tfidf_spark.sql import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT word, doc_id, round(tfidf, 6) AS tfidf
+        FROM tfidf
+        ORDER BY round(tfidf, 6) DESC, word, doc_id
+        LIMIT 100
+    """)
+
+
 def q_streaming_session(spark, sf_dir):
     """Structured Streaming native session windows drained with the
     availableNow trigger — rows-only (the oracle-checked batch twin is
@@ -475,6 +505,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "streaming_session": q_streaming_session,
+    "doc_frequency_salted": q_doc_frequency_salted,
+    "sql_tfidf_top100": q_sql_tfidf_top100,
 }
 
 
@@ -1086,5 +1118,25 @@ f AS (
 SELECT doc_id, frame_idx,
        md5(content_md5 || ':' || frame_idx) AS frame_md5
 FROM f
+""",
+    "doc_frequency_salted": """
+SELECT word, count(DISTINCT doc_id) AS df FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+) WHERE word <> '' GROUP BY word
+""",
+    "sql_tfidf_top100": """
+WITH tokens AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+dwc AS (SELECT word, doc_id, count(*) AS n FROM tokens GROUP BY word, doc_id),
+dfreq AS (SELECT word, count(*) AS df FROM dwc GROUP BY word),
+ndocs AS (SELECT count(*) AS num_docs FROM documents)
+SELECT word, doc_id,
+       round((1.0 + log10(n)) * log10(1.0 + floor(num_docs / df)), 6) AS tfidf
+FROM dwc JOIN dfreq USING (word) CROSS JOIN ndocs
+ORDER BY tfidf DESC, word, doc_id
+LIMIT 100
 """,
 }
