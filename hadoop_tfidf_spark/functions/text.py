@@ -88,23 +88,49 @@ def lang_id(docs: DataFrame) -> DataFrame:
     the argmax (ties broken by language code; zero hits → ``und``).
 
     Plan shape: explode tokens → broadcast join the ~30-row marker table →
-    two hash aggregations keyed on doc_id. The marker table is broadcast, so
-    the corpus never shuffles before the per-doc aggregation.
+    ONE hash aggregation keyed on doc_id with a conditional-count column
+    per language (the language set is a compile-time constant, so the
+    per-language pivot is free), then the argmax is a pure projection via
+    the ``greatest``-of-structs trick — no second aggregation, no
+    per-doc window sort. One shuffle total; the corpus never shuffles
+    before the per-doc aggregation (markers are broadcast).
     """
     spark = docs.sparkSession
     markers = spark.createDataFrame(
         [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
         "lang string, word string",
     )
+    langs = sorted(LANG_MARKERS)
     tokens = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
-    hits = (
+    counts = (
         tokens.join(F.broadcast(markers), "word")
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("hits"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("lang") == lang, F.lit(1))).alias(f"_h{i}")
+                for i, lang in enumerate(langs)
+            ]
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
-    best = hits.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return docs.select("doc_id").join(best, "doc_id", "left").select(
+    # argmax(hits) with ties to the alphabetically first language:
+    # greatest() picks the max (hits, inverse-index) struct, so on equal
+    # hits the SMALLER language index (larger inverse) wins.
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"_h{i}").alias("hits"),
+                F.lit(len(langs) - 1 - i).alias("inv"),
+            )
+            for i in range(len(langs))
+        ]
+    )
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    picked = counts.withColumn("_b", best).select(
+        "doc_id",
+        F.element_at(lang_arr, F.lit(len(langs)) - F.col("_b.inv")).alias("lang"),
+        F.col("_b.hits").alias("hits"),
+    )
+    return docs.select("doc_id").join(picked, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
         F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("marker_hits"),

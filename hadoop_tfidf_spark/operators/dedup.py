@@ -405,9 +405,13 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).where(F.col("word") != "")
     dwc = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
-    word_hash = (
-        dwc.select("word").distinct().select("word", hex_to_long(F.md5("word")).alias("wh"))
-    )
+    # Word hash computed INLINE per (doc, word) row — one md5 more per row
+    # than hashing the distinct vocabulary once, but that variant costs a
+    # distinct-aggregation shuffle plus a broadcast whose size is the
+    # vocabulary (unbounded at web scale — a 100 M-word vocab doesn't
+    # broadcast). Inline md5 is map-side, embarrassingly parallel, and
+    # keeps the pipeline at two total shuffles with no broadcast risk.
+    #
     # Columnar bit sums: one aggregation keyed on doc_id with `bits` sum
     # columns — the shuffle moves |docs| rows × bits values instead of the
     # row-per-bit explode's |dwc| × bits rows (same argument as the
@@ -420,7 +424,11 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         ).alias(f"s_{j}")
         for j in range(bits)
     ]
-    per_doc = dwc.join(F.broadcast(word_hash), "word").groupBy("doc_id").agg(*bit_sums)
+    per_doc = (
+        dwc.withColumn("wh", hex_to_long(F.md5("word")))
+        .groupBy("doc_id")
+        .agg(*bit_sums)
+    )
     sig = None
     for j in range(bits):
         term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
