@@ -406,6 +406,39 @@ def q_streaming_tumbling(spark, sf_dir):
     )
 
 
+def q_events_time_rollup(spark, sf_dir):
+    return R.events_time_rollup(load_events(spark, sf_dir))
+
+
+def q_streaming_stateful_totals(spark, sf_dir):
+    """applyInPandasWithState running totals under the STRONG gate: the
+    stateful operator emits updated (n_events, total_value) per user per
+    micro-batch; n_events strictly increases, so the max_by(n_events) row
+    per user is the final state — which must hash-match the plain batch
+    aggregation oracle. Proves custom state survives and composes across
+    micro-batches, not just that rows came out."""
+    import tempfile
+    import uuid
+
+    from hadoop_tfidf_spark.streaming.stateful import running_user_totals
+    from hadoop_tfidf_spark.streaming.windows import (
+        read_event_stream,
+        run_to_completion,
+    )
+
+    path = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
+    stream = read_event_stream(spark, path, max_files_per_trigger=4)
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    updates = run_to_completion(
+        running_user_totals(stream), name, output_mode="update"
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.round(F.max_by("total_value", "n_events"), 6).alias("total_value"),
+    )
+
+
 def q_doc_frequency_salted(spark, sf_dir):
     """Document frequency via the two-phase SALTED aggregation — the skew
     path (operators/skew.salted_agg) under the strong oracle gate: a hot
@@ -507,6 +540,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_session": q_streaming_session,
     "doc_frequency_salted": q_doc_frequency_salted,
     "sql_tfidf_top100": q_sql_tfidf_top100,
+    "events_time_rollup": q_events_time_rollup,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
 }
 
 
@@ -1138,5 +1173,22 @@ SELECT word, doc_id,
 FROM dwc JOIN dfreq USING (word) CROSS JOIN ndocs
 ORDER BY tfidf DESC, word, doc_id
 LIMIT 100
+""",
+    "events_time_rollup": """
+SELECT coalesce(epoch_day, -1) AS epoch_day,
+       coalesce(epoch_hour, -1) AS epoch_hour,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM (
+  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS epoch_day,
+         CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS epoch_hour,
+         value
+  FROM events
+)
+GROUP BY ROLLUP (epoch_day, epoch_hour)
+""",
+    "streaming_stateful_totals": """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
 """,
 }

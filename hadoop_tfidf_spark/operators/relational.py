@@ -318,6 +318,31 @@ def events_hopping(events: DataFrame) -> DataFrame:
     )
 
 
+def events_time_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: event counts at
+    (day, hour), (day), and grand-total granularities in ONE pass —
+    ``ROLLUP`` expands the grouping sets inside a single aggregation
+    shuffle instead of three scans. Time keys are integer ``div`` on epoch
+    nanos (exact, engine-portable); NULL rollup levels normalized to -1.
+    """
+    day = F.expr("ts_ns div 86400000000000").alias("epoch_day")
+    hour = F.expr("ts_ns div 3600000000000").alias("epoch_hour")
+    return (
+        events.select(day, hour, "value")
+        .rollup("epoch_day", "epoch_hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("epoch_day"), F.lit(-1)).cast("bigint").alias("epoch_day"),
+            F.coalesce(F.col("epoch_hour"), F.lit(-1)).cast("bigint").alias("epoch_hour"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def parts_with_shipments(part: DataFrame, lineitem: DataFrame, year: int) -> DataFrame:
     """Left-semi join surface (EXISTS): parts with at least one lineitem
     shipped in ``year``. Semi join keeps only the key from the probe side

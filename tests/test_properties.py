@@ -104,3 +104,53 @@ def test_rank_is_permutation(spark, texts, query):
     by_rank = [x.score for x in sorted(r, key=lambda x: x.rnk)]
     assert by_rank == scores  # rank order matches descending score order
     assert sorted(x.rnk for x in r) == list(range(1, len(r) + 1))
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_salted_df_equals_plain_df(spark, texts):
+    """Salting is value-preserving: the two-phase salted aggregation on
+    word equals plain doc_frequency for any corpus."""
+    from hadoop_tfidf_spark.operators.skew import salted_agg
+    from hadoop_tfidf_spark.tfidf import doc_frequency
+
+    dwc = doc_word_count(tokenize(_docs(spark, texts), " "))
+    plain = {(r.word, r.df) for r in doc_frequency(dwc).collect()}
+    salted = {
+        (r.word, r.df)
+        for r in salted_agg(dwc, "word", F.count(F.lit(1)), "df", merge="sum").collect()
+    }
+    assert salted == plain
+
+
+def test_hopping_double_counts_every_event(spark):
+    """60min/30min hopping windows: every event lands in exactly two
+    windows, so Σ n_events = 2·|events| and Σ total_value = 2·Σ value."""
+    from hadoop_tfidf_spark.operators.relational import events_hopping
+    from hadoop_tfidf_spark.sources.events import load_events
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    out = events_hopping(ev).agg(
+        F.sum("n_events").alias("n"), F.round(F.sum("total_value"), 4).alias("v")
+    ).collect()[0]
+    base = ev.agg(
+        F.count("*").alias("n"), F.round(F.sum("value") * 2, 4).alias("v2")
+    ).collect()[0]
+    assert out.n == 2 * base.n
+    assert abs(out.v - base.v2) < 1e-3
+
+
+def test_time_rollup_levels_consistent(spark):
+    """ROLLUP hierarchy: the grand total row equals the sum of the
+    per-day rows, which equals the sum of the (day, hour) rows."""
+    from hadoop_tfidf_spark.operators.relational import events_time_rollup
+    from hadoop_tfidf_spark.sources.events import load_events
+
+    rows = events_time_rollup(load_events(spark, "/root/testdata/sf0.001")).collect()
+    grand = [r for r in rows if r.epoch_day == -1]
+    days = [r for r in rows if r.epoch_day != -1 and r.epoch_hour == -1]
+    hours = [r for r in rows if r.epoch_hour != -1]
+    assert len(grand) == 1
+    assert grand[0].n_events == sum(r.n_events for r in days) == sum(
+        r.n_events for r in hours
+    )
