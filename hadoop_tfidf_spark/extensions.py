@@ -439,6 +439,42 @@ def q_streaming_stateful_totals(spark, sf_dir):
     )
 
 
+def q_text_hash_sample(spark, sf_dir):
+    """Deterministic 10% corpus sample + 90/5/5 split labels — membership
+    is a pure function of doc_id (md5-bucketed), so it is reproducible in
+    the oracle, across engines, and across incremental ingests."""
+    from hadoop_tfidf_spark.operators.sampling import hash_bucket_col, hash_split
+
+    docs = _docs(spark, sf_dir)
+    labeled = hash_split(docs, "doc_id", {"train": 90, "valid": 5, "test": 5})
+    return labeled.withColumn(
+        "bucket", hash_bucket_col(F.col("doc_id")).cast("bigint")
+    ).where(F.col("bucket") < 10).select("doc_id", "bucket", "split")
+
+
+def q_streaming_incremental_dedup(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup index maintained by foreachBatch
+    over a 4-file document stream — the accumulated candidate pairs must
+    hash-match the ONE-SHOT batch LSH oracle (the equivalence guarantee:
+    cross-batch pairs surface via the new-vs-old index join, same-batch
+    pairs via the self-join)."""
+    import tempfile
+
+    from hadoop_tfidf_spark.streaming.dedup import IncrementalLshIndex
+
+    base = tempfile.mkdtemp(prefix="spark_graft_incdedup_")
+    docs = load_docs(spark, f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{base}/docs")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{base}/docs").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/docs")
+    )
+    idx = IncrementalLshIndex(spark, f"{base}/idx")
+    idx.attach(stream).awaitTermination()
+    return idx.candidate_pairs()
+
+
 def q_doc_frequency_salted(spark, sf_dir):
     """Document frequency via the two-phase SALTED aggregation — the skew
     path (operators/skew.salted_agg) under the strong oracle gate: a hot
@@ -542,6 +578,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_tfidf_top100": q_sql_tfidf_top100,
     "events_time_rollup": q_events_time_rollup,
     "streaming_stateful_totals": q_streaming_stateful_totals,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "text_hash_sample": q_text_hash_sample,
 }
 
 
@@ -1190,5 +1228,18 @@ GROUP BY ROLLUP (epoch_day, epoch_hour)
     "streaming_stateful_totals": """
 SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY user_id
+""",
+    "streaming_incremental_dedup": _MINHASH_CTES + "SELECT doc_a, doc_b FROM cand",
+    "text_hash_sample": """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b WHERE bucket < 10
 """,
 }

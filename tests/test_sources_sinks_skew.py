@@ -107,3 +107,25 @@ def test_skewed_broadcast_join_matches_plain(spark):
     split = skewed_broadcast_join(fact, dim, "k", hot_keys=[1])
     plain = fact.join(dim, "k")
     assert sorted(map(tuple, split.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_hash_split_deterministic_and_total(spark):
+    """hash_split labels every row, is a pure function of the key (a
+    subset recomputation agrees), and rejects non-100 totals."""
+    import pytest as _pytest
+
+    from hadoop_tfidf_spark.operators.sampling import hash_sample, hash_split
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    labeled = {r.doc_id: r.split for r in
+               hash_split(docs, "doc_id", {"train": 90, "valid": 5, "test": 5}).collect()}
+    assert len(labeled) == 500 and set(labeled.values()) <= {"train", "valid", "test"}
+    # recomputing on a subset gives identical labels (ingest-stable splits)
+    sub = {r.doc_id: r.split for r in
+           hash_split(docs.limit(100), "doc_id", {"train": 90, "valid": 5, "test": 5}).collect()}
+    assert all(labeled[k] == v for k, v in sub.items())
+    # sample is the first buckets of the same hash → subset of train range
+    n = hash_sample(docs, "doc_id", 10).count()
+    assert 0 < n < 500
+    with _pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"train": 50, "test": 49})
