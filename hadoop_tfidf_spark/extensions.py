@@ -114,6 +114,21 @@ def q_sim_topk_lsh(spark, sf_dir):
     )
 
 
+def q_sim_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization under the strong gate — per-vector
+    integer code summaries (the per-element codes are identical doubles in
+    both engines, so rounding agrees exactly); scalar outputs because the
+    driver's canonicalizer can't sort array cells."""
+    q = S.quantize_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.size("qvec").cast("bigint").alias("dim"),
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda s, x: s + x).alias("qsum"),
+        F.array_max("qvec").cast("bigint").alias("qmax"),
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
@@ -580,6 +595,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_stateful_totals": q_streaming_stateful_totals,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "text_hash_sample": q_text_hash_sample,
+    "sim_quantize_int8": q_sim_quantize_int8,
 }
 
 
@@ -1241,5 +1257,26 @@ SELECT doc_id, bucket,
             WHEN bucket < 95 THEN 'valid'
             ELSE 'test' END AS split
 FROM b WHERE bucket < 10
+""",
+    "sim_quantize_int8": """
+WITH s AS (
+  SELECT vec_id, embedding,
+         len(embedding) AS dim,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, dim, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qvec
+  FROM s
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
+       CAST(list_sum(qvec) AS BIGINT) AS qsum,
+       CAST(list_max(qvec) AS BIGINT) AS qmax
+FROM q
 """,
 }

@@ -254,6 +254,49 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    ``scale = max(|x|)/127``, ``q_i = round(x_i/scale)`` ∈ [-127, 127].
+
+    The 100 TB storage lever: float32 → int8 cuts an embedding corpus 4×
+    (and int8 dot products are what ANN serving stacks run). Entirely
+    built-in higher-order expressions — per-row, zero shuffle, quantized
+    vectors stay distributed. Dequantize with ``q_i · scale``; the
+    recovered-cosine error bound is asserted in tests (< 1e-2 for unit-ish
+    vectors). Zero vectors get scale 0 and all-zero codes.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(0.0))
+    q = F.when(
+        F.col("_scale") > 0,
+        F.transform(v, lambda x: F.round(x / F.col("_scale")).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (
+        embeddings.withColumn("_scale", scale)
+        .select(
+            "*",
+            F.col("_scale").alias("scale"),
+            q.alias("qvec"),
+        )
+        .drop("_scale")
+    )
+
+
+def dequantized_cosine(a_q: Column, a_scale: Column, b_q: Column, b_scale: Column) -> Column:
+    """Cosine over int8 codes: scales cancel in the normalization, so this
+    is the INTEGER dot/norms of the codes — the cheap form ANN serving
+    uses (scale only matters for recovering raw dot products)."""
+    qa = F.transform(a_q, lambda x: x.cast("double"))
+    qb = F.transform(b_q, lambda x: x.cast("double"))
+    num = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(qa, F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(qb, F.lit(0.0), lambda s, x: s + x * x))
+    return num / (na * nb)
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.9,

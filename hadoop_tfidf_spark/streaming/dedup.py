@@ -14,8 +14,9 @@ Each micro-batch:
    ``(band, band_key)``, the same bucket-join shape as the batch operator,
    never O(n²);
 3. appends ``batch=<id>/{bands,pairs}`` under the index directory, staged
-   and committed with ONE Hadoop ``FileSystem.rename`` (atomic on
-   HDFS/POSIX).
+   and committed with ONE Hadoop ``FileSystem.rename`` — atomic on
+   HDFS/POSIX local filesystems; on S3 rename is copy+delete, so use a
+   real table format (Delta/Iceberg) there — the dataflow is identical.
 
 Idempotence under foreachBatch's at-least-once replay: a batch directory
 that already exists is skipped (the rename either happened — replay is a

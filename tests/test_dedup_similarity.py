@@ -160,3 +160,47 @@ class TestSimilaritySearch:
         df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"])
         v = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
         assert v == pytest.approx(0.9746318461970762)
+
+
+class TestQuantization:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        rows = [
+            (0, [1.0, -1.0, 1.0, -1.0, 0.9, -0.9, 1.1, -1.1]),
+            (1, [0.9, -1.1, 1.1, -0.9, 1.0, -1.0, 0.9, -1.0]),
+            (2, [-1.0, 1.0, -1.0, 1.0, -0.9, 0.9, -1.1, 1.1]),
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "vec"])
+
+    def test_int8_codes_in_range_and_roundtrip(self, spark, vectors):
+        """Codes bounded by ±127; dequantized cosine within 1e-2 of exact
+        (the int8 quality bar for retrieval); scales cancel so the code
+        cosine needs no scale at all."""
+        q = S.quantize_int8(vectors, vec_col="vec")
+        rows = q.collect()
+        assert all(-127 <= c <= 127 for r in rows for c in r.qvec)
+        a = q.select(
+            F.col("vec_id").alias("ida"),
+            F.col("vec").alias("va"),
+            F.col("qvec").alias("qa"),
+            F.col("scale").alias("sa"),
+        )
+        b = q.select(
+            F.col("vec_id").alias("idb"),
+            F.col("vec").alias("vb"),
+            F.col("qvec").alias("qb"),
+            F.col("scale").alias("sb"),
+        )
+        pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+            S.cosine(F.col("va"), F.col("vb")).alias("exact"),
+            S.dequantized_cosine(
+                F.col("qa"), F.col("sa"), F.col("qb"), F.col("sb")
+            ).alias("approx"),
+        )
+        for r in pairs.collect():
+            assert abs(r.exact - r.approx) < 1e-2
+
+    def test_zero_vector_quantizes_to_zero(self, spark):
+        z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], ["vec_id", "vec"])
+        r = S.quantize_int8(z, vec_col="vec").collect()[0]
+        assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
