@@ -114,6 +114,18 @@ def q_sim_topk_lsh(spark, sf_dir):
     )
 
 
+def q_sim_topk_pandas(spark, sf_dir):
+    """Arrow-batched BLAS cosine top-k (mapInPandas) — rows-only: the
+    float64 matmul differs from the oracle's sequential fold by ~1 ulp at
+    rounding boundaries; tests assert equivalence to the hash-gated
+    expression path (sim_topk_brute) instead."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    return S.pandas_cosine_topk(emb, queries, k=SIM_K).select(
+        "query_id", "vec_id", "cos_sim", "rn"
+    )
+
+
 def q_sim_quantize_int8(spark, sf_dir):
     """Int8 embedding quantization under the strong gate — per-vector
     integer code summaries (the per-element codes are identical doubles in
@@ -448,9 +460,12 @@ def q_streaming_stateful_totals(spark, sf_dir):
     updates = run_to_completion(
         running_user_totals(stream), name, output_mode="update"
     )
+    # round(4): per-user sums reach ~5e4 and the two engines accumulate in
+    # different orders — 4 decimals puts the rounding boundary ~7 orders of
+    # magnitude above the float error instead of ~1
     return updates.groupBy("user_id").agg(
         F.max("n_events").cast("bigint").alias("n_events"),
-        F.round(F.max_by("total_value", "n_events"), 6).alias("total_value"),
+        F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
     )
 
 
@@ -596,6 +611,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "text_hash_sample": q_text_hash_sample,
     "sim_quantize_int8": q_sim_quantize_int8,
+    "sim_topk_pandas": q_sim_topk_pandas,
 }
 
 
@@ -1242,7 +1258,7 @@ FROM (
 GROUP BY ROLLUP (epoch_day, epoch_hour)
 """,
     "streaming_stateful_totals": """
-SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS total_value
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id
 """,
     "streaming_incremental_dedup": _MINHASH_CTES + "SELECT doc_a, doc_b FROM cand",

@@ -204,3 +204,27 @@ class TestQuantization:
         z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], ["vec_id", "vec"])
         r = S.quantize_int8(z, vec_col="vec").collect()[0]
         assert r.scale == 0.0 and list(r.qvec) == [0, 0, 0]
+
+
+class TestPandasCosine:
+    def test_matches_expression_path(self, spark):
+        """The Arrow-batched BLAS path returns the same neighbors and
+        scores (to float tolerance) as the expression-based brute force."""
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+            for i in range(30)
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        queries = emb.where(F.col("vec_id") < 3)
+        expr_out = {
+            (r.query_id, r.vec_id): (r.cos_sim, r.rn)
+            for r in S.brute_force_topk(emb, queries, k=5).collect()
+        }
+        pd_out = {
+            (r.query_id, r.vec_id): (r.cos_sim, r.rn)
+            for r in S.pandas_cosine_topk(emb, queries, k=5).collect()
+        }
+        assert set(expr_out) == set(pd_out)
+        for key, (cos, rn) in expr_out.items():
+            assert abs(pd_out[key][0] - cos) <= 1e-6
+            assert pd_out[key][1] == rn
