@@ -555,6 +555,78 @@ def q_streaming_session(spark, sf_dir):
     return run_to_completion(session_windows(stream), name, output_mode="append")
 
 
+def q_rel_market_share(spark, sf_dir):
+    return R.nation_market_share(
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "nation"),
+        _tbl(spark, sf_dir, "region"),
+    )
+
+
+def q_rel_status_priority(spark, sf_dir):
+    return R.status_priority_mix(
+        _tbl(spark, sf_dir, "lineitem"), _tbl(spark, sf_dir, "orders")
+    )
+
+
+def q_rel_returned_top(spark, sf_dir):
+    return R.returned_item_customers(
+        _tbl(spark, sf_dir, "customer"),
+        _tbl(spark, sf_dir, "orders"),
+        _tbl(spark, sf_dir, "lineitem"),
+        _tbl(spark, sf_dir, "nation"),
+    )
+
+
+def q_events_range_frame(spark, sf_dir):
+    return R.events_range_frame(load_events(spark, sf_dir))
+
+
+def q_events_user_extremes(spark, sf_dir):
+    return R.user_event_extremes(load_events(spark, sf_dir))
+
+
+def q_rel_orders_above_avg(spark, sf_dir):
+    return R.orders_above_customer_avg(_tbl(spark, sf_dir, "orders"))
+
+
+def q_asof_next_event(spark, sf_dir):
+    """FORWARD as-of join: each order gets the customer's next event
+    at-or-after the order date (first touch after purchase decision) —
+    the direction="forward" path of operators/asof.asof_join. Oracle =
+    a min()-over-join SQL formulation (DuckDB ASOF is backward-only), an
+    independent implementation of the same semantics."""
+    from hadoop_tfidf_spark.operators.asof import asof_join
+
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    orders = _tbl(spark, sf_dir, "orders")
+    left = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+    ).withColumn("ots_us", F.unix_micros("ots"))
+    # unique per (user, ts): earliest event_id wins a same-µs tie
+    right = ev.groupBy("user_id", F.col("ts_us").alias("ets_us")).agg(
+        F.min("event_id").alias("next_event_id")
+    )
+    out = asof_join(
+        left, right, on="user_id", left_time="ots_us", right_time="ets_us",
+        right_values=["next_event_id"], direction="forward",
+    )
+    return out.select(
+        "o_orderkey",
+        "user_id",
+        F.col("next_event_id_asof").cast("bigint").alias("next_event_id"),
+    )
+
+
+def q_text_cooccurrence(spark, sf_dir):
+    from hadoop_tfidf_spark.functions.text import cooccurrence
+
+    return cooccurrence(_docs(spark, sf_dir), top=100)
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_apply": q_dedup_exact_apply,
@@ -612,6 +684,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hash_sample": q_text_hash_sample,
     "sim_quantize_int8": q_sim_quantize_int8,
     "sim_topk_pandas": q_sim_topk_pandas,
+    "rel_market_share": q_rel_market_share,
+    "rel_status_priority": q_rel_status_priority,
+    "rel_returned_top": q_rel_returned_top,
+    "events_range_frame": q_events_range_frame,
+    "events_user_extremes": q_events_user_extremes,
+    "rel_orders_above_avg": q_rel_orders_above_avg,
+    "asof_next_event": q_asof_next_event,
+    "text_cooccurrence": q_text_cooccurrence,
 }
 
 
@@ -1294,5 +1374,110 @@ SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
        CAST(list_sum(qvec) AS BIGINT) AS qsum,
        CAST(list_max(qvec) AS BIGINT) AS qmax
 FROM q
+""",
+    "rel_market_share": """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         sum(o.o_totalprice) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name, year(o.o_orderdate)
+)
+SELECT r_name, n_name, o_year,
+       round(revenue, 2) AS revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY r_name, o_year), 6)
+         AS share
+FROM per_nation
+""",
+    "rel_status_priority": """
+SELECT o.o_orderstatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY o.o_orderstatus
+""",
+    "rel_returned_top": """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    "events_range_frame": """
+WITH e AS (
+  SELECT event_id, user_id, value,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+  FROM events
+)
+SELECT event_id, user_id, ts_s,
+       round(sum(value) OVER w, 6) AS trailing_sum,
+       count(*) OVER w AS trailing_n
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+    "events_user_extremes": """
+WITH rk AS (
+  SELECT user_id, event_type, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id DESC) AS rmax,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value ASC, event_id ASC) AS rmin
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN rmax = 1 THEN event_type END) AS top_event_type,
+       max(CASE WHEN rmin = 1 THEN event_type END) AS bottom_event_type,
+       round(max(value), 6) AS max_value,
+       round(min(value), 6) AS min_value,
+       count(*) AS n_events
+FROM rk GROUP BY user_id
+""",
+    "rel_orders_above_avg": """
+WITH a AS (
+  SELECT o_custkey, avg(o_totalprice) AS cust_avg FROM orders GROUP BY o_custkey
+)
+SELECT o.o_custkey, o.o_orderkey,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(a.cust_avg, 6) AS cust_avg
+FROM orders o JOIN a ON o.o_custkey = a.o_custkey
+WHERE o.o_totalprice > a.cust_avg
+""",
+    "asof_next_event": """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS ets_us, min(event_id) AS next_event_id
+  FROM events GROUP BY user_id, epoch_us(ts)
+)
+SELECT o.o_orderkey, o.o_custkey AS user_id,
+       CAST(arg_min(r.next_event_id, r.ets_us) AS BIGINT) AS next_event_id
+FROM orders o
+LEFT JOIN r ON r.user_id = o.o_custkey
+           AND r.ets_us >= epoch_us(o.o_orderdate::TIMESTAMP)
+GROUP BY o.o_orderkey, o.o_custkey
+""",
+    "text_cooccurrence": """
+WITH toks AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> ''
+)
+SELECT a.w AS w1, b.w AS w2, count(*) AS n
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
+GROUP BY a.w, b.w
+ORDER BY n DESC, w1, w2
+LIMIT 100
 """,
 }

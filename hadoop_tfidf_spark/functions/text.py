@@ -160,6 +160,36 @@ def ngram_freq(docs: DataFrame, n: int = 2, top: int = 100) -> DataFrame:
     )
 
 
+def cooccurrence(docs: DataFrame, top: int = 100) -> DataFrame:
+    """Corpus-wide token co-occurrence: top ``top`` unordered pairs of
+    distinct tokens appearing in the same document (the PMI / word-vector
+    statistics pass of a text pipeline).
+
+    Plan: per-doc distinct-token explode → self-equi-join on doc_id with
+    ``w1 < w2`` (each unordered pair once) → count → TakeOrderedAndProject.
+    The join shuffles both sides on doc_id — well-distributed by
+    construction (one group per document, pairs quadratic only in the
+    per-doc DISTINCT vocabulary, bounded by doc length, not corpus size).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).alias("w"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")),
+    ).select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     hash every ``k``-word shingle, slide a ``window``-wide frame over the

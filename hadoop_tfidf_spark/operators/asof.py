@@ -29,15 +29,24 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with the same
-    ``on`` key and ``right_time <= left_time`` (backward as-of join).
+    """For each left row, attach the nearest right row with the same
+    ``on`` key: ``right_time <= left_time`` taking the latest
+    (``direction="backward"``, the default) or ``right_time >= left_time``
+    taking the earliest (``direction="forward"``) — both inclusive.
 
     Returns all left columns plus ``{v}{suffix}`` for each requested right
-    value column (NULL when no right row precedes). For deterministic
+    value column (NULL when no right row matches). For deterministic
     output the right side must be unique per (key, time) — pre-aggregate
     duplicates (the declared query does ``max(value)`` per (user, ts)).
+
+    Both directions are the same single-shuffle union+window plan; forward
+    just flips the within-key scan (first over the following frame instead
+    of last over the preceding one).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt, rt = F.col(left_time), F.col(right_time)
     # Each right value rides inside a marker struct that is non-null for
     # every right row — last(ignorenulls=True) then selects by row recency,
@@ -67,19 +76,31 @@ def asof_join(
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
         *[_wrap(v).alias(f"_rv_{v}") for v in right_values],
     )
-    # right rows sort BEFORE left rows at equal time (_is_left ascending):
-    # a right row at exactly left_time is visible to that left row (<=).
     unioned = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.asc("_t"), F.asc("_is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal time (_is_left asc):
+        # a right row at exactly left_time is visible to that left row (<=)
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.asc("_t"), F.asc("_is_left"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    else:
+        # forward: scan the following frame; right rows sort AFTER left
+        # rows at equal time (_is_left desc) so an equal-time right row is
+        # still visible (>= inclusive)
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.asc("_t"), F.desc("_is_left"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
     carried = unioned.select(
         "_is_left",
         "_l",
         *[
-            F.last(f"_rv_{v}", ignorenulls=True).over(w).alias(f"_rv_{v}")
+            pick(f"_rv_{v}", ignorenulls=True).over(w).alias(f"_rv_{v}")
             for v in right_values
         ],
     )

@@ -510,6 +510,149 @@ def lapsed_customers(orders: DataFrame, year_a: int, year_b: int) -> DataFrame:
     return a.subtract(b)
 
 
+def nation_market_share(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Window-over-aggregate: each nation's share of its region's yearly
+    revenue. The aggregation shrinks the fact table to (region, nation,
+    year) grain first, so the share window runs over a tiny relation —
+    the scalable shape for ratio-to-parent reports (never window the raw
+    fact rows)."""
+    per_nation = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name", "n_name", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("r_name", "o_year")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "o_year",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+def status_priority_mix(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q12-shaped conditional aggregation over a fact-to-fact join:
+    lineitem ⋈ orders on orderkey, CASE-WHEN urgency counts per order
+    status (the testdata lineitem has no shipmode column; status plays
+    the low-cardinality group role).
+
+    This is the one big-big join in the surface — both sides shuffle on
+    orderkey (sort-merge under AQE); the shipdate filter cuts lineitem
+    before the exchange and pushes to the parquet scan. At 100 TB,
+    bucketing both tables on orderkey makes this join shuffle-free."""
+    filtered = lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        filtered.join(orders, filtered.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-``k`` customers by
+    revenue lost to returned lineitems. Fact-to-fact join on orderkey
+    (filters pushed to both scans), dims broadcast, then
+    ``orderBy().limit(k)`` plans TakeOrderedAndProject — top-k without a
+    global sort."""
+    returned = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        returned.join(orders, returned.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def events_range_frame(events: DataFrame, window_s: int = 3600) -> DataFrame:
+    """RANGE window frame (time-based, not row-based): per-user sum/count
+    of ``value`` over the trailing ``window_s`` seconds at each event.
+    Unlike a rows-frame, simultaneous bursts contribute fully regardless
+    of row count. Ordering key = epoch seconds (integer, engine-portable);
+    one shuffle on user_id."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-window_s, 0)
+    )
+    with_s = events.withColumn("ts_s", F.expr("ts_ns div 1000000000"))
+    return with_s.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.round(F.sum("value").over(w), 6).alias("trailing_sum"),
+        F.count("*").over(w).cast("bigint").alias("trailing_n"),
+    )
+
+
+def user_event_extremes(events: DataFrame) -> DataFrame:
+    """min_by/max_by aggregation surface: per user, the event type of the
+    highest- and lowest-valued event plus value extremes. One shuffle with
+    full map-side partial aggregation (min_by carries one candidate row of
+    state per group)."""
+    # value ties: testdata values are continuous doubles (ties absent);
+    # event_id tie-break keeps it deterministic anyway
+    pair = F.struct(F.col("value"), F.col("event_id"))
+    return events.groupBy("user_id").agg(
+        F.max_by("event_type", pair).alias("top_event_type"),
+        F.min_by("event_type", pair).alias("bottom_event_type"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated-predicate surface (decorrelated by hand the way Catalyst
+    does): orders strictly above their own customer's average order value.
+    Expressed as an aggregate + self-equi-join — one shuffle each side on
+    o_custkey (AQE broadcasts the per-customer aggregate when small)."""
+    avg_per_cust = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        orders.join(avg_per_cust, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            # averages of 2-decimal money can sit exactly ON the half-cent
+            # rounding boundary (sum_cents/n = x.xx5), where a 1-ulp
+            # cross-engine difference flips round(x, 2) — 6 decimals keeps
+            # the boundary far from representable targets (sums are safe at
+            # 2: they carry exactly 2 decimals, never a third digit of 5)
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+    )
+
+
 def json_props_stats(events: DataFrame) -> DataFrame:
     """JSON extraction + aggregation: pull ``$.k`` out of the ``props``
     JSON string column, aggregate per event type. ``get_json_object`` is a
