@@ -98,3 +98,39 @@ def test_filter_pushdown_reaches_scan(spark):
     plan = executed_plan(q, run=False)
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_returned_top_is_topk_not_global_sort(stats_of):
+    """Q10-shaped report: dims broadcast; orderBy().limit() becomes
+    TakeOrderedAndProject, so no extra range-partition exchange beyond the
+    aggregation shuffle."""
+    s = stats_of("rel_returned_top")
+    assert s.broadcast_hash_joins >= 2
+    assert s.cartesian_products == 0
+    assert s.shuffle_exchanges <= 2
+
+
+def test_market_share_windows_aggregate_not_fact(stats_of):
+    """Share-of-parent: window runs over the (region, nation, year)
+    aggregate — dims broadcast, two shuffles (agg + window re-key), never
+    a fact-row window."""
+    s = stats_of("rel_market_share")
+    assert s.broadcast_hash_joins == 3
+    assert s.shuffle_exchanges <= 2
+
+
+def test_asof_next_event_single_key_shuffle(stats_of):
+    """Forward as-of: union+window plan — shuffles bounded (right-side
+    pre-aggregation + the key partition), no join explosion."""
+    s = stats_of("asof_next_event")
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.shuffle_exchanges <= 3
+
+
+def test_cooccurrence_equi_join(stats_of):
+    """Pair generation is an equi-join on doc_id (broadcast or SMJ), never
+    an all-pairs product."""
+    s = stats_of("text_cooccurrence")
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
