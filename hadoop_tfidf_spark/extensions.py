@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_tfidf_spark.corpus import load_docs
+from hadoop_tfidf_spark.declared import _ORACLE_CTES as _CORE_CTES
 from hadoop_tfidf_spark.functions.text import (
     LANG_MARKERS,
     QUALITY_STOPWORDS,
@@ -627,6 +628,72 @@ def q_text_cooccurrence(spark, sf_dir):
     return cooccurrence(_docs(spark, sf_dir), top=100)
 
 
+def q_events_interval_join(spark, sf_dir):
+    return R.click_purchase_interval_join(load_events(spark, sf_dir))
+
+
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join drained with availableNow — rows-only
+    (the oracle-checked batch twin is ``events_interval_join``; the test
+    asserts pair-set equality between the two)."""
+    import tempfile
+    import uuid
+
+    from hadoop_tfidf_spark.streaming.joins import click_purchase_stream_join
+    from hadoop_tfidf_spark.streaming.windows import (
+        read_event_stream,
+        run_to_completion,
+    )
+
+    path = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
+    stream = read_event_stream(spark, path, max_files_per_trigger=4)
+    name = f"stream_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(
+        click_purchase_stream_join(stream), name, output_mode="append"
+    )
+
+
+def q_doc_similarity_tfidf(spark, sf_dir):
+    """Doc-to-doc cosine in TF-IDF space (top-100 pairs) — the reflexive
+    extension of the reference's query scoring (Search.java:210–252 applied
+    doc-vs-doc instead of query-vs-doc)."""
+    from hadoop_tfidf_spark.declared import _tfidf_rounded
+    from hadoop_tfidf_spark.search import doc_similarity
+
+    return doc_similarity(_tfidf_rounded(spark, sf_dir), k=100)
+
+
+def q_text_contamination(spark, sf_dir):
+    """Benchmark-decontamination scan: shingle overlap of candidate docs
+    (doc_id % 10 != 0) against the held-out benchmark slice
+    (doc_id % 10 == 0)."""
+    from hadoop_tfidf_spark.functions.text import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    return contamination_check(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        k=3,
+    )
+
+
+def q_text_chunk(spark, sf_dir):
+    """Fixed-size token chunking (context-window prep), 32-token
+    non-overlapping windows."""
+    from hadoop_tfidf_spark.functions.text import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir), chunk_size=32)
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrub over the corpus (emails/phones → tags + match counts;
+    clean-text fingerprint is the hash-checked value)."""
+    from hadoop_tfidf_spark.functions.text import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_exact_apply": q_dedup_exact_apply,
@@ -692,6 +759,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_orders_above_avg": q_rel_orders_above_avg,
     "asof_next_event": q_asof_next_event,
     "text_cooccurrence": q_text_cooccurrence,
+    "events_interval_join": q_events_interval_join,
+    "streaming_interval_join": q_streaming_interval_join,
+    "doc_similarity_tfidf": q_doc_similarity_tfidf,
+    "text_contamination": q_text_contamination,
+    "text_chunk": q_text_chunk,
+    "text_pii_redact": q_text_pii_redact,
 }
 
 
@@ -1479,5 +1552,99 @@ FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.w < b.w
 GROUP BY a.w, b.w
 ORDER BY n DESC, w1, w2
 LIMIT 100
+""",
+    "events_interval_join": """
+WITH c AS (
+  SELECT event_id AS click_id, user_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS click_s
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS purchase_s, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, p.purchase_id, c.user_id,
+       CAST(p.purchase_s - c.click_s AS BIGINT) AS lag_s,
+       round(p.value, 6) AS purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p.purchase_s >= c.click_s
+             AND p.purchase_s <= c.click_s + 1800
+""",
+    "doc_similarity_tfidf": _CORE_CTES + """
+, norms AS (
+  SELECT doc_id, sqrt(sum(tfidf * tfidf)) AS nrm
+  FROM tfidf_rel GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.tfidf * b.tfidf) AS dot
+  FROM tfidf_rel a JOIN tfidf_rel b
+    ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+ORDER BY cos_sim DESC, d.doc_a, d.doc_b
+LIMIT 100
+""",
+    "text_contamination": """
+WITH cand AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+    FROM documents
+    WHERE doc_id % 10 != 0 AND len(string_split(text, ' ')) >= 3
+  )
+),
+bench AS (
+  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT string_split(text, ' ') AS w,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+    FROM documents
+    WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3
+  )
+)
+SELECT c.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       round(CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS overlap_ratio
+FROM cand c LEFT JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+""",
+    "text_chunk": """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, words,
+         generate_subscripts(generate_series(1, len(words), 32), 1) AS chunk_id,
+         unnest(generate_series(1, len(words), 32)) AS s
+  FROM w WHERE len(words) > 0
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(words[s:s+31]) AS BIGINT) AS n_tokens,
+       array_to_string(words[s:s+31], ' ') AS chunk_text
+FROM starts
+""",
+    "text_pii_redact": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+         '\d{3}[-.]\d{3,4}[-.]\d{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\d{3}[-.]\d{3,4}[-.]\d{4}', '<PHONE>', 'g')) AS clean_md5
+FROM documents
 """,
 }

@@ -160,6 +160,111 @@ def ngram_freq(docs: DataFrame, n: int = 2, top: int = 100) -> DataFrame:
     )
 
 
+def chunk_tokens(
+    docs: DataFrame, chunk_size: int = 32, stride: int | None = None
+) -> DataFrame:
+    """Fixed-size token chunking: split each document into ``chunk_size``-
+    token windows every ``stride`` tokens (default non-overlapping) — the
+    context-window preparation pass for embedding / training pipelines.
+
+    Returns ``(doc_id, chunk_id, n_tokens, chunk_text)``; the final chunk
+    may be short, empty docs produce no chunks.
+
+    Pure narrow expression pipeline (sequence → transform → posexplode):
+    no shuffle, no Python — chunking 100 TB is scan-bound. A Python UDTF
+    could express the same thing; the built-in path stays in whole-stage
+    codegen (see SURVEY.md §4 on keeping the hot path JVM-side).
+    """
+    if stride is None:
+        stride = chunk_size
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(words)
+    # start offsets 1, 1+stride, … ≤ n — every window is non-empty
+    starts = F.sequence(F.lit(1), n, F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(words, s, chunk_size))
+    return (
+        docs.where(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id0", "chunk"))
+        .select(
+            "doc_id",
+            (F.col("chunk_id0") + 1).cast("bigint").alias("chunk_id"),
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+#: PII patterns — deliberately RE2-compatible (no lookarounds, no Java-only
+#: syntax) so the DuckDB oracle runs the very same strings.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrub: replace email addresses and phone-shaped numbers with
+    placeholder tags, reporting per-doc match counts — the privacy pass of
+    a training-data pipeline.
+
+    Returns ``(doc_id, n_emails, n_phones, clean_md5)`` where ``clean_md5``
+    fingerprints the redacted text (hash-stable across engines). Narrow
+    projection — regexp_replace/count are codegen'd JVM expressions, no
+    shuffle at all.
+    """
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame, bench_docs: DataFrame, k: int = 3
+) -> DataFrame:
+    """Benchmark-contamination scan: for every candidate training document,
+    the fraction of its distinct word ``k``-gram shingles that also appear
+    anywhere in a benchmark/eval corpus — the decontamination pass every
+    LLM training pipeline runs before training.
+
+    Returns ``(doc_id, n_shingles, n_hits, overlap_ratio)`` for docs with
+    at least ``k`` words (shorter docs have no shingles to match).
+
+    Plan: distinct shingles per side; a left-semi join marks hits (only
+    the shingle key crosses the shuffle, no payload); two aggregations at
+    doc grain. At scale the benchmark shingle set is typically small
+    enough to broadcast — AQE does that automatically; otherwise the semi
+    join shuffles on the shingle hash, which is uniformly distributed.
+    """
+    from hadoop_tfidf_spark.operators.dedup import shingles
+
+    cand = shingles(docs, k=k).select("doc_id", "shingle").distinct()
+    bench = shingles(bench_docs, k=k).select("shingle").distinct()
+    totals = cand.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    hits = (
+        cand.join(bench, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("overlap_ratio"),
+        )
+    )
+
+
 def cooccurrence(docs: DataFrame, top: int = 100) -> DataFrame:
     """Corpus-wide token co-occurrence: top ``top`` unordered pairs of
     distinct tokens appearing in the same document (the PMI / word-vector

@@ -653,6 +653,46 @@ def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_interval_join(
+    events: DataFrame, horizon_s: int = 1800
+) -> DataFrame:
+    """Interval (time-bounded) join: every (click, purchase) pair for the
+    same user where the purchase lands within ``horizon_s`` seconds AFTER
+    the click — attribution pairing, the batch twin of the stream-stream
+    interval join in ``streaming/joins.py``.
+
+    Plans as an equi-join on user_id with the time band as a post-join
+    filter — one shuffle per side, no range explosion (pairs are bounded
+    by per-user activity within the horizon, not by table sizes).
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.expr("ts_ns div 1000000000").alias("click_s"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.expr("ts_ns div 1000000000").alias("purchase_s"),
+        "value",
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_s") >= F.col("click_s"))
+            & (F.col("purchase_s") <= F.col("click_s") + horizon_s),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.col("purchase_s") - F.col("click_s")).alias("lag_s"),
+            F.round("value", 6).alias("purchase_value"),
+        )
+    )
+
+
 def json_props_stats(events: DataFrame) -> DataFrame:
     """JSON extraction + aggregation: pull ``$.k`` out of the ``props``
     JSON string column, aggregate per event type. ``get_json_object`` is a

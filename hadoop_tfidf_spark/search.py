@@ -79,6 +79,57 @@ def rank(search_df: DataFrame) -> DataFrame:
     return search_df.withColumn("rnk", F.row_number().over(w))
 
 
+def doc_similarity(
+    tfidf_df: DataFrame, k: int = 100, df_cap: int | None = None
+) -> DataFrame:
+    """All-pairs document cosine similarity in TF-IDF space, top-``k``
+    pairs — the doc-to-doc extension of the reference's query-to-doc
+    scoring (same vector space as Search.java's scoring, applied
+    reflexively).
+
+    Plan: self-equi-join on ``word`` (pairs exist only where vocabulary
+    overlaps — never a cross join), dot products via one aggregation on
+    the (doc_a, doc_b) pair, norms joined back, TakeOrderedAndProject for
+    the top-k. The word join is the skew point at scale: a stopword-grade
+    term with df≈N contributes O(N²) pairs — ``df_cap`` prunes terms with
+    df above the cap before the join (standard practice; such terms carry
+    near-zero idf weight anyway, so the cosine loss is bounded).
+    """
+    t = tfidf_df.select("word", "doc_id", "tfidf", "df")
+    if df_cap is not None:
+        t = t.where(F.col("df") <= df_cap)
+    norms = t.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("nrm")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tfidf") * F.col("b.tfidf")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(k)
+    )
+
+
 def tfidf_rank(tfidf_df: DataFrame, limit: int | None = None) -> DataFrame:
     """Global descending rank of all (word, doc) scores (reference
     TFIDFRank.java:76–94).

@@ -114,3 +114,52 @@ def test_load_events_normalizes_timestamp_schema(spark):
         (F.col("ts_ns") - F.unix_micros("ts") * 1000).alias("d")
     ).agg(F.max(F.abs("d"))).collect()[0][0]
     assert row == 0
+
+
+def test_interval_join_streaming_matches_batch(spark):
+    """The stream-stream interval join must produce exactly the batch
+    twin's pair set (same horizon), drained with availableNow."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in qs["events_interval_join"](spark, SF_DIR_SMOKE).collect()
+    }
+    stream = {
+        (r.click_id, r.purchase_id)
+        for r in qs["streaming_interval_join"](spark, SF_DIR_SMOKE).collect()
+    }
+    assert stream == batch and len(batch) > 0
+
+
+def test_contamination_bounds_and_self_overlap(spark):
+    from hadoop_tfidf_spark.functions.text import contamination_check
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "x y z w")],
+        "doc_id BIGINT, text STRING",
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in contamination_check(docs, bench, k=3).collect()}
+    # doc 1: shingles {a b c, b c d} → 1 hit of 2; doc 2 fully contained;
+    # doc 3 disjoint
+    assert out[1].n_shingles == 2 and out[1].n_hits == 1
+    assert abs(out[1].overlap_ratio - 0.5) < 1e-9
+    assert out[2].overlap_ratio == 1.0
+    assert out[3].n_hits == 0 and out[3].overlap_ratio == 0.0
+
+
+def test_doc_similarity_identical_docs_score_one(spark):
+    from hadoop_tfidf_spark.search import doc_similarity
+    from hadoop_tfidf_spark.tfidf import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {(r.doc_a, r.doc_b): r.cos_sim
+           for r in doc_similarity(tfidf(docs), k=10).collect()}
+    # identical docs → cosine 1; disjoint vocab docs never pair
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out
