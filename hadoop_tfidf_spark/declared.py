@@ -109,6 +109,32 @@ def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tokens(spark, sf_dir)
 
 
+#: Precondition under which the reference tokenizer ``\s*\b\s*``
+#: (DocWordCount.java:49, Java regex) provably equals a single-space split:
+#: the text is word-char tokens (``[A-Za-z0-9_]+``) joined by single spaces.
+#: On such text every ``\b`` sits at a space edge, zero-width edge matches
+#: produce only empty tokens (dropped by the O3 filter), and interior runs
+#: have no boundaries — so both tokenizers emit the same (doc_id, word)
+#: multiset. SURVEY.md §1.3 has the general-case divergence analysis.
+_WORDCHAR_TEXT = r"^[A-Za-z0-9_]+( [A-Za-z0-9_]+)*$"
+
+
+def q_tokens_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ0b — tokenize+flatten with the *reference* regex ``\\s*\\b\\s*``
+    (reference O2, DocWordCount.java:49; same JVM regex engine, so
+    bit-identical to the reference tokenizer).
+
+    The oracle can't run Java regex, so the query is fixture-constrained by
+    construction: both sides keep only documents matching
+    :data:`_WORDCHAR_TEXT`, on which reference-split = space-split is a
+    theorem, not a data accident. On the driver corpus the filter keeps
+    every row, so this puts the reference tokenizer itself under the hash
+    gate over the full corpus.
+    """
+    docs = _docs(spark, sf_dir).where(F.col("text").rlike(_WORDCHAR_TEXT))
+    return tokenize(docs)  # default pattern = REFERENCE_TOKEN_PATTERN
+
+
 def q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DQ1 — per-(word, doc) count (reference O5, DocWordCount.java:68–79)."""
     return doc_word_count(_tokens(spark, sf_dir))
@@ -162,6 +188,7 @@ def q_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokens": q_tokens,
+    "tokens_reference_pattern": q_tokens_reference,
     "doc_word_count": q_doc_word_count,
     "term_frequency": q_term_frequency,
     "doc_frequency": q_doc_frequency,
@@ -173,6 +200,12 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 CORE_ORACLE_SQL: dict[str, str] = {
     "tokens": _ORACLE_CTES + "SELECT doc_id, word FROM tokens",
+    "tokens_reference_pattern": """
+SELECT doc_id, word FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  WHERE regexp_matches(text, '^[A-Za-z0-9_]+( [A-Za-z0-9_]+)*$')
+) WHERE word <> ''
+""",
     "doc_word_count": _ORACLE_CTES + "SELECT word, doc_id, n FROM dwc",
     "term_frequency": _ORACLE_CTES
     + "SELECT word, doc_id, round(1.0 + log10(n), 6) AS tf FROM dwc",

@@ -35,6 +35,14 @@ from hadoop_tfidf_spark.sources.events import load_events
 SIM_QUERY_IDS = [0, 1, 2, 3, 4]
 SIM_K = 10
 NEAR_DUP_COS = 0.9
+#: Gate-only near-dup threshold. The driver's synthetic embeddings are
+#: near-orthogonal random vectors (max same-bucket pairwise cosine ≈ 0.43 at
+#: sf0.01), so the production default 0.9 yields an EMPTY relation and the
+#: oracle row would vacuously compare {} to {} — proving nothing. 0.30 keeps
+#: ~24 pairs at sf0.01 flowing through the full blocking-join + cosine
+#: pipeline, making the hash check exercise real data. The operator default
+#: stays :data:`NEAR_DUP_COS`; unit tests cover genuinely-near vectors.
+GATE_NEAR_DUP_COS = 0.30
 JACCARD_K = 3
 
 
@@ -96,7 +104,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    return S.embedding_near_dup(_emb(spark, sf_dir), threshold=NEAR_DUP_COS)
+    """Embedding-cosine near-dup pairs at the gate threshold (see
+    :data:`GATE_NEAR_DUP_COS` for why it differs from the 0.9 default)."""
+    return S.embedding_near_dup(_emb(spark, sf_dir), threshold=GATE_NEAR_DUP_COS)
 
 
 def q_sim_topk_brute(spark, sf_dir):
@@ -255,8 +265,12 @@ def q_rel_region_year_cube(spark, sf_dir):
 
 
 def q_rel_customers_without_orders(spark, sf_dir):
+    """Customers with no orders in 1995. Scoped to a year because at every
+    driver SF each customer has *some* order — the unscoped variant returns
+    the empty set and the gate row would vacuously compare {} to {} (326
+    rows at sf0.01 with the year scope)."""
     return R.customers_without_orders(
-        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders")
+        _tbl(spark, sf_dir, "customer"), _tbl(spark, sf_dir, "orders"), year=1995
     )
 
 
@@ -413,9 +427,17 @@ def q_streaming_incremental_df(spark, sf_dir):
 
 
 def q_streaming_tumbling(spark, sf_dir):
-    """Structured Streaming windowed aggregation, drained with the
-    availableNow trigger — rows-only (streaming is not SQL-expressible for
-    the oracle; tests cross-check against the oracle-verified batch twin)."""
+    """Structured Streaming tumbling-window aggregation under the STRONG
+    gate: the stream is drained with the availableNow trigger in *complete*
+    output mode, so the final sink table is the full aggregation — which
+    must hash-match the same DuckDB group-by the batch twin
+    (``events_tumbling``) is checked against. Complete mode (not append)
+    because append only emits watermark-closed windows: rows still open at
+    drain time are withheld, making the output depend on file arrival order
+    — correct streaming semantics, but not a deterministic gate relation
+    (the append path stays covered by tests/test_streaming.py). Value sums
+    ride as integer micro-units (`exact_sums`) so micro-batch merge order
+    can't flip a float's last rounded digit."""
     import tempfile
     import uuid
 
@@ -429,8 +451,14 @@ def q_streaming_tumbling(spark, sf_dir):
     load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
-    return run_to_completion(
-        windowed_event_counts(stream), name, output_mode="append"
+    sink = run_to_completion(
+        windowed_event_counts(stream, exact_sums=True), name, output_mode="complete"
+    )
+    return sink.select(
+        F.expr("unix_timestamp(window_start) div 3600").alias("epoch_hour"),
+        "event_type",
+        "n_events",
+        "total_value_us",
     )
 
 
@@ -694,77 +722,93 @@ def q_text_pii_redact(spark, sf_dir):
     return redact_pii(_docs(spark, sf_dir))
 
 
+# Ordering contract: the driver's correctness gate checks only the FIRST
+# 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
+# Slots are therefore spent deliberately:
+#   1) operators added in rounds 3–5 (never driver-checked before r5),
+#   2) the streaming queries whose final tables hash against batch oracles,
+#   3) one oracle-backed representative per operator family from rounds 1–2
+#      (their siblings hold green rows in CORRECTNESS_r01..r04 and stay
+#      covered by tools/check_correctness.py + tests).
+# Rows-only / no-oracle entries (sketches, IVF, ulp-sensitive BLAS, append-
+# mode streaming) and already-proven round-1 siblings sit past the cap.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- rounds 3-4 operators, oracle-backed (first driver check in r5) --
+    "asof_next_event": q_asof_next_event,
+    "asof_last_purchase_30d": q_asof_last_purchase_30d,
+    "events_range_frame": q_events_range_frame,
+    "events_user_extremes": q_events_user_extremes,
+    "events_interval_join": q_events_interval_join,
+    "events_time_rollup": q_events_time_rollup,
+    "rel_market_share": q_rel_market_share,
+    "rel_status_priority": q_rel_status_priority,
+    "rel_returned_top": q_rel_returned_top,
+    "rel_orders_above_avg": q_rel_orders_above_avg,
+    "rel_parts_with_shipments": q_rel_parts_with_shipments,
+    "text_cooccurrence": q_text_cooccurrence,
+    "text_contamination": q_text_contamination,
+    "text_chunk": q_text_chunk,
+    "text_pii_redact": q_text_pii_redact,
+    "text_hash_sample": q_text_hash_sample,
+    "sim_quantize_int8": q_sim_quantize_int8,
+    "doc_similarity_tfidf": q_doc_similarity_tfidf,
+    "sql_tfidf_top100": q_sql_tfidf_top100,
+    "doc_frequency_salted": q_doc_frequency_salted,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    # -- streaming, hash-gated against batch-equivalent oracles --
+    "streaming_tumbling": q_streaming_tumbling,
+    "streaming_incremental_df": q_streaming_incremental_df,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    # -- one oracle-backed representative per round-1/2 family --
     "dedup_exact": q_dedup_exact,
-    "dedup_exact_apply": q_dedup_exact_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_near_canonical": q_dedup_near_canonical,
+    "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "sim_topk_brute": q_sim_topk_brute,
     "sim_topk_lsh": q_sim_topk_lsh,
     "text_token_stats": q_text_token_stats,
-    "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_ngram_freq": q_text_ngram_freq,
+    "rel_customers_without_orders": q_rel_customers_without_orders,
+    "rel_revenue_by_region": q_rel_revenue_by_region,
+    # ---------------- past the driver's 50-entry cap ----------------
+    # (green rows in CORRECTNESS_r01..r04; still run by the local checker)
+    "dedup_exact_apply": q_dedup_exact_apply,
+    "dedup_simhash": q_dedup_simhash,
+    "text_quality": q_text_quality,
     "multimodal_decode": q_multimodal_decode,
     "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_revenue_by_region": q_rel_revenue_by_region,
     "rel_top_customers": q_rel_top_customers,
     "rel_acctbal_rollup": q_rel_acctbal_rollup,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
     "events_json_props": q_events_json_props,
+    "events_moving_avg": q_events_moving_avg,
+    "events_hopping": q_events_hopping,
+    "events_click_purchase": q_events_click_purchase,
     "asof_last_purchase": q_asof_last_purchase,
     "rel_event_pivot": q_rel_event_pivot,
     "rel_region_year_cube": q_rel_region_year_cube,
-    "rel_customers_without_orders": q_rel_customers_without_orders,
-    "rel_approx_distinct": q_rel_approx_distinct,
-    "events_moving_avg": q_events_moving_avg,
     "rel_repeat_customers": q_rel_repeat_customers,
-    "streaming_tumbling": q_streaming_tumbling,
-    "sim_topk_ivf": q_sim_topk_ivf,
     "rel_price_bands": q_rel_price_bands,
     "rel_order_calendar": q_rel_order_calendar,
-    "events_click_purchase": q_events_click_purchase,
     "rel_lapsed_customers": q_rel_lapsed_customers,
-    "text_ngram_freq": q_text_ngram_freq,
-    "dedup_near_canonical": q_dedup_near_canonical,
-    "dedup_components": q_dedup_components,
     "rel_grouping_sets": q_rel_grouping_sets,
     "rel_order_gaps": q_rel_order_gaps,
     "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
     "rel_percentiles": q_rel_percentiles,
-    "events_hopping": q_events_hopping,
-    "rel_parts_with_shipments": q_rel_parts_with_shipments,
-    "asof_last_purchase_30d": q_asof_last_purchase_30d,
-    "streaming_incremental_df": q_streaming_incremental_df,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_frames": q_multimodal_frames,
-    "streaming_session": q_streaming_session,
-    "doc_frequency_salted": q_doc_frequency_salted,
-    "sql_tfidf_top100": q_sql_tfidf_top100,
-    "events_time_rollup": q_events_time_rollup,
-    "streaming_stateful_totals": q_streaming_stateful_totals,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
-    "text_hash_sample": q_text_hash_sample,
-    "sim_quantize_int8": q_sim_quantize_int8,
+    # -- rows-only / no-oracle by nature (sketches, float-ulp, append mode) --
+    "rel_approx_distinct": q_rel_approx_distinct,
+    "sim_topk_ivf": q_sim_topk_ivf,
     "sim_topk_pandas": q_sim_topk_pandas,
-    "rel_market_share": q_rel_market_share,
-    "rel_status_priority": q_rel_status_priority,
-    "rel_returned_top": q_rel_returned_top,
-    "events_range_frame": q_events_range_frame,
-    "events_user_extremes": q_events_user_extremes,
-    "rel_orders_above_avg": q_rel_orders_above_avg,
-    "asof_next_event": q_asof_next_event,
-    "text_cooccurrence": q_text_cooccurrence,
-    "events_interval_join": q_events_interval_join,
+    "streaming_session": q_streaming_session,
     "streaming_interval_join": q_streaming_interval_join,
-    "doc_similarity_tfidf": q_doc_similarity_tfidf,
-    "text_contamination": q_text_contamination,
-    "text_chunk": q_text_chunk,
-    "text_pii_redact": q_text_pii_redact,
 }
 
 
@@ -937,7 +981,7 @@ JOIN sizes zb ON zb.doc_id = c.doc_b
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {NEAR_DUP_COS}
+WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {GATE_NEAR_DUP_COS}
 """,
     "sim_topk_brute": _SIM_CTES
     + f"""
@@ -1112,6 +1156,15 @@ SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS epoch_hour,
        round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2
 """,
+    # Streaming twin: complete-mode drain of the whole stream = the same
+    # group-by; value summed in integer micro-units (see q_streaming_tumbling).
+    "streaming_tumbling": """
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS epoch_hour,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_us
+FROM events GROUP BY 1, 2
+""",
     "events_sessionize": """
 WITH x AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
@@ -1180,7 +1233,8 @@ GROUP BY CUBE (r.r_name, year(o.o_orderdate))
     "rel_customers_without_orders": """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND year(o.o_orderdate) = 1995)
 """,
     "events_moving_avg": """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
@@ -1635,7 +1689,7 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        array_to_string(words[s:s+31], ' ') AS chunk_text
 FROM starts
 """,
-    "text_pii_redact": """
+    "text_pii_redact": r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)

@@ -356,10 +356,16 @@ def parts_with_shipments(part: DataFrame, lineitem: DataFrame, year: int) -> Dat
     )
 
 
-def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Set-op / anti-join surface: customers with no orders at all.
-    Expressed as a left-anti join (the scalable form of EXCEPT on a key —
-    no full-row comparison, one shuffle on the key, AQE may broadcast)."""
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, year: int | None = None
+) -> DataFrame:
+    """Set-op / anti-join surface: customers with no orders (optionally: no
+    orders in ``year``). Expressed as a left-anti join (the scalable form of
+    EXCEPT on a key — no full-row comparison, one shuffle on the key, AQE
+    may broadcast); the year predicate is pushed below the join so the anti
+    side scans one partition's worth of orders, not all of them."""
+    if year is not None:
+        orders = orders.where(F.year("o_orderdate") == year)
     return customer.join(
         orders.select(F.col("o_custkey").alias("c_custkey")),
         "c_custkey",

@@ -18,9 +18,26 @@ same two-column contract:
 * ``ts TIMESTAMP`` — microsecond event time for humans and for
   Structured Streaming (watermarks/windows need a real timestamp type).
 
-Timezone: the session zone is pinned to UTC here (runtime-settable conf)
-so a TIMESTAMP_NTZ→TIMESTAMP cast is wallclock-identity, matching DuckDB's
-naive-timestamp ``epoch_ns`` semantics regardless of the host zone.
+Timezone: every conversion here is session-timezone-INDEPENDENT. A
+TIMESTAMP_NTZ column (file not adjusted-to-UTC) is interpreted as UTC
+wallclock via integer ``timestampdiff`` from the NTZ epoch — matching
+DuckDB's naive-timestamp ``epoch_ns`` semantics — rather than a
+``cast(… as timestamp)``, which would bake the *session* zone into the
+instant. The loader therefore never touches ``spark.sql.session.timeZone``
+(an earlier revision pinned it globally, silently changing timestamp-cast
+semantics for every co-resident query in a caller's session).
+
+The one session conf it does set is
+``spark.sql.legacy.parquet.nanosAsLong`` — required *before* the scan or
+Spark refuses TIMESTAMP(NANOS) files outright, and read-path-scoped: it
+only changes how a nanos physical type arrives (BIGINT), never the
+semantics of other expressions.
+
+Rendering note: ``ts`` is an instant; collecting it to pandas renders
+wallclock in the session zone. ``session.get_spark`` pins UTC so oracle
+comparisons see UTC wallclock; callers who bring their own session and
+collect raw ``ts`` should do the same (all declared queries compare on
+integer ``ts_ns``/epoch columns, which no zone can affect).
 
 Scale note: the conversion is a narrow projection; event-time operators
 downstream shuffle on (window, key) as usual.
@@ -42,17 +59,25 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns ``(event_id, ts_ns BIGINT, ts TIMESTAMP, user_id, event_type,
     value, props)`` regardless of the file's physical timestamp encoding.
     """
-    # Both confs are runtime-settable, so this works under any caller's
-    # session (the driver harness builds its own).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Runtime-settable and read-path-scoped (see module docstring); must be
+    # on before the scan or a TIMESTAMP(NANOS) file fails to load at all.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) file read as epoch-nanos long
         ts_ns = F.col("ts")
         ts = F.timestamp_micros(F.expr(f"ts div {NANOS_PER_MICRO}"))
-    else:  # timestamp / timestamp_ntz
-        ts = F.col("ts").cast("timestamp")
+    elif ts_type == "timestamp_ntz":
+        # Naive wallclock == UTC by the testdata contract. Integer
+        # timestampdiff from the NTZ epoch — exact and independent of
+        # spark.sql.session.timeZone (a cast to timestamp is NOT).
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        ts_ns = ts_us * F.lit(NANOS_PER_MICRO)
+        ts = F.timestamp_micros(ts_us)
+    else:  # timestamp — already an instant; epoch extraction is zone-free
+        ts = F.col("ts")
         ts_ns = F.unix_micros(ts) * F.lit(NANOS_PER_MICRO)
     return raw.select(
         "event_id",

@@ -53,26 +53,41 @@ def read_event_stream(
 
 
 def windowed_event_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Tumbling event-time window counts with a late-data watermark.
 
     Batch twin: ``operators.relational.events_tumbling`` (epoch-hour key).
     Output: (window_start, window_end, event_type, n_events, total_value).
+
+    ``exact_sums=True`` sums ``value`` as integer micro-units
+    (``round(value*1e6)`` per row, BIGINT accumulate) and emits
+    ``total_value_us`` instead of the rounded double. Float summation order
+    differs between micro-batch state merges and a batch plan, so a
+    6-decimal double can flip its last digit run-to-run; the integer sum is
+    associative and therefore bit-identical to any batch/oracle engine —
+    that's what the driver's hash gate checks.
     """
+    value_sum = (
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+            "total_value_us"
+        )
+        if exact_sums
+        else F.round(F.sum("value"), 6).alias("total_value")
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-        )
+        .agg(F.count("*").alias("n_events"), value_sum)
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_us" if exact_sums else "total_value",
         )
     )
 
