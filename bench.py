@@ -24,8 +24,10 @@ HEADLINE = [
     # core pipeline (reference parity)
     "tokens", "doc_word_count", "term_frequency", "doc_frequency",
     "tfidf", "search", "rank", "tfidf_rank",
-    # dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    # dedup family (minhash twice: free-running + megabucket cap engaged,
+    # so the 100 TB safety valve's sizes-agg + filter-join has a timing row)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",
+    "dedup_simhash", "dedup_embedding",
     # similarity search
     "sim_topk_brute", "sim_topk_lsh",
     # text analysis

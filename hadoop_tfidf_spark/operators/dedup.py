@@ -234,6 +234,7 @@ def minhash_lsh_dedup(
     num_hashes: int = DEFAULT_NUM_HASHES,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_df: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     join. Returns candidate pairs ``(doc_a, doc_b)``.
@@ -246,7 +247,10 @@ def minhash_lsh_dedup(
     array lambdas evaluate interpreted).
     """
     sh = shingle_df if shingle_df is not None else shingles(docs, k=k)
-    return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band))
+    return lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(sh, num_hashes), rows_per_band),
+        max_bucket_size=max_bucket_size,
+    )
 
 
 def ngram_jaccard(

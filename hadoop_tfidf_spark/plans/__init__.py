@@ -11,6 +11,13 @@ documentation of the engine's physical behavior.
 from hadoop_tfidf_spark.plans.inspect import (
     executed_plan,
     plan_stats,
+    plan_stats_from_string,
+    streaming_executed_plan,
 )
 
-__all__ = ["executed_plan", "plan_stats"]
+__all__ = [
+    "executed_plan",
+    "plan_stats",
+    "plan_stats_from_string",
+    "streaming_executed_plan",
+]

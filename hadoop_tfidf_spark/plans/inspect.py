@@ -43,6 +43,23 @@ class PlanStats:
     cartesian_products: int
     sorts: int
     codegen_spans: int
+    #: Stateful streaming exec nodes (StateStoreSave / session-window save /
+    #: stream-stream join / applyInPandasWithState) — 0 for batch plans.
+    state_stores: int = 0
+
+
+def streaming_executed_plan(query) -> str:
+    """Physical plan of a StreamingQuery's last executed micro-batch.
+
+    ``explainInternal(False)`` is the programmatic form of
+    ``StreamingQuery.explain()`` (which only prints): it returns the
+    micro-batch's *executed* plan — state stores, watermark assignment,
+    and the per-batch shuffles — which a batch DataFrame census can never
+    see (collecting a drained memory sink would census the sink scan, not
+    the dataflow). Works on a terminated query as long as at least one
+    micro-batch ran.
+    """
+    return query._jsq.explainInternal(False)
 
 
 def plan_stats(df: DataFrame, run: bool = True) -> PlanStats:
@@ -53,7 +70,12 @@ def plan_stats(df: DataFrame, run: bool = True) -> PlanStats:
     counts overstate work that runs once. Operators are deduped by their
     ``plan_id`` where present, by full line text otherwise.
     """
-    plan = executed_plan(df, run=run)
+    return plan_stats_from_string(executed_plan(df, run=run))
+
+
+def plan_stats_from_string(plan: str) -> PlanStats:
+    """Census over an already-captured plan string (batch executed plan or
+    a streaming micro-batch plan from :func:`streaming_executed_plan`)."""
 
     def _indent(line: str) -> int:
         m = re.match(r"^[\s:|]*(?:\+- |:- )?", line)
@@ -118,4 +140,8 @@ def plan_stats(df: DataFrame, run: bool = True) -> PlanStats:
         # toString marks codegen stages as "*(n)" prefixes (the name
         # WholeStageCodegen only appears in formatted explain output)
         codegen_spans=len({m for m in re.findall(r"\*\((\d+)\)", plan)}),
+        state_stores=n(
+            r"StateStoreSave|SessionWindowStateStoreSave"
+            r"|StreamingSymmetricHashJoin|FlatMapGroupsInPandasWithState"
+        ),
     )

@@ -75,6 +75,15 @@ def test_minhash_lsh_no_cartesian(stats_of):
     assert s.cartesian_products == 0
 
 
+def test_minhash_capped_is_agg_plus_equi_joins(stats_of):
+    """The megabucket cap adds one sizes aggregation + an equi-join filter
+    — still no cartesian, no nested-loop (the 100 TB safety-valve dataflow
+    must not itself become a scale hazard)."""
+    s = stats_of("dedup_minhash_capped")
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+
+
 def test_multimodal_no_shuffle(stats_of):
     """Decode is a narrow Arrow stage: zero exchanges of any kind."""
     s = stats_of("multimodal_decode")
