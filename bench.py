@@ -24,6 +24,8 @@ HEADLINE = [
     # core pipeline (reference parity)
     "tokens", "doc_word_count", "term_frequency", "doc_frequency",
     "tfidf", "search", "rank", "tfidf_rank",
+    # end-to-end corpus curation (lang→quality→dedup→near-dup→split)
+    "pipeline_curate",
     # dedup family (minhash twice: free-running + megabucket cap engaged,
     # so the 100 TB safety valve's sizes-agg + filter-join has a timing row)
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",

@@ -65,6 +65,17 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Spark builders
 # --------------------------------------------------------------------------
 
+def q_pipeline_curate(spark, sf_dir):
+    """Flagship composition: lang-id → quality filter → exact dedup →
+    MinHash-LSH near-dup drop → deterministic split, one lazy plan
+    (``pipeline.curate_corpus``). The oracle replays every stage in SQL
+    over the same corpus — the strongest end-to-end artifact the engine
+    declares (each stage is also hash-gated standalone)."""
+    from hadoop_tfidf_spark.pipeline import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir, rebalance=True))
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -780,6 +791,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_incremental_df": q_streaming_incremental_df,
     "streaming_stateful_totals": q_streaming_stateful_totals,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    # -- flagship end-to-end composition (round 5) --
+    "pipeline_curate": q_pipeline_curate,
     # -- one oracle-backed representative per round-1/2 family --
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -793,11 +806,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": q_text_token_stats,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
-    "text_ngram_freq": q_text_ngram_freq,
     "rel_customers_without_orders": q_rel_customers_without_orders,
     "rel_revenue_by_region": q_rel_revenue_by_region,
     # ---------------- past the driver's 50-entry cap ----------------
     # (green rows in CORRECTNESS_r01..r04; still run by the local checker)
+    "text_ngram_freq": q_text_ngram_freq,
     "dedup_exact_apply": q_dedup_exact_apply,
     "dedup_minhash_capped": q_dedup_minhash_capped,
     "dedup_simhash": q_dedup_simhash,
@@ -870,9 +883,12 @@ _BAND_KEY_CASE = " ".join(
     f"WHEN {b} THEN {_band_key_sql(b)}" for b in range(_N_BANDS)
 )
 
-_MINHASH_CTES = f"""
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+def _minhash_body_sql(source: str) -> str:
+    """The shingle→signature→band→candidate CTE chain over ``source``
+    (any relation with (doc_id, text)) — parameterized so composed
+    pipelines (``pipeline_curate``) can run LSH over a filtered corpus."""
+    return f"""words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM {source}
 ),
 shingle AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -901,6 +917,9 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 )
 """
+
+
+_MINHASH_CTES = "WITH " + _minhash_body_sql("documents")
 
 _SIMHASH_CTES = """
 WITH tok AS (
@@ -975,6 +994,65 @@ JOIN bands_capped b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """,
     "dedup_simhash": _SIMHASH_CTES + "SELECT doc_id, simhash FROM sh",
+    # Full curation pipeline: every stage replayed in SQL over the same
+    # corpus — quality + lang-id filters, exact dedup (min id per md5),
+    # MinHash-LSH candidate pairs over the FILTERED corpus, 1-hop doc_b
+    # drop, content-addressed split labels.
+    "pipeline_curate": f"""
+WITH q AS (
+  SELECT doc_id,
+         round(0.4 * least(len(string_split(text, ' ')) / 50.0, 1.0)
+             + 0.3 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      / length(text))
+             + 0.3 * least((len(list_filter(string_split(text, ' '),
+                                w -> list_contains([{_STOPWORD_LIST_SQL}], w)))
+                            / len(string_split(text, ' '))) / 0.1, 1.0), 6)
+           AS quality
+  FROM documents
+),
+markers(lang, word) AS (VALUES {_MARKER_VALUES_SQL}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS hits
+  FROM tok t JOIN markers m ON t.word = m.word
+  GROUP BY t.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+  FROM hits
+),
+lng AS (
+  SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+),
+kept0 AS (
+  SELECT d.doc_id, d.text, q.quality, lng.pred_lang
+  FROM documents d JOIN q USING (doc_id) JOIN lng USING (doc_id)
+  WHERE lng.pred_lang = 'en' AND q.quality >= 0.5
+),
+ex AS (
+  SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)
+),
+kept1 AS (
+  SELECT k.* FROM kept0 k JOIN ex USING (doc_id)
+),
+{_minhash_body_sql("kept1")},
+kept2 AS (
+  SELECT k.* FROM kept1 k
+  WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.doc_b = k.doc_id)
+)
+SELECT doc_id, pred_lang, quality,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT *, ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT % 100 AS bucket
+  FROM kept2
+)
+""",
     "dedup_simhash_pairs": _SIMHASH_CTES
     + """
 , sb AS (
