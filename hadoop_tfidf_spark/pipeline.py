@@ -10,12 +10,13 @@ count: SURVEY.md §3 — chain jobs into one dataflow; here Catalyst gets
 the whole graph and schedules it as one job DAG).
 
 Scale shape (100 TB):
-* annotation is one narrow projection (quality) plus one aggregation
-  keyed on doc_id after a broadcast marker join (lang-id) — the corpus
-  shuffles once for lang, never for quality;
-* all stitching joins are keyed on ``doc_id``, so the exact-dedup
-  left-semi, the near-dup left-anti, and the annotation joins
-  co-partition under the same hash — AQE coalesces and reuses exchanges;
+* annotation (quality + lang-id) is a single NARROW projection — both
+  scores are higher-order array expressions over ``text`` fused into the
+  scan's codegen stage (``quality_column`` / ``lang_id_columns``), so the
+  filter prefix costs zero shuffles and zero joins;
+* the stitching joins that remain (exact-dedup left-semi, near-dup
+  left-anti) are keyed on ``doc_id`` and co-partition under the same
+  hash — AQE coalesces and reuses exchanges;
 * near-dup candidates come from the banded LSH bucket equi-join (never
   all-pairs), computed over the ALREADY-filtered corpus — the standard
   pipeline-order economy: cheap narrow filters first, the quadratic-risk
@@ -38,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoop_tfidf_spark.functions.text import lang_id, quality_score
+from hadoop_tfidf_spark.functions.text import lang_id_columns, quality_column
 from hadoop_tfidf_spark.operators.dedup import minhash_lsh_dedup
 from hadoop_tfidf_spark.operators.sampling import hash_split
 
@@ -52,7 +53,7 @@ def curate_corpus(
     splits: dict[str, int] | None = None,
     seed: int | str = 0,
     max_bucket_size: int | None = None,
-    persist_intermediate: bool = True,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """Curate ``(doc_id, text)`` into ``(doc_id, pred_lang, quality,
     split)`` — language filter, quality filter, exact dedup, near-dup
@@ -64,23 +65,27 @@ def curate_corpus(
     any engine that reproduces the 6-decimal rounding.
 
     ``persist_intermediate``: the deduped-and-filtered corpus is a
-    diamond — it feeds BOTH the MinHash side and the final anti-join, and
-    Catalyst re-derives shared subtrees per consumer (same analysis as
-    the tfidf dwc diamond, tfidf.py), i.e. the whole
-    annotate+filter+dedup prefix runs twice unpersisted. Measured at
-    sf0.1 the two are within noise (~4.4s vs ~4.8s warm: the recompute is
-    narrow and the corpus small), so the default True is a SCALE choice:
-    at 100 TB the recomputed prefix is two full corpus scans plus the
-    lang-id explode+agg twice, far above the cache write. Disable when
-    composing into a larger plan where the caller manages caching.
+    diamond — it feeds BOTH the MinHash side and the final anti-join, so
+    unpersisted the annotate+filter+dedup prefix is derived twice.
+    Measured at sf0.1 the memory-cache is consistently SLOWER (3.8s vs
+    3.3s warm: cache write IO exceeds the narrow recompute, and
+    ReuseExchange already collapses the expensive signature exchange), so
+    the default is False. At 100 TB neither choice is right: a curation
+    run checkpoints each stage to parquet (every stage boundary is a
+    dataset other jobs consume — splits feed trainers, drop lists feed
+    audits), which truncates the diamond for free; the flag exists for
+    mid-size corpora where one in-memory pass is known to fit.
     """
-    q = quality_score(docs).select("doc_id", "quality")
-    lng = lang_id(docs).select("doc_id", "pred_lang")
-    kept = (
-        docs.join(q, "doc_id")
-        .join(lng, "doc_id")
-        .where((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
-    )
+    # Inline annotation: quality and lang are pure functions of `text`, so
+    # they are projected in place — the whole annotate+filter prefix is
+    # NARROW (no join, no shuffle; lives inside the scan's codegen stage).
+    pred_lang, _ = lang_id_columns(F.col("text"))
+    kept = docs.select(
+        "doc_id",
+        "text",
+        quality_column(F.col("text")).alias("quality"),
+        pred_lang.alias("pred_lang"),
+    ).where((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
     exact_keep = (
         kept.groupBy(F.md5("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -91,13 +96,40 @@ def curate_corpus(
         from pyspark.storagelevel import StorageLevel
 
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
-    near_drop = (
-        minhash_lsh_dedup(
-            kept.select("doc_id", "text"), max_bucket_size=max_bucket_size
+    if max_bucket_size is None:
+        # Physical-strategy identity: a pair is an LSH candidate iff the
+        # two docs share a band bucket — a function of each doc's OWN
+        # signature only. So candidates-among-kept == candidates-on-the-
+        # full-corpus with both endpoints restricted to kept, and the
+        # shingle/signature explode can run off the cheap raw scan
+        # instead of re-deriving the annotate+filter+dedup subtree
+        # (measured ~2.5x faster end-to-end at sf0.1; the oracle keeps
+        # the semantic filtered-corpus formulation and the hash gate
+        # confirms the identity on real data).
+        kept_ids = kept.select("doc_id")
+        pairs = minhash_lsh_dedup(docs.select("doc_id", "text"))
+        near_drop = (
+            pairs.join(
+                kept_ids.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+            )
+            .join(
+                kept_ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
         )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    else:
+        # A bucket-size cap breaks the identity (bucket populations differ
+        # between the raw and filtered corpora), so the capped variant
+        # pays for LSH over the filtered relation — the semantically
+        # exact formulation.
+        near_drop = (
+            minhash_lsh_dedup(
+                kept.select("doc_id", "text"), max_bucket_size=max_bucket_size
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
     kept = kept.join(near_drop, "doc_id", "left_anti")
     labeled = hash_split(kept, "doc_id", splits or dict(DEFAULT_SPLITS), seed)
     return labeled.select("doc_id", "pred_lang", "quality", "split")
