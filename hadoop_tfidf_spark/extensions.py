@@ -660,11 +660,16 @@ def q_asof_next_event(spark, sf_dir):
 
     ev = load_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
     orders = _tbl(spark, sf_dir, "orders")
+    # Tz-free date→epoch-µs (days × 86400e6): a cast-to-timestamp would
+    # bake the session zone into the as-of comparison point.
     left = orders.select(
         "o_orderkey",
         F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp").alias("ots"),
-    ).withColumn("ots_us", F.unix_micros("ots"))
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+            * F.lit(86_400_000_000)
+        ).alias("ots_us"),
+    )
     # unique per (user, ts): earliest event_id wins a same-µs tie
     right = ev.groupBy("user_id", F.col("ts_us").alias("ets_us")).agg(
         F.min("event_id").alias("next_event_id")

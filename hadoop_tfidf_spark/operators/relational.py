@@ -243,9 +243,14 @@ def order_gaps(orders: DataFrame) -> DataFrame:
     deterministic. Gap arithmetic on epoch seconds (exact integers, no
     date-part/timezone semantics to align across engines)."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    # NTZ → timestamp → long = epoch seconds under the session's UTC zone,
-    # matching DuckDB epoch() on naive timestamps
-    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    # Pure DATE arithmetic (days since epoch × 86400) — matches DuckDB
+    # epoch() on a naive date AND is session-timezone-independent. A
+    # date→timestamp→long cast is NOT: it resolves midnight in the session
+    # zone, so under a DST-observing zone two consecutive days can be
+    # 90000/82800 s apart (caught by the New-York-zone contract drive).
+    epoch = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast(
+        "long"
+    ) * F.lit(86400)
     return orders.select(
         "o_custkey",
         "o_orderkey",

@@ -244,3 +244,32 @@ def test_curate_corpus_planted_fixtures(spark):
         b = buckets[doc_id]
         want = "train" if b < 90 else ("valid" if b < 95 else "test")
         assert split == want
+
+
+def test_order_gaps_are_dst_proof(spark):
+    """Consecutive order dates must be exactly 86400s apart regardless of
+    session timezone — a date->timestamp cast computes midnight in the
+    session zone, making a spring-forward gap 90000s (the bug the
+    New-York-zone contract drive caught)."""
+    import datetime as dt
+
+    from hadoop_tfidf_spark.operators.relational import order_gaps
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, dt.date(2021, 3, 13), 10.0),  # day before US spring-forward
+            (1, 11, dt.date(2021, 3, 14), 10.0),  # DST transition day
+            (1, 12, dt.date(2021, 3, 15), 10.0),
+        ],
+        "o_custkey BIGINT, o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE",
+    )
+    prev = spark.conf.get(TZ_KEY)
+    spark.conf.set(TZ_KEY, "America/New_York")
+    try:
+        gaps = [
+            r.gap_s
+            for r in order_gaps(orders).orderBy("order_seq").collect()
+        ]
+    finally:
+        spark.conf.set(TZ_KEY, prev)
+    assert gaps == [None, 86400, 86400]
