@@ -595,9 +595,13 @@ def q_sql_tfidf_top100(spark, sf_dir):
 
 
 def q_streaming_session(spark, sf_dir):
-    """Structured Streaming native session windows drained with the
-    availableNow trigger — rows-only (the oracle-checked batch twin is
-    ``events_sessionize``; tests cross-check counts)."""
+    """Structured Streaming native session windows under the STRONG gate:
+    complete-mode drain (all sessions, none watermark-withheld) + integer
+    micro-unit sums, hash-matched against a gaps-and-islands SQL oracle
+    written to session_window's exact boundary semantics (split at gap
+    >= threshold; the batch twin ``events_sessionize`` keeps > — see
+    streaming/windows.py). The append-mode path stays covered by
+    tests/test_streaming.py."""
     import tempfile
     import uuid
 
@@ -611,7 +615,15 @@ def q_streaming_session(spark, sf_dir):
     load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
-    return run_to_completion(session_windows(stream), name, output_mode="append")
+    sink = run_to_completion(
+        session_windows(stream, exact_sums=True), name, output_mode="complete"
+    )
+    return sink.select(
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        "user_id",
+        "n_events",
+        "total_value_us",
+    )
 
 
 def q_rel_market_share(spark, sf_dir):
@@ -696,9 +708,14 @@ def q_events_interval_join(spark, sf_dir):
 
 
 def q_streaming_interval_join(spark, sf_dir):
-    """Stream-stream interval join drained with availableNow — rows-only
-    (the oracle-checked batch twin is ``events_interval_join``; the test
-    asserts pair-set equality between the two)."""
+    """Stream-stream interval join under the STRONG gate: the emitted
+    pair set must hash-match the batch twin's oracle
+    (``events_interval_join`` — identical whole-second band semantics by
+    construction since round 5). Inner-join pairs are emitted exactly
+    once as both sides arrive; the source files are written in event-time
+    order so the drain's watermark never evicts a row whose partner is
+    still pending (the role Kafka's per-partition time order plays in
+    production)."""
     import tempfile
     import uuid
 
@@ -709,7 +726,9 @@ def q_streaming_interval_join(spark, sf_dir):
     )
 
     path = tempfile.mkdtemp(prefix="spark_graft_stream_")
-    load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
+    load_events(spark, sf_dir).drop("ts_ns").orderBy("ts").write.mode(
+        "overwrite"
+    ).parquet(path)
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
     return run_to_completion(
@@ -841,12 +860,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_order_gaps": q_rel_order_gaps,
     "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
     "rel_percentiles": q_rel_percentiles,
-    # -- rows-only / no-oracle by nature (sketches, float-ulp, append mode) --
+    # -- streaming, hash-gated (converted from rows-only in round 5) --
+    "streaming_session": q_streaming_session,
+    "streaming_interval_join": q_streaming_interval_join,
+    # -- rows-only / no-oracle by nature (sketches, IVF float centroids,
+    #    BLAS ulp) — the only 3 declared queries without an oracle --
     "rel_approx_distinct": q_rel_approx_distinct,
     "sim_topk_ivf": q_sim_topk_ivf,
     "sim_topk_pandas": q_sim_topk_pandas,
-    "streaming_session": q_streaming_session,
-    "streaming_interval_join": q_streaming_interval_join,
 }
 
 
@@ -1304,6 +1325,33 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, session_id
 """,
+    # Streaming native session windows: gaps-and-islands with the SPLIT AT
+    # >= GAP boundary (session_window merges only on strict overlap, so an
+    # exact-1800s gap starts a new session — the batch twin keeps >);
+    # micro-unit integer sums; micros basis like every event-time oracle.
+    "streaming_session": """
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts_us, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM x
+)
+SELECT CAST(min(ts_us) // 1000000 AS BIGINT) AS session_start_s,
+       user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS total_value_us
+FROM s GROUP BY user_id, session_id
+""",
     "events_json_props": """
 SELECT event_type,
        count(json_extract_string(props, '$.k')) AS n_with_k,
@@ -1725,6 +1773,26 @@ ORDER BY n DESC, w1, w2
 LIMIT 100
 """,
     "events_interval_join": """
+WITH c AS (
+  SELECT event_id AS click_id, user_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS click_s
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS purchase_s, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.click_id, p.purchase_id, c.user_id,
+       CAST(p.purchase_s - c.click_s AS BIGINT) AS lag_s,
+       round(p.value, 6) AS purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p.purchase_s >= c.click_s
+             AND p.purchase_s <= c.click_s + 1800
+""",
+    # Streaming twin emits exactly the batch pair set (whole-second band
+    # on both sides by construction; inner-join pairs emitted once each).
+    "streaming_interval_join": """
 WITH c AS (
   SELECT event_id AS click_id, user_id,
          CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS click_s

@@ -112,24 +112,40 @@ def sliding_event_rates(
 
 
 def session_windows(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Native session windows (dynamic gap-based windows, state evicted at
     the watermark). Batch twin: ``operators.relational.sessionize`` — the
-    gaps-and-islands formulation the oracle checks."""
+    gaps-and-islands formulation the oracle checks (boundary caveat: a gap
+    of EXACTLY the threshold splits here — session_window merges only on
+    strict overlap — while the batch twin's ``diff > gap`` keeps it; the
+    hash-gated oracle for the streaming query uses ``>=`` to mirror this
+    operator's semantics exactly).
+
+    ``exact_sums`` emits ``total_value_us`` as an associative BIGINT sum
+    (micro-units) instead of the rounded double — see
+    :func:`windowed_event_counts`.
+    """
+    value_sum = (
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+            "total_value_us"
+        )
+        if exact_sums
+        else F.round(F.sum("value"), 6).alias("total_value")
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-        )
+        .agg(F.count("*").alias("n_events"), value_sum)
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "user_id",
             "n_events",
-            "total_value",
+            "total_value_us" if exact_sums else "total_value",
         )
     )
 
