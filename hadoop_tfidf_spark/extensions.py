@@ -812,17 +812,20 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     # -- streaming, hash-gated against batch-equivalent oracles --
     "streaming_tumbling": q_streaming_tumbling,
+    "streaming_session": q_streaming_session,
+    "streaming_interval_join": q_streaming_interval_join,
     "streaming_incremental_df": q_streaming_incremental_df,
     "streaming_stateful_totals": q_streaming_stateful_totals,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     # -- flagship end-to-end composition (round 5) --
     "pipeline_curate": q_pipeline_curate,
     # -- one oracle-backed representative per round-1/2 family --
+    # (near_canonical and ngram_jaccard ceded their slots to the two
+    # streaming queries above: both hold green rows in CORRECTNESS_r04,
+    # while the streaming pair had never had a driver row)
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_near_canonical": q_dedup_near_canonical,
     "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "sim_topk_brute": q_sim_topk_brute,
@@ -834,6 +837,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_revenue_by_region": q_rel_revenue_by_region,
     # ---------------- past the driver's 50-entry cap ----------------
     # (green rows in CORRECTNESS_r01..r04; still run by the local checker)
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_near_canonical": q_dedup_near_canonical,
     "text_ngram_freq": q_text_ngram_freq,
     "dedup_exact_apply": q_dedup_exact_apply,
     "dedup_minhash_capped": q_dedup_minhash_capped,
@@ -860,9 +865,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_order_gaps": q_rel_order_gaps,
     "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
     "rel_percentiles": q_rel_percentiles,
-    # -- streaming, hash-gated (converted from rows-only in round 5) --
-    "streaming_session": q_streaming_session,
-    "streaming_interval_join": q_streaming_interval_join,
     # -- rows-only / no-oracle by nature (sketches, IVF float centroids,
     #    BLAS ulp) — the only 3 declared queries without an oracle --
     "rel_approx_distinct": q_rel_approx_distinct,
