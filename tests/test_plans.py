@@ -75,6 +75,17 @@ def test_minhash_lsh_no_cartesian(stats_of):
     assert s.cartesian_products == 0
 
 
+def test_pipeline_curate_narrow_prefix_no_smj(stats_of):
+    """The curation pipeline must stay broadcast/equi-join only (no
+    sort-merge, no cartesian) and its annotate+filter prefix is narrow —
+    total shuffles bounded by the dedup aggs + LSH + final anti-join."""
+    s = stats_of("pipeline_curate")
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.sort_merge_joins == 0
+    assert s.shuffle_exchanges <= 5
+
+
 def test_minhash_capped_is_agg_plus_equi_joins(stats_of):
     """The megabucket cap adds one sizes aggregation + an equi-join filter
     — still no cartesian, no nested-loop (the 100 TB safety-valve dataflow
