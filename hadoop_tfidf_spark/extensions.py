@@ -109,6 +109,28 @@ def q_dedup_minhash_capped(spark, sf_dir):
     )
 
 
+def q_dedup_fuzzy(spark, sf_dir):
+    """Fuzzy matching: LSH candidate pairs annotated with exact Levenshtein
+    distance (dedup.fuzzy_pairs) — all candidates kept so the gate checks
+    the distances themselves, not just a threshold's survivors."""
+    docs = _docs(spark, sf_dir, rebalance=True)
+    return D.fuzzy_pairs(docs, D.minhash_lsh_dedup(docs))
+
+
+def q_search_bm25(spark, sf_dir):
+    """Okapi BM25 ranking over the same query literals as `search` —
+    distinct-term semantics, length-normalized saturated tf (search.bm25).
+    The oracle recomputes idf/tf_c/score independently in SQL."""
+    from hadoop_tfidf_spark.declared import SEARCH_QUERIES, _tokens
+    from hadoop_tfidf_spark.search import bm25, query_term_bag
+    from hadoop_tfidf_spark.tfidf import doc_word_count
+
+    dwc = doc_word_count(_tokens(spark, sf_dir))
+    bag = query_term_bag(spark, SEARCH_QUERIES)
+    out = bm25(dwc, bag)
+    return out.select("query_id", "doc_id", F.round("score", 6).alias("score"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -837,6 +859,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_revenue_by_region": q_rel_revenue_by_region,
     # ---------------- past the driver's 50-entry cap ----------------
     # (green rows in CORRECTNESS_r01..r04; still run by the local checker)
+    "dedup_fuzzy": q_dedup_fuzzy,
+    "search_bm25": q_search_bm25,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_canonical": q_dedup_near_canonical,
     "text_ngram_freq": q_text_ngram_freq,
@@ -1022,6 +1046,43 @@ JOIN bands_capped b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """,
     "dedup_simhash": _SIMHASH_CTES + "SELECT doc_id, simhash FROM sh",
+    # Candidate-then-verify fuzzy matching: exact Levenshtein over the LSH
+    # candidate set (both engines' levenshtein = classic unit-cost edits).
+    "dedup_fuzzy": _MINHASH_CTES
+    + """
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+""",
+    # Okapi BM25 (k1=1.2, b=0.75): distinct query terms, per-term
+    # contributions rounded to 6 before the sum (the `search` contract).
+    "search_bm25": _CORE_CTES
+    + """
+, dl AS (
+  SELECT doc_id, sum(n) AS dl FROM dwc GROUP BY doc_id
+),
+stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+),
+qt AS (
+  SELECT DISTINCT query_id, word FROM query_terms
+),
+contrib AS (
+  SELECT qt.query_id, d.doc_id,
+         round(ln((stats.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+             * (d.n * 2.2)
+             / (d.n + 1.2 * (0.25 + 0.75 * l.dl / stats.avgdl)), 6) AS s
+  FROM dwc d
+  JOIN qt ON d.word = qt.word
+  JOIN dfreq f ON d.word = f.word
+  JOIN dl l ON d.doc_id = l.doc_id
+  CROSS JOIN stats
+)
+SELECT query_id, doc_id, round(sum(s), 6) AS score
+FROM contrib GROUP BY query_id, doc_id
+""",
     # Full curation pipeline: every stage replayed in SQL over the same
     # corpus — quality + lang-id filters, exact dedup (min id per md5),
     # MinHash-LSH candidate pairs over the FILTERED corpus, 1-hop doc_b

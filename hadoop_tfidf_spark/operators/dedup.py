@@ -253,6 +253,39 @@ def minhash_lsh_dedup(
     )
 
 
+def fuzzy_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Edit-distance verification of near-dup candidate pairs: annotate
+    each LSH candidate pair with the Levenshtein distance between the two
+    texts (optionally keep only pairs within ``max_dist``) — fuzzy string
+    matching as candidate-then-verify, the same shape as
+    :func:`ngram_jaccard` with a different metric.
+
+    Scale shape: Levenshtein is O(len²) per pair, so it NEVER runs
+    all-pairs — only over the LSH candidate set (bounded by bucket
+    collisions). The distance is the JVM built-in ``levenshtein``
+    expression (codegen, no Python). Returns
+    ``(doc_a, doc_b, edit_dist BIGINT)``.
+    """
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    out = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
+        )
+    )
+    if max_dist is not None:
+        out = out.where(F.col("edit_dist") <= max_dist)
+    return out
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

@@ -67,6 +67,67 @@ def search(
     return scored.groupBy("query_id", "doc_id").agg(F.sum("tfidf").alias("score"))
 
 
+def bm25(
+    dwc: DataFrame,
+    query_terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 scoring — the modern form of the reference's TF-IDF
+    ranking (O6/O9/O13 generalized with term-frequency saturation and
+    document-length normalization; Robertson & Spärck Jones's probabilistic
+    weighting, the default in Lucene/Elasticsearch).
+
+        idf(t)    = ln((N - df + 0.5) / (df + 0.5) + 1)
+        tf_c(t,d) = n·(k1+1) / (n + k1·(1 - b + b·dl/avgdl))
+        score     = Σ_{t ∈ distinct query terms} idf(t)·tf_c(t,d)
+
+    Standard BM25 sums DISTINCT query terms (unlike the reference's bag
+    double-count, which :func:`search` pins separately), so the query side
+    is deduplicated here.
+
+    Plan shape: reuses the ``(word, doc_id, n)`` relation — doc lengths
+    are one more aggregation over it (NOT a corpus re-scan), avgdl and N
+    are 1-row aggregates cross-joined in-plan (the O19 scalar-broadcast
+    pattern), df joins by broadcast-sized word relation, query terms
+    broadcast. One shuffle beyond doc_word_count's.
+
+    Returns ``(query_id, doc_id, score DOUBLE)`` (unrounded; callers
+    round per the determinism contract).
+    """
+    qt = query_terms.dropDuplicates(["query_id", "word"])
+    dl = dwc.groupBy("doc_id").agg(F.sum("n").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n_docs")
+    )
+    dfreq = dwc.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        dwc.join(F.broadcast(qt), "word")
+        .join(dfreq, "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_c = (F.col("n") * F.lit(k1 + 1.0)) / (
+        F.col("n")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    # per-term contributions are rounded BEFORE the sum (same determinism
+    # contract as `search`: fixed 6-decimal inputs keep float summation
+    # order from ever flipping an oracle hash)
+    return (
+        scored.select(
+            "query_id", "doc_id", F.round(idf * tf_c, 6).alias("s")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+
+
 def rank(search_df: DataFrame) -> DataFrame:
     """Per-query descending rank (reference Rank job4, Rank.java:120–139).
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_tfidf_spark.sources.events import load_events
@@ -273,3 +274,50 @@ def test_order_gaps_are_dst_proof(spark):
     finally:
         spark.conf.set(TZ_KEY, prev)
     assert gaps == [None, 86400, 86400]
+
+
+def test_bm25_hand_computed_values(spark):
+    """BM25 (k1=1.2, b=0.75) against hand-computed scores on a 2-doc
+    corpus: idf(a)=ln(1.2), idf(b)=ln(2); tf_c from dl/avgdl; distinct
+    query terms (a duplicated term must NOT double-count)."""
+    from hadoop_tfidf_spark.search import bm25, query_term_bag
+    from hadoop_tfidf_spark.tfidf import doc_word_count
+    from hadoop_tfidf_spark.corpus import tokenize
+
+    docs = spark.createDataFrame(
+        [("d1", "a b"), ("d2", "a")], "doc_id STRING, text STRING"
+    )
+    dwc = doc_word_count(tokenize(docs, " "))
+    bag = query_term_bag(spark, [("q", "a b a")])  # 'a' duplicated
+    got = {
+        r.doc_id: r.score
+        for r in bm25(dwc, bag).collect()
+    }
+    import math
+    idf_a, idf_b = math.log(1.2), math.log(2.0)
+    want_d1 = round(idf_a * 0.88, 6) + round(idf_b * 0.88, 6)
+    want_d2 = round(idf_a * (2.2 / 1.9), 6)
+    assert got["d1"] == pytest.approx(want_d1, abs=1e-9)
+    assert got["d2"] == pytest.approx(want_d2, abs=1e-9)
+
+
+def test_fuzzy_pairs_exact_distances(spark):
+    """Levenshtein verification over supplied candidate pairs: exact
+    distances, threshold filter, and no all-pairs work (only listed
+    candidates are scored)."""
+    from hadoop_tfidf_spark.operators.dedup import fuzzy_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten"), (4, "zzzz")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_dist
+        for r in fuzzy_pairs(docs, pairs).collect()
+    }
+    assert got == {(1, 2): 3, (1, 3): 0}  # classic kitten->sitting = 3
+    kept = fuzzy_pairs(docs, pairs, max_dist=1).collect()
+    assert [(r.doc_a, r.doc_b) for r in kept] == [(1, 3)]
