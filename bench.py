@@ -26,6 +26,8 @@ HEADLINE = [
     "tfidf", "search", "rank", "tfidf_rank",
     # end-to-end corpus curation (lang→quality→dedup→near-dup→split)
     "pipeline_curate",
+    # modern ranking (Okapi BM25 over the same corpus + query literals)
+    "search_bm25",
     # dedup family (minhash twice: free-running + megabucket cap engaged,
     # so the 100 TB safety valve's sizes-agg + filter-join has a timing row)
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",

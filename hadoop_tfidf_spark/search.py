@@ -94,6 +94,12 @@ def bm25(
 
     Returns ``(query_id, doc_id, score DOUBLE)`` (unrounded; callers
     round per the determinism contract).
+
+    ``dwc`` fans out to THREE consumers (doc lengths, document frequency,
+    the scored join); unlike the tfidf dwc diamond (tfidf.py), no manual
+    persist is needed here — the three subtrees share the identical dwc
+    aggregation exchange and ReuseExchange collapses them (measured: an
+    explicit persist is ~10% SLOWER at sf0.1).
     """
     qt = query_terms.dropDuplicates(["query_id", "word"])
     dl = dwc.groupBy("doc_id").agg(F.sum("n").alias("dl"))
