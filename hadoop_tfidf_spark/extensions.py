@@ -131,6 +131,15 @@ def q_search_bm25(spark, sf_dir):
     return out.select("query_id", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_text_lm_score(spark, sf_dir):
+    """Corpus-bigram-LM quality scores (functions.text.lm_score) — the
+    perplexity-style pretraining filter, hash-gated against an SQL replay
+    of the smoothed bigram model."""
+    from hadoop_tfidf_spark.functions.text import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
 def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -861,6 +870,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (green rows in CORRECTNESS_r01..r04; still run by the local checker)
     "dedup_fuzzy": q_dedup_fuzzy,
     "search_bm25": q_search_bm25,
+    "text_lm_score": q_text_lm_score,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_canonical": q_dedup_near_canonical,
     "text_ngram_freq": q_text_ngram_freq,
@@ -1055,6 +1065,50 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN documents da ON da.doc_id = c.doc_a
 JOIN documents db ON db.doc_id = c.doc_b
+""",
+    # Corpus bigram LM with add-0.5 smoothing; per-bigram log10 rounded to
+    # 6 before the mean (the `search` contract); V = distinct unigrams.
+    "text_lm_score": """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bigrams AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg,
+         w[i] AS w1
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+    FROM words WHERE len(w) >= 2
+  )
+),
+bg_n AS (
+  SELECT bg, count(*) AS n_bg FROM bigrams GROUP BY bg
+),
+lead_n AS (
+  SELECT w1, count(*) AS n_w1 FROM bigrams GROUP BY w1
+),
+vocab AS (
+  SELECT count(DISTINCT word) AS v FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> ''
+),
+lp AS (
+  SELECT b.doc_id,
+         CAST(round(log10((bn.n_bg + 0.5) / (ln.n_w1 + 0.5 * vocab.v))
+                    * 1000000) AS BIGINT) AS lp_u
+  FROM bigrams b
+  JOIN bg_n bn USING (bg)
+  JOIN lead_n ln USING (w1)
+  CROSS JOIN vocab
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round((sum(lp_u) / count(*)) / 1000000.0, 6) AS lm_score
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.lm_score
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """,
     # Okapi BM25 (k1=1.2, b=0.75): distinct query terms, per-term
     # contributions rounded to 6 before the sum (the `search` contract).

@@ -154,6 +154,81 @@ def lang_id_columns(text: Column) -> tuple[Column, Column]:
     return pred, best["hits"].cast("bigint")
 
 
+def lm_score(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
+    """Statistical LM quality score: the mean log10 probability of each
+    document's bigrams under the CORPUS bigram model with add-k smoothing
+    — the KenLM-style perplexity filter of pretraining pipelines (low
+    scores flag gibberish/boilerplate relative to the corpus
+    distribution), self-trained on the corpus it scores.
+
+        p(w2|w1) = (n(w1 w2) + k) / (n(w1 ·) + k·V),   V = |vocab|
+        score(d) = round((Σ lp_u / m) / 1e6, 6),
+        lp_u     = round(log10(p) · 1e6) as BIGINT    over d's m bigrams
+
+    Per-bigram logs are quantized to INTEGER micro-log units before the
+    aggregation: a BIGINT sum is associative, so no summation order (Spark
+    partial aggs vs an oracle's sequential fold) can perturb it — rounding
+    a double mean directly was measured to flip the 6th decimal on ~0.4%
+    of docs whose mean sits on a rounding boundary. The final division is
+    one identical IEEE op on identical integers in both engines.
+
+    Plan shape: bigrams come from the zero-shuffle shingle expression;
+    corpus statistics are two aggregations over it (bigram counts,
+    leading-word counts) plus a 1-row vocab-size aggregate broadcast
+    in-plan (the O19 scalar pattern); each doc-bigram occurrence joins its
+    corpus counts on the bigram/leading-word keys (Zipfian keys →
+    map-side partial aggregation carries the skew), then one final
+    aggregation per doc. Returns ``(doc_id, n_bigrams BIGINT, lm_score)``
+    — docs with < 2 words carry NULL lm_score and 0 bigrams.
+    """
+    from hadoop_tfidf_spark.operators.dedup import shingles
+
+    bigrams = shingles(docs, k=2).select(
+        "doc_id", F.col("shingle").alias("bg")
+    )
+    bg_n = bigrams.groupBy("bg").agg(F.count("*").alias("n_bg"))
+    lead_n = (
+        bigrams.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("n_w1"))
+    )
+    vocab = (
+        docs.select(F.explode(_words(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    p = (F.col("n_bg") + F.lit(k_smooth)) / (
+        F.col("n_w1") + F.lit(k_smooth) * F.col("v")
+    )
+    scored = (
+        bigrams.join(bg_n, "bg")
+        .join(lead_n, F.split("bg", " ").getItem(0) == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(F.log10(p) * F.lit(1_000_000)).cast("bigint").alias("lp_u"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                (F.sum("lp_u") / F.count("*")) / F.lit(1_000_000.0), 6
+            ).alias("lm_score"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            "lm_score",
+        )
+    )
+
+
 def ngram_freq(docs: DataFrame, n: int = 2, top: int = 100) -> DataFrame:
     """Corpus-wide n-gram frequency table, top ``top`` by count — the
     n-gram LM statistics pass of a training-data pipeline (also the input

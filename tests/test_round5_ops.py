@@ -321,3 +321,24 @@ def test_fuzzy_pairs_exact_distances(spark):
     assert got == {(1, 2): 3, (1, 3): 0}  # classic kitten->sitting = 3
     kept = fuzzy_pairs(docs, pairs, max_dist=1).collect()
     assert [(r.doc_a, r.doc_b) for r in kept] == [(1, 3)]
+
+
+def test_lm_score_hand_computed(spark):
+    """Bigram-LM scores against hand-computed add-0.5-smoothed values:
+    p(a b)=2.5/3, p(b a)=1.5/2 on the 3-bigram corpus; a 1-word doc gets
+    0 bigrams and NULL score."""
+    import math
+
+    from hadoop_tfidf_spark.functions.text import lm_score
+
+    docs = spark.createDataFrame(
+        [("d1", "a b a"), ("d2", "a b"), ("d3", "a")],
+        "doc_id STRING, text STRING",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.lm_score) for r in lm_score(docs).collect()}
+    # integer micro-log quantization, exactly as the operator computes
+    lpu_ab = round(math.log10(2.5 / 3.0) * 1e6)
+    lpu_ba = round(math.log10(1.5 / 2.0) * 1e6)
+    assert got["d1"] == (2, round(((lpu_ab + lpu_ba) / 2) / 1e6, 6))
+    assert got["d2"] == (1, round((lpu_ab / 1) / 1e6, 6))
+    assert got["d3"] == (0, None)
