@@ -131,6 +131,31 @@ def q_search_bm25(spark, sf_dir):
     return out.select("query_id", "doc_id", F.round("score", 6).alias("score"))
 
 
+def q_text_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: documents sampled per predicted
+    language at different rates (majority 'en' downsampled to 10%, rare
+    'und' kept at 50%) — content-addressed membership, so the oracle
+    reproduces it exactly."""
+    from hadoop_tfidf_spark.functions.text import lang_id_columns
+    from hadoop_tfidf_spark.operators.sampling import (
+        hash_bucket_col,
+        stratified_hash_sample,
+    )
+
+    pred, _ = lang_id_columns(F.col("text"))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", pred.alias("pred_lang")
+    )
+    out = stratified_hash_sample(
+        docs, "doc_id", "pred_lang", {"en": 10, "und": 50}
+    )
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        hash_bucket_col(F.col("doc_id")).cast("bigint").alias("bucket"),
+    )
+
+
 def q_text_lm_score(spark, sf_dir):
     """Corpus-bigram-LM quality scores (functions.text.lm_score) — the
     perplexity-style pretraining filter, hash-gated against an SQL replay
@@ -871,6 +896,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fuzzy": q_dedup_fuzzy,
     "search_bm25": q_search_bm25,
     "text_lm_score": q_text_lm_score,
+    "text_stratified_sample": q_text_stratified_sample,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_canonical": q_dedup_near_canonical,
     "text_ngram_freq": q_text_ngram_freq,
@@ -1065,6 +1091,36 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN documents da ON da.doc_id = c.doc_a
 JOIN documents db ON db.doc_id = c.doc_b
+""",
+    # Stratified deterministic sample: per-language keep rates over the
+    # content-addressed md5 bucket (en 10%, und 50%, others 0).
+    "text_stratified_sample": f"""
+WITH markers(lang, word) AS (VALUES {_MARKER_VALUES_SQL}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS hits
+  FROM tok t JOIN markers m ON t.word = m.word
+  GROUP BY t.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+  FROM hits
+),
+lng AS (
+  SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+),
+b AS (
+  SELECT doc_id, pred_lang,
+         ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT % 100 AS bucket
+  FROM lng
+)
+SELECT doc_id, pred_lang, bucket
+FROM b
+WHERE bucket < CASE pred_lang WHEN 'en' THEN 10 WHEN 'und' THEN 50 ELSE 0 END
 """,
     # Corpus bigram LM with add-0.5 smoothing; per-bigram log10 rounded to
     # 6 before the mean (the `search` contract); V = distinct unigrams.

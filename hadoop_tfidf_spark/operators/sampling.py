@@ -33,6 +33,38 @@ def hash_sample(
     return df.where(hash_bucket_col(F.col(key), 100, seed) < pct)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key: str,
+    stratum: Column | str,
+    rates: dict[str, int],
+    seed: int | str = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its key's hash
+    bucket is below the stratum's percentage (``rates[stratum]``; strata
+    absent from ``rates`` are dropped). The content-addressed analogue of
+    ``df.sampleBy`` — same membership on every engine/partitioning/rerun,
+    and a doc's verdict never changes as other data arrives. The typical
+    pretraining use: downsample the over-represented language/domain while
+    keeping the rare stratum intact.
+
+    Pure projection + filter (the stratum CASE and the md5 bucket are
+    row-local); pushable to the scan like :func:`hash_sample`.
+    """
+    s = F.col(stratum) if isinstance(stratum, str) else stratum
+    bucket = hash_bucket_col(F.col(key), 100, seed)
+    rate = None
+    for name in sorted(rates):
+        cond = s == name
+        rate = (
+            F.when(cond, rates[name])
+            if rate is None
+            else rate.when(cond, rates[name])
+        )
+    rate = rate.otherwise(F.lit(0)) if rate is not None else F.lit(0)
+    return df.where(bucket < rate)
+
+
 def hash_split(
     df: DataFrame,
     key: str,
