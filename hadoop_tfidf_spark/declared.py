@@ -116,7 +116,13 @@ def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: produce only empty tokens (dropped by the O3 filter), and interior runs
 #: have no boundaries — so both tokenizers emit the same (doc_id, word)
 #: multiset. SURVEY.md §1.3 has the general-case divergence analysis.
-_WORDCHAR_TEXT = r"^[A-Za-z0-9_]+( [A-Za-z0-9_]+)*$"
+#: Anchored ``\A``/``\z`` (supported by BOTH Java regex and RE2) rather
+#: than ``^``/``$``: Java's ``$`` matches *before* a final line terminator
+#: while RE2's matches only at true end-of-input, so a word-char doc with a
+#: trailing newline would pass the Spark guard but fail the oracle filter —
+#: breaking both the hash row and the theorem (a trailing ``\n`` is itself
+#: a ``\s`` the reference tokenizer strips but a space-split keeps).
+_WORDCHAR_TEXT = r"\A[A-Za-z0-9_]+( [A-Za-z0-9_]+)*\z"
 
 
 def q_tokens_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,7 +209,7 @@ CORE_ORACLE_SQL: dict[str, str] = {
     "tokens_reference_pattern": """
 SELECT doc_id, word FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-  WHERE regexp_matches(text, '^[A-Za-z0-9_]+( [A-Za-z0-9_]+)*$')
+  WHERE regexp_matches(text, '\A[A-Za-z0-9_]+( [A-Za-z0-9_]+)*\z')
 ) WHERE word <> ''
 """,
     "doc_word_count": _ORACLE_CTES + "SELECT word, doc_id, n FROM dwc",

@@ -768,10 +768,13 @@ def q_streaming_interval_join(spark, sf_dir):
     pair set must hash-match the batch twin's oracle
     (``events_interval_join`` — identical whole-second band semantics by
     construction since round 5). Inner-join pairs are emitted exactly
-    once as both sides arrive; the source files are written in event-time
-    order so the drain's watermark never evicts a row whose partner is
-    still pending (the role Kafka's per-partition time order plays in
-    production)."""
+    once as both sides arrive; the drain input is ONE sorted file
+    (``coalesce(1)``) so availableNow sees a single deterministic batch —
+    ``orderBy`` alone only range-partitions file *contents*, and the file
+    source orders multiple files by modification time, so parallel task
+    commit order could hand the watermark a late range first and evict a
+    row whose partner is still pending (the role Kafka's per-partition
+    time order plays in production)."""
     import tempfile
     import uuid
 
@@ -782,7 +785,7 @@ def q_streaming_interval_join(spark, sf_dir):
     )
 
     path = tempfile.mkdtemp(prefix="spark_graft_stream_")
-    load_events(spark, sf_dir).drop("ts_ns").orderBy("ts").write.mode(
+    load_events(spark, sf_dir).drop("ts_ns").orderBy("ts").coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
     stream = read_event_stream(spark, path, max_files_per_trigger=4)

@@ -357,7 +357,9 @@ def contamination_check(
     )
 
 
-def cooccurrence(docs: DataFrame, top: int = 100) -> DataFrame:
+def cooccurrence(
+    docs: DataFrame, top: int = 100, max_doc_vocab: int | None = None
+) -> DataFrame:
     """Corpus-wide token co-occurrence: top ``top`` unordered pairs of
     distinct tokens appearing in the same document (the PMI / word-vector
     statistics pass of a text pipeline).
@@ -365,15 +367,23 @@ def cooccurrence(docs: DataFrame, top: int = 100) -> DataFrame:
     Plan: per-doc distinct-token explode → self-equi-join on doc_id with
     ``w1 < w2`` (each unordered pair once) → count → TakeOrderedAndProject.
     The join shuffles both sides on doc_id — well-distributed by
-    construction (one group per document, pairs quadratic only in the
-    per-doc DISTINCT vocabulary, bounded by doc length, not corpus size).
+    construction (one group per document), BUT pairs are quadratic in the
+    per-doc DISTINCT vocabulary, and a doc_id's join group is ONE key that
+    AQE skew-split cannot divide: a single 50k-distinct-token web page
+    yields ~1.25B pairs on one task. ``max_doc_vocab`` is the guard for
+    that tail (the same role as ``doc_similarity``'s ``df_cap`` and LSH's
+    ``max_bucket_size``): each doc keeps only its first ``max_doc_vocab``
+    distinct tokens in document order — a deterministic, engine-independent
+    truncation (``slice`` on the array BEFORE the explode, so the cap is a
+    narrow scan-stage expression and capped docs never fan out). With the
+    cap, per-task work is bounded by ``max_doc_vocab²/2`` pairs regardless
+    of document length. Default ``None`` (uncapped) preserves exact
+    semantics for bounded-vocabulary corpora.
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
-        ).alias("w"),
-    )
+    vocab = F.array_distinct(F.filter(F.split("text", " "), lambda x: x != ""))
+    if max_doc_vocab is not None:
+        vocab = F.slice(vocab, 1, int(max_doc_vocab))
+    toks = docs.select("doc_id", F.explode(vocab).alias("w"))
     a, b = toks.alias("a"), toks.alias("b")
     pairs = a.join(
         b,

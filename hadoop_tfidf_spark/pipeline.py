@@ -54,6 +54,7 @@ def curate_corpus(
     seed: int | str = 0,
     max_bucket_size: int | None = None,
     persist_intermediate: bool = False,
+    storage_level=None,
 ) -> DataFrame:
     """Curate ``(doc_id, text)`` into ``(doc_id, pred_lang, quality,
     split)`` — language filter, quality filter, exact dedup, near-dup
@@ -74,7 +75,9 @@ def curate_corpus(
     run checkpoints each stage to parquet (every stage boundary is a
     dataset other jobs consume — splits feed trainers, drop lists feed
     audits), which truncates the diamond for free; the flag exists for
-    mid-size corpora where one in-memory pass is known to fit.
+    mid-size corpora where one in-memory pass is known to fit —
+    ``storage_level`` then picks the tier (default MEMORY_AND_DISK;
+    ``DISK_ONLY`` when the kept corpus dwarfs executor memory).
     """
     # Inline annotation: quality and lang are pure functions of `text`, so
     # they are projected in place — the whole annotate+filter prefix is
@@ -95,7 +98,7 @@ def curate_corpus(
     if persist_intermediate:
         from pyspark.storagelevel import StorageLevel
 
-        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        kept = kept.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is None:
         # Physical-strategy identity: a pair is an LSH candidate iff the
         # two docs share a band bucket — a function of each doc's OWN

@@ -81,6 +81,7 @@ def tfidf(
     exact_idf: bool = False,
     tokenizer_pattern: str | None = None,
     persist_intermediate: bool = False,
+    storage_level=None,
 ) -> DataFrame:
     """TF-IDF scores ``(word, doc_id, tf, df, tfidf)`` (reference O9–O10,
     TFIDF.java:163–170).
@@ -100,11 +101,14 @@ def tfidf(
     * ``persist_intermediate=False`` (default): recompute the branch — two
       corpus scans, both linear, shuffle volume unchanged; zero memory
       footprint, works for streaming-ish one-shot plans.
-    * ``persist_intermediate=True``: persist the counted relation
-      (MEMORY_AND_DISK) — one corpus scan; the right call whenever the
-      plan is executed to completion (bench/driver queries use this). At
-      cluster scale prefer ``StorageLevel.DISK_ONLY`` for a corpus-sized
-      intermediate.
+    * ``persist_intermediate=True``: persist the counted relation — one
+      corpus scan; the right call whenever the plan is executed to
+      completion (bench/driver queries use this). ``storage_level`` picks
+      the tier (a ``pyspark.StorageLevel``; default MEMORY_AND_DISK). At
+      cluster scale pass ``StorageLevel.DISK_ONLY``: the counted relation
+      is corpus-sized, and evicting executor memory to cache it competes
+      with the shuffle working set — spinning disk is the cheaper home
+      for a relation read exactly twice.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -115,7 +119,7 @@ def tfidf(
 
     dwc = doc_word_count(tokens)
     if persist_intermediate:
-        dwc = dwc.persist(StorageLevel.MEMORY_AND_DISK)
+        dwc = dwc.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     tf = term_frequency(dwc)
     df = doc_frequency(dwc)
 

