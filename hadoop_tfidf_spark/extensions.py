@@ -512,6 +512,49 @@ def q_streaming_incremental_df(spark, sf_dir):
     return stats.df_table()
 
 
+def q_streaming_search(spark, sf_dir):
+    """DQ5 search scores computed from the INCREMENTALLY-maintained stats:
+    the document stream is drained into ``IncrementalTfidfStats`` (4-file
+    micro-batch sequence), idf then comes from the maintained
+    ``(word, df)`` + ``num_docs`` state while tf comes from the batch
+    (word, doc, n) relation — and the result must hash-match the plain
+    batch ``search`` oracle. This closes the loop between the streaming
+    stats machinery and the reference's actual query surface (Search.java):
+    same answer whether the corpus arrived at rest or as a stream."""
+    import tempfile
+
+    from hadoop_tfidf_spark.corpus import SPACE_TOKEN_PATTERN, tokenize
+    from hadoop_tfidf_spark.declared import SEARCH_QUERIES
+    from hadoop_tfidf_spark.search import query_term_bag, search
+    from hadoop_tfidf_spark.streaming.incremental import IncrementalTfidfStats
+    from hadoop_tfidf_spark.tfidf import doc_word_count
+
+    base = tempfile.mkdtemp(prefix="spark_graft_incsearch_")
+    docs = load_docs(spark, f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(f"{base}/docs")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{base}/docs").schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{base}/docs")
+    )
+    stats = IncrementalTfidfStats(spark, f"{base}/stats")
+    stats.attach(stream).awaitTermination()
+
+    # tf from the corpus, idf from the maintained stats — the exact batch
+    # arithmetic (log-tf × integer-division idf), so the rounded product
+    # is bit-identical to _tfidf_rounded's
+    dwc = doc_word_count(tokenize(docs, SPACE_TOKEN_PATTERN))
+    tf = dwc.withColumn("tf", F.lit(1.0) + F.log10("n"))
+    tfidf_rel = tf.join(stats.idf(), "word").select(
+        "word", "doc_id", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    bag = query_term_bag(spark, SEARCH_QUERIES)
+    scored = search(tfidf_rel, bag)
+    return scored.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_streaming_tumbling(spark, sf_dir):
     """Structured Streaming tumbling-window aggregation under the STRONG
     gate: the stream is drained with the availableNow trigger in *complete*
@@ -876,6 +919,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_incremental_df": q_streaming_incremental_df,
     "streaming_stateful_totals": q_streaming_stateful_totals,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "streaming_search": q_streaming_search,
     # -- flagship end-to-end composition (round 5) --
     "pipeline_curate": q_pipeline_curate,
     # -- one oracle-backed representative per round-1/2 family --
@@ -1810,6 +1854,10 @@ SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM events GROUP BY user_id
 """,
     "streaming_incremental_dedup": _MINHASH_CTES + "SELECT doc_a, doc_b FROM cand",
+    # idf maintained incrementally == idf computed at rest, so the oracle
+    # is the batch search oracle verbatim
+    "streaming_search": _CORE_CTES
+    + "SELECT query_id, doc_id, score FROM search_rel",
     "text_hash_sample": """
 WITH b AS (
   SELECT doc_id,

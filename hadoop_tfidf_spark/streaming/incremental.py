@@ -9,11 +9,11 @@ derivable at query time — so TF-IDF scoring stays current without
 recomputing the corpus.
 
 Storage & commit protocol: each merge writes a complete new *generation*
-directory ``{stats_dir}/gen=<batch_id>/`` containing BOTH the ``df`` and
-``meta`` tables, staged under ``{stats_dir}/_staging_<batch_id>`` and
+directory ``{stats_dir}/gen=<batch_id>/`` containing the ``df``, ``meta``
+and ``seen`` tables, staged under ``{stats_dir}/_staging_<batch_id>`` and
 committed with a single Hadoop ``FileSystem.rename`` — atomic on HDFS and
-POSIX local filesystems, so df and num_docs/last_batch_id can never be
-observed out of sync. Readers resolve the highest committed generation.
+POSIX local filesystems, so df, num_docs/last_batch_id and the seen-doc
+set can never be observed out of sync. Readers resolve the highest committed generation.
 All path operations go through the Hadoop FileSystem API (``spark._jvm``),
 so ``stats_dir`` may be ``file:``, ``hdfs://``, ``s3a://``, etc.; note
 that on S3 the rename is copy+delete, not atomic — use a real table
@@ -28,10 +28,24 @@ Crash windows under foreachBatch's at-least-once contract:
 - stale older generations left by a crash-after-rename are swept on the
   next merge; readers always take the max, so they are inert.
 
-State volume is |vocabulary| rows, not corpus-sized, so the merge stays
-cheap at any corpus scale. First-run missing-state reads are the ONLY
-condition treated as empty state — transient I/O or corrupt-footer errors
-propagate instead of silently zeroing the accumulated stats.
+Re-ingestion guard (``track_seen_docs``, default on): ``num_docs`` and the
+``df`` merge count each *document*, so a doc_id arriving again in a LATER
+batch (an upstream replay without the same batch_id, or a restated doc)
+would inflate both. Each generation therefore also carries a ``seen``
+table of every ingested doc_id, and each batch is anti-joined against it
+before counting — re-sent ids contribute nothing (note: identity is the
+doc_id; a re-send with different text is also dropped, matching the
+df-merge's "first ingest wins" semantics). ``track_seen_docs=False``
+restores the leaner protocol for sources that guarantee append-only ids
+(e.g. a CDC stream keyed on a surrogate id) — the guarantee becomes a hard
+precondition the caller owns.
+
+State volume: ``df`` is |vocabulary| rows and ``seen`` is |corpus| ids
+(ids only — ~8 bytes per ever-seen doc, no text), so the merge stays cheap
+at any corpus scale; the anti-join is a plain equi-join on a uniformly
+distributed key. First-run missing-state reads are the ONLY condition
+treated as empty state — transient I/O or corrupt-footer errors propagate
+instead of silently zeroing the accumulated stats.
 """
 
 from __future__ import annotations
@@ -44,13 +58,20 @@ _STAGING_PREFIX = "_staging_"
 
 
 class IncrementalTfidfStats:
-    """Maintains ``{stats_dir}/gen=<bid>/{df,meta}`` under a stream of new
-    documents; ``df`` is (word, df), ``meta`` is 1 row
-    (num_docs, last_batch_id)."""
+    """Maintains ``{stats_dir}/gen=<bid>/{df,meta,seen}`` under a stream of
+    new documents; ``df`` is (word, df), ``meta`` is 1 row
+    (num_docs, last_batch_id), ``seen`` is (doc_id) — every ingested id
+    (absent when ``track_seen_docs=False``)."""
 
-    def __init__(self, spark: SparkSession, stats_dir: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        stats_dir: str,
+        track_seen_docs: bool = True,
+    ) -> None:
         self.spark = spark
         self.stats_dir = stats_dir.rstrip("/")
+        self.track_seen_docs = track_seen_docs
 
     # -- Hadoop FS plumbing (works for file:, hdfs://, s3a://, ...) --------
     def _jpath(self, p: str):
@@ -106,6 +127,19 @@ class IncrementalTfidfStats:
             f"{self.stats_dir}/{_GEN_PREFIX}{gen}/df"
         )
 
+    def seen_table(self, like: DataFrame | None = None) -> DataFrame:
+        """All ever-ingested doc_ids ``(doc_id)``. Empty (typed off
+        ``like``'s doc_id column, default BIGINT) on first run or when the
+        latest generation predates tracking."""
+        gen = self._latest()
+        if gen is not None:
+            p = f"{self.stats_dir}/{_GEN_PREFIX}{gen}/seen"
+            if self._fs().exists(self._jpath(p)):
+                return self.spark.read.parquet(p)
+        if like is not None:
+            return like.select("doc_id").limit(0)
+        return self.spark.createDataFrame([], "doc_id BIGINT")
+
     def _meta(self) -> tuple[int, int]:
         """(num_docs, last_batch_id); (0, -1) on first run."""
         gen = self._latest()
@@ -133,8 +167,18 @@ class IncrementalTfidfStats:
         total, last_applied = self._meta()
         if batch_id <= last_applied:
             return
+        staging = f"{self.stats_dir}/{_STAGING_PREFIX}{batch_id}"
+        if self.track_seen_docs:
+            # drop ids already ingested by ANY earlier batch (the batch_id
+            # check above only covers exact same-epoch replays); within-
+            # batch duplicate ids are collapsed by the dropDuplicates /
+            # distinct below, same as before
+            seen = self.seen_table(like=docs_batch)
+            new_docs = docs_batch.join(seen, "doc_id", "left_anti")
+        else:
+            new_docs = docs_batch
         delta = (
-            docs_batch.select(
+            new_docs.select(
                 "doc_id", F.explode(F.split("text", " ")).alias("word")
             )
             .where(F.col("word") != "")
@@ -148,10 +192,14 @@ class IncrementalTfidfStats:
             .groupBy("word")
             .agg(F.sum("df").cast("bigint").alias("df"))
         )
-        total += docs_batch.select("doc_id").distinct().count()
+        new_ids = new_docs.select("doc_id").distinct()
+        total += new_ids.count()
 
-        staging = f"{self.stats_dir}/{_STAGING_PREFIX}{batch_id}"
         merged.write.mode("overwrite").parquet(f"{staging}/df")
+        if self.track_seen_docs:
+            seen.unionByName(new_ids).distinct().write.mode(
+                "overwrite"
+            ).parquet(f"{staging}/seen")
         self.spark.createDataFrame(
             [(total, batch_id)], "num_docs BIGINT, last_batch_id BIGINT"
         ).write.mode("overwrite").parquet(f"{staging}/meta")

@@ -63,6 +63,40 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert stats.last_batch_id() == 0
 
 
+def test_reingested_doc_in_later_batch_is_ignored(spark, tmp_path):
+    """A doc_id arriving again in a LATER batch (upstream replay with a
+    new batch_id, restated doc) must leave num_docs and df unchanged —
+    the seen-doc-ids guard, not the batch_id idempotence check."""
+    stats = IncrementalTfidfStats(spark, str(tmp_path / "stats"))
+    stats.merge_batch(
+        spark.createDataFrame([(1, "a b"), (2, "a")], ["doc_id", "text"]),
+        batch_id=0,
+    )
+    # doc 1 re-sent (even with different text) + genuinely new doc 3
+    stats.merge_batch(
+        spark.createDataFrame([(1, "x y z"), (3, "b")], ["doc_id", "text"]),
+        batch_id=1,
+    )
+    got = {r.word: r.df for r in stats.df_table().collect()}
+    assert got == {"a": 2, "b": 2}  # doc 1's re-send contributed nothing
+    assert stats.num_docs() == 3
+    seen = {r.doc_id for r in stats.seen_table().collect()}
+    assert seen == {1, 2, 3}
+
+
+def test_track_seen_docs_off_restores_append_only_contract(spark, tmp_path):
+    """With the guard off the caller owns append-only ids: a re-sent doc
+    IS double-counted (documented precondition, not a bug)."""
+    stats = IncrementalTfidfStats(
+        spark, str(tmp_path / "stats"), track_seen_docs=False
+    )
+    b = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    stats.merge_batch(b, batch_id=0)
+    stats.merge_batch(b, batch_id=1)
+    assert stats.num_docs() == 2
+    assert {r.word: r.df for r in stats.df_table().collect()} == {"a": 2}
+
+
 def test_crash_before_commit_rename_is_recoverable(spark, tmp_path):
     """A staging dir left by a crash BEFORE the commit rename must not be
     visible as state, and the replayed batch must merge normally; the
