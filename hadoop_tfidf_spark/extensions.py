@@ -375,16 +375,28 @@ def q_rel_repeat_customers(spark, sf_dir):
     return R.repeat_customers(_tbl(spark, sf_dir, "orders"), 1996, 1997)
 
 
+#: Integer micro-unit scale for the oracle-gated IVF build: embeddings,
+#: centroids and distances are carried as round(x·1e6) bigints, making
+#: every Lloyd round order-independent and bit-replayable in SQL (the same
+#: quantization trick that hash-gated lm_score and the streaming sums).
+IVF_UNITS = 1_000_000
+IVF_K = 16
+IVF_ITERS = 2
+IVF_NPROBE = 2
+
+
 def q_sim_topk_ivf(spark, sf_dir):
-    """IVF (k-means coarse quantizer) ANN variant — rows-only (iterative
-    Lloyd rounds aren't single-pass SQL; tests/test_ivf.py bounds recall
-    against the brute-force oracle-checked baseline instead)."""
+    """IVF (k-means coarse quantizer) ANN — HASH-GATED since round 6: the
+    build runs in integer micro-units (:data:`IVF_UNITS`), so seeding,
+    both Lloyd rounds, assignment and probing are integer-exact and the
+    DuckDB oracle replays the whole iteration unrolled (recall vs brute
+    stays covered by tests/test_ivf.py)."""
     emb = _emb(spark, sf_dir)
-    assigned, cents = S.ivf_build(emb, k=16, iters=2)
+    assigned, cents = S.ivf_build(emb, k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS)
     queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
-    return S.ivf_topk(assigned, cents, queries, k=SIM_K).select(
-        "query_id", "vec_id", "cos_sim", "rn"
-    )
+    return S.ivf_topk(
+        assigned, cents, queries, k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS
+    ).select("query_id", "vec_id", "cos_sim", "rn")
 
 
 def q_rel_price_bands(spark, sf_dir):
@@ -1096,6 +1108,90 @@ WITH e AS (
   FROM embeddings
 )
 """
+
+#: Integer L2 distance between two BIGINT micro-unit lists (exact, so the
+#: argmin is engine-independent; ties break to the lowest cluster id).
+def _int_d2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _ivf_sql() -> str:
+    """Unrolled replay of the integer micro-unit IVF build+search
+    (mirrors similarity.ivf_build/ivf_topk with units=IVF_UNITS): seed =
+    first k vectors, then per Lloyd round an exact-integer assignment and
+    a round(sum/n) centroid update (sum of BIGINTs is exact, the single
+    IEEE division and round are identical in both engines), final
+    assignment, integer probe of the IVF_NPROBE nearest centroids, exact
+    cosine rank over the probed clusters."""
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+)""",
+        f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u
+  FROM e ORDER BY vec_id LIMIT {IVF_K}
+)""",
+    ]
+    for it in range(IVF_ITERS + 1):
+        ctes.append(f"""assign{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster, {_int_d2_sql("e.u", "c.u")} AS d2
+    FROM e CROSS JOIN cent{it} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+)""")
+        if it < IVF_ITERS:
+            ctes.append(f"""mean{it + 1} AS (
+  SELECT cluster, list(m ORDER BY d) AS u FROM (
+    SELECT cluster, d, CAST(round(sum(x) / count(*)) AS BIGINT) AS m
+    FROM (
+      SELECT a.cluster, generate_subscripts(e.u, 1) AS d, unnest(e.u) AS x
+      FROM e JOIN assign{it} a ON a.vec_id = e.vec_id
+    ) GROUP BY cluster, d
+  ) GROUP BY cluster
+)""")
+            ctes.append(f"""cent{it + 1} AS (
+  SELECT c.cluster, coalesce(m.u, c.u) AS u
+  FROM cent{it} c LEFT JOIN mean{it + 1} m ON m.cluster = c.cluster
+)""")
+    final = IVF_ITERS
+    ctes.append(f"""qv AS (
+  SELECT vec_id AS query_id, vec AS q_vec, u AS q_u FROM e
+  WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})
+)""")
+    ctes.append(f"""probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.cluster, {_int_d2_sql("q.q_u", "c.u")} AS d2
+    FROM qv q CROSS JOIN cent{final} c
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2, cluster)
+    <= {IVF_NPROBE}
+)""")
+    ctes.append(f"""scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(e.vec, q.q_vec), 6) AS cos_sim
+  FROM assign{final} a
+  JOIN probe p ON p.cluster = a.cluster
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN qv q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)""")
+    ctes.append(f"""ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= {SIM_K}"
+    )
+
 
 _STOPWORD_LIST_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 _MARKER_VALUES_SQL = ", ".join(
@@ -1858,6 +1954,7 @@ FROM events GROUP BY user_id
     # is the batch search oracle verbatim
     "streaming_search": _CORE_CTES
     + "SELECT query_id, doc_id, score FROM search_rel",
+    "sim_topk_ivf": _ivf_sql(),
     "text_hash_sample": """
 WITH b AS (
   SELECT doc_id,

@@ -157,12 +157,24 @@ def lsh_topk(
     )
 
 
+def quantized_units(vec: Column, units: int) -> Column:
+    """``array<bigint>`` of ``round(x · units)`` per element — the
+    integer micro-unit form. ``round`` is half-away-from-zero in both
+    Spark and DuckDB on the same IEEE double product, so the quantization
+    is engine-exact; all downstream arithmetic on the units is integer
+    and therefore order-independent."""
+    return F.transform(
+        _as_double(vec), lambda x: F.round(x * units, 0).cast("bigint")
+    )
+
+
 def ivf_build(
     embeddings: DataFrame,
     k: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    units: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids (``iters`` Lloyd rounds) and
     the corpus with a ``cluster`` assignment column.
@@ -173,23 +185,47 @@ def ivf_build(
     centroids are tiny, so the collect is the legitimate kind; the corpus
     itself never leaves executors. At 100 TB: train on a sample
     (``.sample()`` upstream), assign the full corpus once.
+
+    ``units`` (e.g. ``1_000_000``) switches to INTEGER micro-unit Lloyd:
+    inputs quantize once via :func:`quantized_units`, distances are exact
+    bigint sums (order-independent — float Lloyd depends on partial-agg
+    order), and each centroid update is ``round(sum_u / n)`` of exact
+    integers — so assignments are bit-reproducible across engines and the
+    whole build is replayable by the DuckDB oracle. Quantization error is
+    ~1e-6 per element, far below any meaningful cluster boundary; the
+    returned centroids are then lists of ints (micro-units).
     """
     dim_count = len(embeddings.select(vec_col).first()[0])
-    cents = [
-        [float(x) for x in r[vec_col]]
-        for r in embeddings.orderBy(id_col).limit(k).collect()
-    ]
+    if units is not None:
+        emb = embeddings.withColumn("_u", quantized_units(F.col(vec_col), units))
+        work_col = "_u"
+        cents = [
+            [int(x) for x in r["_u"]]
+            for r in emb.orderBy(id_col).select("_u").limit(k).collect()
+        ]
+        zero, lit_of = F.lit(0).cast("bigint"), lambda x: F.lit(int(x)).cast("bigint")
+    else:
+        emb = embeddings
+        work_col = vec_col
+        cents = [
+            [float(x) for x in r[vec_col]]
+            for r in emb.orderBy(id_col).select(vec_col).limit(k).collect()
+        ]
+        zero, lit_of = F.lit(0.0), lambda x: F.lit(float(x))
 
-    def assign(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    def assign(df: DataFrame, centroids: list[list]) -> DataFrame:
         cent_arr = F.array(
-            *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+            *[F.array(*[lit_of(x) for x in c]) for c in centroids]
         )
-        # argmin over squared L2 distance to each centroid
+        vec = F.col(work_col) if units is not None else _as_double(F.col(work_col))
+        # argmin over squared L2 distance to each centroid; array_position
+        # takes the FIRST minimum — lowest cluster id wins ties (the
+        # oracle's row_number tie-break mirrors this)
         dists = F.transform(
             cent_arr,
             lambda c: F.aggregate(
-                F.zip_with(_as_double(F.col(vec_col)), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                zero,
                 lambda acc, x: acc + x,
             ),
         )
@@ -197,20 +233,28 @@ def ivf_build(
             "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1
         )
 
-    assigned = assign(embeddings, cents)
+    assigned = assign(emb, cents)
     for _ in range(iters):
-        means = (
-            assigned.select("cluster", F.posexplode(_as_double(F.col(vec_col))).alias("d", "x"))
-            .groupBy("cluster", "d")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        by_cluster: dict[int, list[float]] = {}
+        per_dim = assigned.select(
+            "cluster",
+            F.posexplode(
+                F.col("_u") if units is not None else _as_double(F.col(vec_col))
+            ).alias("d", "x"),
+        ).groupBy("cluster", "d")
+        if units is not None:
+            # exact integer sum / exact count → one IEEE division → one
+            # round: identical in any engine, any partitioning
+            means = per_dim.agg(
+                F.round(F.sum("x") / F.count("*"), 0).cast("bigint").alias("m")
+            ).collect()
+        else:
+            means = per_dim.agg(F.avg("x").alias("m")).collect()
+        by_cluster: dict[int, list] = {}
         for r in means:
-            by_cluster.setdefault(r.cluster, [0.0] * dim_count)[r.d] = r.m
+            by_cluster.setdefault(r.cluster, [0] * dim_count)[r.d] = r.m
         cents = [by_cluster.get(c, cents[c]) for c in range(len(cents))]
-        assigned = assign(embeddings, cents)
-    return assigned, cents
+        assigned = assign(emb, cents)
+    return assigned.drop("_u") if units is not None else assigned, cents
 
 
 def ivf_topk(
@@ -221,20 +265,43 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    units: int | None = None,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest clusters per query, exact
     cosine rank within them. Candidates come from an equi-join on the
-    cluster id — scan cost ~ nprobe/k of the corpus per query."""
-    import numpy as np
+    cluster id — scan cost ~ nprobe/k of the corpus per query.
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    cent = np.array(centroids)
-    probe_rows = []
-    for r in q_rows:
-        v = np.array(r[vec_col], dtype=float)
-        d2 = ((cent - v) ** 2).sum(axis=1)
-        for c in np.argsort(d2)[:nprobe]:
-            probe_rows.append((r[id_col], list(map(float, r[vec_col])), int(c)))
+    ``units`` must match :func:`ivf_build`'s: probing then runs on the
+    micro-unit integers (query vectors quantized by the same Spark
+    expression, exact python-int distances, ties → lowest cluster id), so
+    the probed set is bit-reproducible. Final scoring always uses the
+    ORIGINAL float vectors — the probe decides candidates, not values.
+    """
+    if units is not None:
+        q_rows = queries.select(
+            id_col, vec_col, quantized_units(F.col(vec_col), units).alias("_u")
+        ).collect()
+        probe_rows = []
+        for r in q_rows:
+            d2s = sorted(
+                (sum((a - b) ** 2 for a, b in zip(r["_u"], c)), ci)
+                for ci, c in enumerate(centroids)
+            )
+            for _, c in d2s[:nprobe]:
+                probe_rows.append(
+                    (r[id_col], list(map(float, r[vec_col])), int(c))
+                )
+    else:
+        import numpy as np
+
+        q_rows = queries.select(id_col, vec_col).collect()
+        cent = np.array(centroids)
+        probe_rows = []
+        for r in q_rows:
+            v = np.array(r[vec_col], dtype=float)
+            d2 = ((cent - v) ** 2).sum(axis=1)
+            for c in np.argsort(d2)[:nprobe]:
+                probe_rows.append((r[id_col], list(map(float, r[vec_col])), int(c)))
     spark = assigned.sparkSession
     probes = spark.createDataFrame(
         probe_rows, f"query_id BIGINT, q_vec ARRAY<DOUBLE>, cluster INT"
