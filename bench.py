@@ -6,15 +6,31 @@ Each query is forced to full materialization with the noop sink (no
 driver-side collect cost, no result-size bias). The reported ``value`` is
 total wall-clock seconds across the headline set; per-query seconds are in
 ``queries``.
+
+Regression tripwire: per-query times are compared against the MAX of the
+last ``REGRESSION_LOOKBACK`` recorded ``BENCH_r*.json`` rounds next to
+this file (max, because a single lucky-fast round would otherwise flag
+the next normal one — measured cross-round noise on identical code
+reaches 2× on sub-second queries, e.g. rel_top_customers 0.36→0.19
+r4→r5). A shared query slower than ``REGRESSION_FACTOR``× that baseline
+AND by more than ``REGRESSION_FLOOR_S`` absolute is reported in the
+``regressions`` list and fails the run with rc=2, so a silent slowdown
+becomes a hard signal the round it happens. Set
+``SPARK_GRAFT_BENCH_NO_TRIPWIRE=1`` to report without failing.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
 import sys
 import time
+
+REGRESSION_FACTOR = 1.5
+REGRESSION_FLOOR_S = 0.25
+REGRESSION_LOOKBACK = 2
 
 #: The headline set: the full core TF-IDF pipeline plus one representative
 #: query per extension family. The remaining declared queries still run in
@@ -34,8 +50,8 @@ HEADLINE = [
     "dedup_simhash", "dedup_embedding",
     # similarity search
     "sim_topk_brute", "sim_topk_lsh",
-    # text analysis
-    "text_quality", "text_fingerprint",
+    # text analysis (lm_score = the corpus-bigram perplexity filter)
+    "text_quality", "text_fingerprint", "text_lm_score",
     # multimodal (Arrow mapInPandas path)
     "multimodal_decode",
     # relational / events
@@ -82,6 +98,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    regressions = _regressions(timings, sf)
     print(
         json.dumps(
             {
@@ -90,10 +107,50 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": regressions,
             }
         )
     )
     spark.stop()
+    if regressions and not os.environ.get("SPARK_GRAFT_BENCH_NO_TRIPWIRE"):
+        sys.exit(2)
+
+
+def _regressions(timings: dict[str, float], sf: float | None) -> list[dict]:
+    """Shared-query slowdowns vs the last REGRESSION_LOOKBACK recorded
+    BENCH_r*.json rounds at the same sf (cross-sf comparisons would be
+    meaningless); per-query baseline = max across those rounds."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    records: list[tuple[str, dict[str, float]]] = []
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+        reverse=True,
+    ):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            # the driver stores this script's JSON line under "parsed"
+            rec = rec.get("parsed", rec)
+            if rec.get("sf") == sf and rec.get("queries"):
+                records.append((os.path.basename(path), rec["queries"]))
+                if len(records) >= REGRESSION_LOOKBACK:
+                    break
+        except (OSError, ValueError, AttributeError):
+            continue
+    if not records:
+        return []
+    out = []
+    for name, now in timings.items():
+        prevs = [(q[name], f) for f, q in records if name in q]
+        if not prevs:
+            continue
+        old, old_file = max(prevs)
+        if now > old * REGRESSION_FACTOR and now - old > REGRESSION_FLOOR_S:
+            out.append(
+                {"query": name, "prev": old, "now": now, "baseline": old_file}
+            )
+    return out
 
 
 if __name__ == "__main__":

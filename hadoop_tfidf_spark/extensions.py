@@ -892,66 +892,30 @@ def q_text_pii_redact(spark, sf_dir):
 
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
-# Slots are therefore spent deliberately:
-#   1) operators added in rounds 3–5 (never driver-checked before r5),
-#   2) the streaming queries whose final tables hash against batch oracles,
-#   3) one oracle-backed representative per operator family from rounds 1–2
-#      (their siblings hold green rows in CORRECTNESS_r01..r04 and stay
-#      covered by tools/check_correctness.py + tests).
-# Rows-only / no-oracle entries (sketches, IVF, ulp-sensitive BLAS, append-
-# mode streaming) and already-proven round-1 siblings sit past the cap.
+# The window ROTATES each round (COVERAGE.md "gate-window policy") so every
+# oracle-backed query's newest driver row stays fresh. Round-6 composition:
+#   1) queries new or code-touched this round (streaming_search, the newly
+#      oracle-gated sim_topk_ivf, the incremental-stats guard, the
+#      interval-join drain fix, cooccurrence, the flagship pipeline),
+#   2) three load-bearing r5-green anchors (LSH cornerstone, the batch twin
+#      of the touched streaming join, the incremental LSH index),
+#   3) the 32 entries whose newest driver rows dated from r01–r04.
+# Rotated-out r5-green entries sit past the cap with their CORRECTNESS_r05
+# rows; the 2 structurally no-oracle entries (HLL/GK sketches, BLAS ulp)
+# close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- rounds 3-4 operators, oracle-backed (first driver check in r5) --
-    "asof_next_event": q_asof_next_event,
-    "asof_last_purchase_30d": q_asof_last_purchase_30d,
-    "events_range_frame": q_events_range_frame,
-    "events_user_extremes": q_events_user_extremes,
-    "events_interval_join": q_events_interval_join,
-    "events_time_rollup": q_events_time_rollup,
-    "rel_market_share": q_rel_market_share,
-    "rel_status_priority": q_rel_status_priority,
-    "rel_returned_top": q_rel_returned_top,
-    "rel_orders_above_avg": q_rel_orders_above_avg,
-    "rel_parts_with_shipments": q_rel_parts_with_shipments,
-    "text_cooccurrence": q_text_cooccurrence,
-    "text_contamination": q_text_contamination,
-    "text_chunk": q_text_chunk,
-    "text_pii_redact": q_text_pii_redact,
-    "text_hash_sample": q_text_hash_sample,
-    "sim_quantize_int8": q_sim_quantize_int8,
-    "doc_similarity_tfidf": q_doc_similarity_tfidf,
-    "sql_tfidf_top100": q_sql_tfidf_top100,
-    "doc_frequency_salted": q_doc_frequency_salted,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_frames": q_multimodal_frames,
-    # -- streaming, hash-gated against batch-equivalent oracles --
-    "streaming_tumbling": q_streaming_tumbling,
-    "streaming_session": q_streaming_session,
-    "streaming_interval_join": q_streaming_interval_join,
-    "streaming_incremental_df": q_streaming_incremental_df,
-    "streaming_stateful_totals": q_streaming_stateful_totals,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    # -- round-6 fresh signal: new or code-touched this round --
     "streaming_search": q_streaming_search,
-    # -- flagship end-to-end composition (round 5) --
+    "sim_topk_ivf": q_sim_topk_ivf,
+    "streaming_incremental_df": q_streaming_incremental_df,
+    "streaming_interval_join": q_streaming_interval_join,
+    "text_cooccurrence": q_text_cooccurrence,
     "pipeline_curate": q_pipeline_curate,
-    # -- one oracle-backed representative per round-1/2 family --
-    # (near_canonical and ngram_jaccard ceded their slots to the two
-    # streaming queries above: both hold green rows in CORRECTNESS_r04,
-    # while the streaming pair had never had a driver row)
-    "dedup_exact": q_dedup_exact,
+    # -- r5-green anchors kept in-window --
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_components": q_dedup_components,
-    "dedup_embedding": q_dedup_embedding,
-    "sim_topk_brute": q_sim_topk_brute,
-    "sim_topk_lsh": q_sim_topk_lsh,
-    "text_token_stats": q_text_token_stats,
-    "text_lang_id": q_text_lang_id,
-    "text_fingerprint": q_text_fingerprint,
-    "rel_customers_without_orders": q_rel_customers_without_orders,
-    "rel_revenue_by_region": q_rel_revenue_by_region,
-    # ---------------- past the driver's 50-entry cap ----------------
-    # (green rows in CORRECTNESS_r01..r04; still run by the local checker)
+    "events_interval_join": q_events_interval_join,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    # -- rotation: newest driver rows were r01–r04 --
     "dedup_fuzzy": q_dedup_fuzzy,
     "search_bm25": q_search_bm25,
     "text_lm_score": q_text_lm_score,
@@ -984,10 +948,46 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_order_gaps": q_rel_order_gaps,
     "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
     "rel_percentiles": q_rel_percentiles,
-    # -- rows-only / no-oracle by nature (sketches, IVF float centroids,
-    #    BLAS ulp) — the only 3 declared queries without an oracle --
+    # ---------------- past the driver's 50-entry cap ----------------
+    # (rotated out this round; green rows in CORRECTNESS_r05 + the local
+    # checker runs all of them every round)
+    "asof_next_event": q_asof_next_event,
+    "asof_last_purchase_30d": q_asof_last_purchase_30d,
+    "events_range_frame": q_events_range_frame,
+    "events_user_extremes": q_events_user_extremes,
+    "events_time_rollup": q_events_time_rollup,
+    "rel_market_share": q_rel_market_share,
+    "rel_status_priority": q_rel_status_priority,
+    "rel_returned_top": q_rel_returned_top,
+    "rel_orders_above_avg": q_rel_orders_above_avg,
+    "rel_parts_with_shipments": q_rel_parts_with_shipments,
+    "text_contamination": q_text_contamination,
+    "text_chunk": q_text_chunk,
+    "text_pii_redact": q_text_pii_redact,
+    "text_hash_sample": q_text_hash_sample,
+    "sim_quantize_int8": q_sim_quantize_int8,
+    "doc_similarity_tfidf": q_doc_similarity_tfidf,
+    "sql_tfidf_top100": q_sql_tfidf_top100,
+    "doc_frequency_salted": q_doc_frequency_salted,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    "streaming_tumbling": q_streaming_tumbling,
+    "streaming_session": q_streaming_session,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
+    "dedup_exact": q_dedup_exact,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_components": q_dedup_components,
+    "dedup_embedding": q_dedup_embedding,
+    "sim_topk_brute": q_sim_topk_brute,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "text_token_stats": q_text_token_stats,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "rel_customers_without_orders": q_rel_customers_without_orders,
+    "rel_revenue_by_region": q_rel_revenue_by_region,
+    # -- rows-only / no-oracle by nature (HLL/GK sketches, BLAS ulp) —
+    #    the only 2 declared queries without an oracle --
     "rel_approx_distinct": q_rel_approx_distinct,
-    "sim_topk_ivf": q_sim_topk_ivf,
     "sim_topk_pandas": q_sim_topk_pandas,
 }
 
