@@ -363,8 +363,53 @@ def q_rel_customers_without_orders(spark, sf_dir):
 def q_rel_approx_distinct(spark, sf_dir):
     """Sketch-based aggregates — rows-only (no oracle entry: HLL++/GK
     results are approximations; tests/test_relational_ops.py bounds the
-    error against exact instead)."""
+    error against exact instead; the hash-gated envelope form is
+    ``rel_approx_distinct_bounds``)."""
     return R.approx_distinct_stats(_tbl(spark, sf_dir, "lineitem"))
+
+
+def q_rel_approx_distinct_bounds(spark, sf_dir):
+    """Error-envelope form of the sketch aggregates UNDER the hash gate:
+    exact values + in-bounds flags that the oracle asserts are literally 1
+    (relational.approx_distinct_bounds) — a sketch drifting past its
+    contract flips a flag and fails the row."""
+    return R.approx_distinct_bounds(_tbl(spark, sf_dir, "lineitem"))
+
+
+#: |rounded BLAS cosine − rounded fold cosine| tolerance for the envelope
+#: gate: the two float64 summation orders differ by ~1 ulp, which the
+#: 6-decimal rounding can stretch to one rounding step (1e-6).
+BLAS_COS_TOL = 2e-6
+
+
+def q_sim_topk_pandas_bounds(spark, sf_dir):
+    """Error-envelope form of the Arrow/BLAS top-k UNDER the hash gate:
+    inner-join the mapInPandas result to the expression-path result on
+    (query_id, vec_id) — a missing pair changes the row count, a rank
+    disagreement or a cosine off by more than :data:`BLAS_COS_TOL` flips
+    ``blas_ok`` — and the oracle (the proven brute-force SQL + literal 1)
+    hash-checks all of it."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    b = S.brute_force_topk(emb, queries, k=SIM_K).select(
+        "query_id", "vec_id", "cos_sim", "rn"
+    )
+    p = S.pandas_cosine_topk(emb, queries, k=SIM_K).select(
+        "query_id",
+        "vec_id",
+        F.col("cos_sim").alias("p_cos"),
+        F.col("rn").alias("p_rn"),
+    )
+    return b.join(p, ["query_id", "vec_id"], "inner").select(
+        "query_id",
+        "vec_id",
+        "cos_sim",
+        "rn",
+        (
+            (F.abs(F.col("p_cos") - F.col("cos_sim")) <= F.lit(BLAS_COS_TOL))
+            & (F.col("p_rn") == F.col("rn"))
+        ).cast("bigint").alias("blas_ok"),
+    )
 
 
 def q_events_moving_avg(spark, sf_dir):
@@ -895,10 +940,10 @@ def q_text_pii_redact(spark, sf_dir):
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
 # oracle-backed query's newest driver row stays fresh. Round-6 composition:
 #   1) queries new or code-touched this round (streaming_search, the newly
-#      oracle-gated sim_topk_ivf, the incremental-stats guard, the
-#      interval-join drain fix, cooccurrence, the flagship pipeline),
-#   2) three load-bearing r5-green anchors (LSH cornerstone, the batch twin
-#      of the touched streaming join, the incremental LSH index),
+#      oracle-gated sim_topk_ivf, the two error-envelope twins, the
+#      incremental-stats guard, the interval-join drain fix, cooccurrence,
+#      the flagship pipeline),
+#   2) the r5-green LSH anchor (the cornerstone every dedup query builds on),
 #   3) the 32 entries whose newest driver rows dated from r01–r04.
 # Rotated-out r5-green entries sit past the cap with their CORRECTNESS_r05
 # rows; the 2 structurally no-oracle entries (HLL/GK sketches, BLAS ulp)
@@ -907,14 +952,15 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-6 fresh signal: new or code-touched this round --
     "streaming_search": q_streaming_search,
     "sim_topk_ivf": q_sim_topk_ivf,
+    "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
+    "sim_topk_pandas_bounds": q_sim_topk_pandas_bounds,
     "streaming_incremental_df": q_streaming_incremental_df,
     "streaming_interval_join": q_streaming_interval_join,
     "text_cooccurrence": q_text_cooccurrence,
     "pipeline_curate": q_pipeline_curate,
-    # -- r5-green anchors kept in-window --
+    # -- r5-green anchor kept in-window (the LSH cornerstone every dedup
+    #    query builds on) --
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "events_interval_join": q_events_interval_join,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
     # -- rotation: newest driver rows were r01–r04 --
     "dedup_fuzzy": q_dedup_fuzzy,
     "search_bm25": q_search_bm25,
@@ -951,6 +997,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---------------- past the driver's 50-entry cap ----------------
     # (rotated out this round; green rows in CORRECTNESS_r05 + the local
     # checker runs all of them every round)
+    "events_interval_join": q_events_interval_join,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "asof_next_event": q_asof_next_event,
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "events_range_frame": q_events_range_frame,
@@ -1955,6 +2003,39 @@ FROM events GROUP BY user_id
     "streaming_search": _CORE_CTES
     + "SELECT query_id, doc_id, score FROM search_rel",
     "sim_topk_ivf": _ivf_sql(),
+    # Envelope oracles: exact values recomputed independently; the
+    # in-bounds flags are asserted literally — the Spark side must deliver
+    # sketch/BLAS results inside their error contracts to hash-match.
+    "rel_approx_distinct_bounds": """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       count(DISTINCT l_partkey) AS exact_parts,
+       CAST(1 AS BIGINT) AS hll_ok,
+       CAST(1 AS BIGINT) AS p50_ok,
+       CAST(1 AS BIGINT) AS p95_ok,
+       CAST(1 AS BIGINT) AS p99_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+    "sim_topk_pandas_bounds": _SIM_CTES
+    + f"""
+, q AS (
+  SELECT vec_id AS query_id, vec AS q_vec FROM e
+  WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.vec, q.q_vec), 6) AS cos_sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rn, CAST(1 AS BIGINT) AS blas_ok
+FROM ranked WHERE rn <= {SIM_K}
+""",
     "text_hash_sample": """
 WITH b AS (
   SELECT doc_id,

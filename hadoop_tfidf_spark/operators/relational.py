@@ -12,7 +12,7 @@ well-distributed columns with map-side partial aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -392,6 +392,47 @@ def approx_distinct_stats(lineitem: DataFrame) -> DataFrame:
         F.round(q.getItem(0), 2).alias("price_p50"),
         F.round(q.getItem(1), 2).alias("price_p95"),
         F.round(q.getItem(2), 2).alias("price_p99"),
+    )
+
+
+def approx_distinct_bounds(
+    lineitem: DataFrame,
+    hll_tol: float = 0.1,
+    pct_tol: float = 0.05,
+) -> DataFrame:
+    """Error-envelope twin of :func:`approx_distinct_stats` — the form the
+    hash gate CAN check: exact values ride along, the sketch estimates are
+    reduced to in-bounds FLAGS (1 iff within ``hll_tol``/``pct_tol``
+    relative error of exact), and the oracle asserts the flags are
+    literally 1. A sketch gone wrong (or a Spark upgrade changing HLL++
+    behavior past its rsd contract) flips a flag and fails the hash row —
+    strictly stronger than the rows-only check the raw-estimate query gets.
+    Both sketch and exact aggregates run in the ONE groupBy (single
+    shuffle); the exact aggregates exist only at gate scale — at 100 TB you
+    run :func:`approx_distinct_stats` and skip the exact twin (that being
+    the point of sketches).
+    """
+    qa = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    qe = F.percentile("l_extendedprice", F.lit([0.5, 0.95, 0.99]))
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_apx"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"),
+        qa.alias("_qa"),
+        qe.alias("_qe"),
+    )
+
+    def ok(a: Column, e: Column, tol: float) -> Column:
+        return (F.abs(a - e) <= F.lit(tol) * F.abs(e)).cast("bigint")
+
+    return agg.select(
+        "l_returnflag",
+        "n_items",
+        "exact_parts",
+        ok(F.col("_apx"), F.col("exact_parts"), hll_tol).alias("hll_ok"),
+        ok(F.col("_qa").getItem(0), F.col("_qe").getItem(0), pct_tol).alias("p50_ok"),
+        ok(F.col("_qa").getItem(1), F.col("_qe").getItem(1), pct_tol).alias("p95_ok"),
+        ok(F.col("_qa").getItem(2), F.col("_qe").getItem(2), pct_tol).alias("p99_ok"),
     )
 
 

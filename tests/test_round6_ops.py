@@ -64,6 +64,63 @@ def test_ivf_quantized_build_is_deterministic_and_sane(spark):
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
 
 
+def test_approx_distinct_bounds_flags_hold(spark):
+    """The envelope twin's flags must be 1 on real data (HLL rsd=0.02 vs a
+    10% tolerance; GK accuracy=10000 vs 5%) and its exact columns must
+    equal the plain exact aggregation."""
+    from hadoop_tfidf_spark.operators.relational import approx_distinct_bounds
+
+    li = spark.read.parquet(f"{SF_DIR_SMOKE}/lineitem.parquet")
+    rows = approx_distinct_bounds(li).collect()
+    assert rows
+    for r in rows:
+        assert (r.hll_ok, r.p50_ok, r.p95_ok, r.p99_ok) == (1, 1, 1, 1), r
+    exact = {
+        (r.l_returnflag): r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert {r.l_returnflag: r.exact_parts for r in rows} == exact
+
+
+def test_search_from_incremental_stats_equals_batch(spark, tmp_path):
+    """DQ5 scores computed from incrementally-merged stats must equal the
+    batch search on the same corpus (the streaming_search identity at
+    unit scale, two disjoint merge batches)."""
+    from hadoop_tfidf_spark.corpus import SPACE_TOKEN_PATTERN, tokenize
+    from hadoop_tfidf_spark.declared import SEARCH_QUERIES
+    from hadoop_tfidf_spark.search import query_term_bag, search
+    from hadoop_tfidf_spark.streaming.incremental import IncrementalTfidfStats
+    from hadoop_tfidf_spark.tfidf import doc_word_count, tfidf
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet").limit(100)
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    stats = IncrementalTfidfStats(spark, str(tmp_path / "stats"))
+    stats.merge_batch(b0, batch_id=0)
+    stats.merge_batch(b1, batch_id=1)
+
+    dwc = doc_word_count(tokenize(docs, SPACE_TOKEN_PATTERN))
+    tf = dwc.withColumn("tf", F.lit(1.0) + F.log10("n"))
+    inc_rel = tf.join(stats.idf(), "word").select(
+        "word", "doc_id", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    bag = query_term_bag(spark, SEARCH_QUERIES)
+    inc = {
+        (r.query_id, r.doc_id): round(r.score, 6)
+        for r in search(inc_rel, bag).collect()
+    }
+    batch_rel = tfidf(docs, tokens=tokenize(docs, SPACE_TOKEN_PATTERN)).select(
+        "word", "doc_id", F.round("tfidf", 6).alias("tfidf")
+    )
+    batch = {
+        (r.query_id, r.doc_id): round(r.score, 6)
+        for r in search(batch_rel, bag).collect()
+    }
+    assert inc == batch and inc
+
+
 def test_curate_storage_level_disk_only(spark):
     from hadoop_tfidf_spark.corpus import load_docs
     from hadoop_tfidf_spark.pipeline import curate_corpus
