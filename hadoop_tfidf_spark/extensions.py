@@ -927,6 +927,15 @@ def q_text_chunk(spark, sf_dir):
     return chunk_tokens(_docs(spark, sf_dir), chunk_size=32)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition statistics (duplicate word / duplicate
+    3-gram ratios) — the boilerplate filter of a pretraining pipeline,
+    zero-shuffle scan-stage expressions."""
+    from hadoop_tfidf_spark.functions.text import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir))
+
+
 def q_text_pii_redact(spark, sf_dir):
     """PII scrub over the corpus (emails/phones → tags + match counts;
     clean-text fingerprint is the hash-checked value)."""
@@ -957,6 +966,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_incremental_df": q_streaming_incremental_df,
     "streaming_interval_join": q_streaming_interval_join,
     "text_cooccurrence": q_text_cooccurrence,
+    "text_repetition": q_text_repetition,
     "pipeline_curate": q_pipeline_curate,
     # -- r5-green anchor kept in-window (the LSH cornerstone every dedup
     #    query builds on) --
@@ -993,10 +1003,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_grouping_sets": q_rel_grouping_sets,
     "rel_order_gaps": q_rel_order_gaps,
     "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
-    "rel_percentiles": q_rel_percentiles,
     # ---------------- past the driver's 50-entry cap ----------------
-    # (rotated out this round; green rows in CORRECTNESS_r05 + the local
-    # checker runs all of them every round)
+    # (rotated out this round; green rows in CORRECTNESS_r05 (or r01-r04
+    # for rel_percentiles, which ceded its slot to the brand-new
+    # text_repetition) + the local checker runs all of them every round)
+    "rel_percentiles": q_rel_percentiles,
     "events_interval_join": q_events_interval_join,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
     "asof_next_event": q_asof_next_event,
@@ -2275,6 +2286,37 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(len(words[s:s+31]) AS BIGINT) AS n_tokens,
        array_to_string(words[s:s+31], ' ') AS chunk_text
 FROM starts
+""",
+    # Repetition: duplicate-word / duplicate-k-gram ratios; the <k-word
+    # LEFT-JOIN null mirrors the Spark-side WHEN guard
+    "text_repetition": """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, count(*) AS n_grams,
+         count(DISTINCT g) AS n_distinct_grams
+  FROM (
+    SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    )
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(t.t)) AS BIGINT) AS n_distinct_words,
+       CASE WHEN len(t.t) > 0
+            THEN round(1.0 - len(list_distinct(t.t)) / len(t.t), 6)
+       END AS word_dup_ratio,
+       CAST(coalesce(g.n_grams, 0) AS BIGINT) AS n_grams,
+       CASE WHEN g.n_grams IS NOT NULL
+            THEN round(1.0 - g.n_distinct_grams / g.n_grams, 6)
+       END AS gram_dup_ratio
+FROM toks t LEFT JOIN grams g ON g.doc_id = t.doc_id
 """,
     "text_pii_redact": r"""
 SELECT doc_id,

@@ -72,6 +72,50 @@ def quality_column(text: Column) -> Column:
     return F.round(score, 6)
 
 
+def repetition_score(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Gopher-style repetition filter statistics: the fraction of a
+    document made of REPEATED content — duplicate-word ratio
+    (``1 − distinct/total`` over whitespace tokens) and duplicate
+    ``k``-gram ratio over word shingles. Boilerplate, keyword-stuffed and
+    loop-generated pages score high and get dropped by a pretraining
+    pipeline (Rae et al. 2021, "Scaling Language Models" §A1.1 repetition
+    rules).
+
+    ZERO shuffle: a doc's words and shingles live in its own row, so both
+    ratios are higher-order array expressions fused into the scan stage —
+    the same scale shape as :func:`fingerprint`. Docs with fewer than
+    ``k`` words get a NULL gram ratio (no shingles exist), matching the
+    oracle's LEFT-JOIN null.
+    """
+    text = F.col("text")
+    toks = F.filter(_words(text), lambda x: x != "")
+    words = _words(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    n_words = F.size(toks).cast("bigint")
+    n_grams = F.when(F.size(words) >= k, F.size(grams)).otherwise(F.lit(0))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_words"),
+        F.when(
+            n_words > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(toks)) / n_words, 6
+            ),
+        ).alias("word_dup_ratio"),
+        n_grams.cast("bigint").alias("n_grams"),
+        F.when(
+            F.size(words) >= k,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+            ),
+        ).alias("gram_dup_ratio"),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic document quality score in [0, 1] from length, alphabetic
     ratio, and stopword ratio — the standard pre-training corpus filters

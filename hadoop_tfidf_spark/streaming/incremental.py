@@ -197,9 +197,12 @@ class IncrementalTfidfStats:
 
         merged.write.mode("overwrite").parquet(f"{staging}/df")
         if self.track_seen_docs:
-            seen.unionByName(new_ids).distinct().write.mode(
-                "overwrite"
-            ).parquet(f"{staging}/seen")
+            # no distinct needed: `seen` is distinct by construction and
+            # `new_ids` is both distinct and anti-joined against it —
+            # the union is already a set (saves a shuffle per batch)
+            seen.unionByName(new_ids).write.mode("overwrite").parquet(
+                f"{staging}/seen"
+            )
         self.spark.createDataFrame(
             [(total, batch_id)], "num_docs BIGINT, last_batch_id BIGINT"
         ).write.mode("overwrite").parquet(f"{staging}/meta")

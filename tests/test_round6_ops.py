@@ -64,6 +64,31 @@ def test_ivf_quantized_build_is_deterministic_and_sane(spark):
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
 
 
+def test_repetition_score_hand_computed(spark):
+    """Planted docs: a loop-generated page scores high on both ratios, a
+    diverse doc scores 0, a 2-word doc gets a NULL gram ratio."""
+    from hadoop_tfidf_spark.functions.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now"),  # 6 words, 2 distinct
+            (2, "the quick brown fox"),      # all distinct
+            (3, "hi there"),                 # < 3 words: no grams
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in repetition_score(docs).collect()}
+    r1 = got[1]
+    assert (r1.n_words, r1.n_distinct_words) == (6, 2)
+    assert abs(r1.word_dup_ratio - (1 - 2 / 6)) < 1e-6
+    # 4 trigrams: "buy now buy","now buy now","buy now buy","now buy now"
+    assert r1.n_grams == 4 and abs(r1.gram_dup_ratio - 0.5) < 1e-6
+    r2 = got[2]
+    assert r2.word_dup_ratio == 0.0 and r2.gram_dup_ratio == 0.0
+    r3 = got[3]
+    assert r3.n_grams == 0 and r3.gram_dup_ratio is None
+
+
 def test_approx_distinct_bounds_flags_hold(spark):
     """The envelope twin's flags must be 1 on real data (HLL rsd=0.02 vs a
     10% tolerance; GK accuracy=10000 vs 5%) and its exact columns must
