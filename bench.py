@@ -47,11 +47,13 @@ HEADLINE = [
     # dedup family (minhash twice: free-running + megabucket cap engaged,
     # so the 100 TB safety valve's sizes-agg + filter-join has a timing row)
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",
-    "dedup_simhash", "dedup_embedding",
-    # similarity search
-    "sim_topk_brute", "sim_topk_lsh",
-    # text analysis (lm_score = the corpus-bigram perplexity filter)
+    "dedup_simhash", "dedup_embedding", "dedup_span_exact",
+    # similarity search (+ the integer-centroid label audit)
+    "sim_topk_brute", "sim_topk_lsh", "sim_label_centroids",
+    # text analysis (lm_score = the corpus-bigram perplexity filter;
+    # c4_filters = the rule gate; pack_sequences = training-pack prep)
     "text_quality", "text_fingerprint", "text_lm_score",
+    "text_c4_filters", "text_pack_sequences",
     # multimodal (Arrow mapInPandas path)
     "multimodal_decode",
     # relational / events

@@ -444,6 +444,26 @@ def q_sim_topk_ivf(spark, sf_dir):
     ).select("query_id", "vec_id", "cos_sim", "rn")
 
 
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 1
+
+
+def q_sim_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace integer
+    micro-unit k-means codebooks, corpus encoded to :data:`PQ_M` codes,
+    ADC top-k per query — every step exact BIGINT arithmetic, so the
+    DuckDB oracle replays the whole build+search unrolled (the same
+    integer-quantization trick that hash-gated IVF)."""
+    emb = _emb(spark, sf_dir)
+    codes, books = S.pq_build(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS
+    )
+    return S.pq_topk(
+        emb, codes, books, SIM_QUERY_IDS, k=SIM_K, units=IVF_UNITS
+    )
+
+
 def q_rel_price_bands(spark, sf_dir):
     return R.price_band_summary(_tbl(spark, sf_dir, "orders"), spark)
 
@@ -944,6 +964,62 @@ def q_text_pii_redact(spark, sf_dir):
     return redact_pii(_docs(spark, sf_dir))
 
 
+def q_dedup_span_exact(spark, sf_dir):
+    """Span-granularity exact dedup (Lee et al. 2022 exact-substring
+    style): 5-word spans occurring verbatim in ≥ 2 documents are removed
+    and each doc reassembled — row-local span construction, one
+    md5-keyed count aggregation, one anti-join. Non-vacuous at sf0.01
+    (~226 cross-doc duplicate spans)."""
+    return D.span_dedup(_docs(spark, sf_dir), span_words=5)
+
+
+def q_text_c4_filters(spark, sf_dir):
+    """C4/Gopher-style quality filter: per-rule measured values + 0/1
+    verdict flags + the conjunctive keep bit (flags cast to INT for
+    engine-portable hashing) — all zero-shuffle scan-stage expressions."""
+    from hadoop_tfidf_spark.functions.text import c4_quality_filters
+
+    out = c4_quality_filters(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "word_dup_ratio",
+        "stop_ratio",
+        *[
+            F.col(c).cast("int").alias(c)
+            for c in ("pass_len", "pass_word_len", "pass_dup", "pass_stop", "keep")
+        ],
+    )
+
+
+def q_text_mixture_weights(spark, sf_dir):
+    """Data-mixture accounting per (source, lang): token share of the
+    corpus and the uniform-target resampling weight — the mixture
+    reweighting step of a corpus recipe. One strata-keyed aggregation +
+    a broadcast 1-row totals join; output is strata-sized."""
+    from hadoop_tfidf_spark.operators.sampling import mixture_weights
+
+    return mixture_weights(_tbl(spark, sf_dir, "documents"), ["source", "lang"])
+
+
+def q_text_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing into ~512-token training packs,
+    sharded 8 ways by doc_id — concat-then-chunk GPT-style packing; all
+    integer outputs, bit-stable on any engine/partitioning."""
+    from hadoop_tfidf_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=8)
+
+
+def q_sim_label_centroids(spark, sf_dir):
+    """Nearest-centroid label audit over the embeddings table: integer
+    micro-unit per-label centroids (exact BIGINT sums → engine-exact),
+    every vector assigned to the closest centroid, label×assigned
+    confusion counts."""
+    return S.nearest_centroid_confusion(_emb(spark, sf_dir))
+
+
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
@@ -967,6 +1043,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_interval_join": q_streaming_interval_join,
     "text_cooccurrence": q_text_cooccurrence,
     "text_repetition": q_text_repetition,
+    "dedup_span_exact": q_dedup_span_exact,
+    "text_c4_filters": q_text_c4_filters,
+    "text_mixture_weights": q_text_mixture_weights,
+    "text_pack_sequences": q_text_pack_sequences,
+    "sim_label_centroids": q_sim_label_centroids,
+    "sim_topk_pq": q_sim_topk_pq,
     "pipeline_curate": q_pipeline_curate,
     # -- r5-green anchor kept in-window (the LSH cornerstone every dedup
     #    query builds on) --
@@ -986,27 +1068,29 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_customers": q_rel_top_customers,
-    "rel_acctbal_rollup": q_rel_acctbal_rollup,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
-    "events_json_props": q_events_json_props,
     "events_moving_avg": q_events_moving_avg,
     "events_hopping": q_events_hopping,
     "events_click_purchase": q_events_click_purchase,
     "asof_last_purchase": q_asof_last_purchase,
-    "rel_event_pivot": q_rel_event_pivot,
-    "rel_region_year_cube": q_rel_region_year_cube,
-    "rel_repeat_customers": q_rel_repeat_customers,
     "rel_price_bands": q_rel_price_bands,
     "rel_order_calendar": q_rel_order_calendar,
     "rel_lapsed_customers": q_rel_lapsed_customers,
     "rel_grouping_sets": q_rel_grouping_sets,
     "rel_order_gaps": q_rel_order_gaps,
-    "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
     # ---------------- past the driver's 50-entry cap ----------------
-    # (rotated out this round; green rows in CORRECTNESS_r05 (or r01-r04
-    # for rel_percentiles, which ceded its slot to the brand-new
-    # text_repetition) + the local checker runs all of them every round)
+    # (rotated out this round; green rows in CORRECTNESS_r05, or r01-r04
+    # for the five 4x-green stable entries that ceded their slots to the
+    # brand-new round-6 operators (span dedup, C4 filters, mixture
+    # weights, sequence packing, label centroids) + the local checker
+    # runs ALL registered queries every round: LOCAL_CHECK_r06.md)
+    "rel_event_pivot": q_rel_event_pivot,
+    "rel_region_year_cube": q_rel_region_year_cube,
+    "rel_repeat_customers": q_rel_repeat_customers,
+    "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
+    "rel_acctbal_rollup": q_rel_acctbal_rollup,
+    "events_json_props": q_events_json_props,
     "rel_percentiles": q_rel_percentiles,
     "events_interval_join": q_events_interval_join,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
@@ -1249,6 +1333,83 @@ def _ivf_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT query_id, vec_id, cos_sim, rn FROM ranked WHERE rn <= {SIM_K}"
+    )
+
+
+def _pq_sql(dim: int = 64) -> str:
+    """Unrolled replay of the integer micro-unit PQ build + ADC search
+    (mirrors similarity.pq_build/pq_topk with m=PQ_M, k=PQ_K,
+    iters=PQ_ITERS, units=IVF_UNITS): per subspace a seeded integer
+    Lloyd identical to the IVF oracle's, then the ADC distance is the
+    sum over subspaces of the exact integer L2 from the query subvector
+    to the centroid of each vector's code — every quantity BIGINT, so
+    the hash row pins the whole compressed index."""
+    sub = dim // PQ_M
+    ctes = [
+        f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+)"""
+    ]
+    dists = []
+    for s in range(PQ_M):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(f"""sub{s} AS (
+  SELECT vec_id, u[{lo}:{hi}] AS su FROM e
+)""")
+        ctes.append(f"""cent{s}_0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, su AS cu
+  FROM sub{s} ORDER BY vec_id LIMIT {PQ_K}
+)""")
+        for it in range(PQ_ITERS + 1):
+            ctes.append(f"""assign{s}_{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT b.vec_id, c.cluster, {_int_d2_sql("b.su", "c.cu")} AS d2
+    FROM sub{s} b CROSS JOIN cent{s}_{it} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+)""")
+            if it < PQ_ITERS:
+                ctes.append(f"""mean{s}_{it + 1} AS (
+  SELECT cluster, list(m ORDER BY d) AS cu FROM (
+    SELECT cluster, d, CAST(round(sum(x) / count(*)) AS BIGINT) AS m
+    FROM (
+      SELECT a.cluster, generate_subscripts(b.su, 1) AS d, unnest(b.su) AS x
+      FROM sub{s} b JOIN assign{s}_{it} a ON a.vec_id = b.vec_id
+    ) GROUP BY cluster, d
+  ) GROUP BY cluster
+)""")
+                ctes.append(f"""cent{s}_{it + 1} AS (
+  SELECT c.cluster, coalesce(m.cu, c.cu) AS cu
+  FROM cent{s}_{it} c LEFT JOIN mean{s}_{it + 1} m ON m.cluster = c.cluster
+)""")
+        dists.append(
+            f"""SELECT q.query_id, a.vec_id, {_int_d2_sql("q.su", "c.cu")} AS d2
+    FROM assign{s}_{PQ_ITERS} a
+    JOIN cent{s}_{PQ_ITERS} c ON a.cluster = c.cluster
+    CROSS JOIN (SELECT vec_id AS query_id, su FROM sub{s}
+                WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})) q"""
+        )
+    union = "\n    UNION ALL\n    ".join(dists)
+    ctes.append(f"""alld AS (
+    {union}
+)""")
+    ctes.append("""scored AS (
+  SELECT query_id, vec_id, CAST(sum(d2) AS BIGINT) AS adc_d2
+  FROM alld WHERE vec_id <> query_id GROUP BY 1, 2
+)""")
+    ctes.append("""ranked AS (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, vec_id) AS rn
+  FROM scored
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn"
+        f" FROM ranked WHERE rn <= {SIM_K}"
     )
 
 
@@ -2014,6 +2175,7 @@ FROM events GROUP BY user_id
     "streaming_search": _CORE_CTES
     + "SELECT query_id, doc_id, score FROM search_rel",
     "sim_topk_ivf": _ivf_sql(),
+    "sim_topk_pq": _pq_sql(),
     # Envelope oracles: exact values recomputed independently; the
     # in-bounds flags are asserted literally — the Spark side must deliver
     # sketch/BLAS results inside their error contracts to hash-match.
@@ -2329,5 +2491,148 @@ SELECT doc_id,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          '\d{3}[-.]\d{3,4}[-.]\d{4}', '<PHONE>', 'g')) AS clean_md5
 FROM documents
+""",
+    # Span-granularity exact dedup: 5-word stride-5 spans, dup = exact
+    # span text in ≥2 distinct docs (join on md5 like the Spark side)
+    "dedup_span_exact": """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         generate_subscripts(generate_series(1, len(words), 5), 1) AS chunk_idx,
+         unnest(generate_series(1, len(words), 5)) AS s, words
+  FROM w WHERE len(words) > 0
+),
+spans AS (
+  SELECT doc_id, chunk_idx, array_to_string(words[s:s+4], ' ') AS span FROM sp
+),
+dup AS (
+  SELECT md5(span) AS h FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT s.doc_id, s.chunk_idx, s.span
+  FROM spans s LEFT JOIN dup d ON md5(s.span) = d.h
+  WHERE d.h IS NULL
+),
+re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY chunk_idx) AS clean_text
+  FROM kept GROUP BY 1
+),
+ns AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1)
+SELECT w.doc_id,
+       CAST(coalesce(ns.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(ns.n_spans, 0) - coalesce(re.n_kept, 0) AS BIGINT)
+         AS n_dup_spans,
+       coalesce(re.clean_text, '') AS clean_text
+FROM w LEFT JOIN ns ON ns.doc_id = w.doc_id
+LEFT JOIN re ON re.doc_id = w.doc_id
+""",
+    # C4/Gopher-style quality rules; thresholds mirror
+    # text.c4_quality_filters defaults; flags cast to INT on both sides
+    "text_c4_filters": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         round(CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w), 6)
+           AS mean_word_len,
+         round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+           AS word_dup_ratio,
+         round(CAST(len(list_filter(w, x -> x IN
+           ('the','a','an','of','and','or','is','to','in','it')))
+           AS DOUBLE) / len(w), 6) AS stop_ratio
+  FROM t WHERE len(w) > 0
+)
+SELECT doc_id, n_words, mean_word_len, word_dup_ratio, stop_ratio,
+       CAST(n_words BETWEEN 20 AND 80 AS INTEGER) AS pass_len,
+       CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS pass_word_len,
+       CAST(word_dup_ratio <= 0.55 AS INTEGER) AS pass_dup,
+       CAST(stop_ratio >= 0.02 AS INTEGER) AS pass_stop,
+       CAST(n_words BETWEEN 20 AND 80
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND word_dup_ratio <= 0.55
+            AND stop_ratio >= 0.02 AS INTEGER) AS keep
+FROM s
+""",
+    # Mixture accounting: per-(source, lang) token share + uniform-target
+    # resampling weight; single-row totals joined back (exact BIGINTs,
+    # one IEEE division + round each — engine-identical)
+    "text_mixture_weights": """
+WITH g AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+         CAST(count(*) AS BIGINT) AS ng
+  FROM g
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+       round(CAST(tt AS DOUBLE) / (ng * n_tokens), 6) AS uniform_weight
+FROM g, tot
+""",
+    # Concat-then-chunk sequence packing: 8 shards by doc_id, running
+    # token count before each doc, pack = cum_before DIV 512 — all
+    # integer arithmetic, bit-stable
+    "text_pack_sequences": """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(cum_before // 512 AS BIGINT) AS pack_id,
+       n_tokens,
+       CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+FROM c
+""",
+    # Nearest-centroid confusion: integer micro-unit per-label centroids
+    # (exact BIGINT sums, round(sum/n) = one IEEE division + one
+    # half-away round — engine-identical), argmin by exact integer L2
+    # with ties to the lowest label (mirrors array_position first-min)
+    "sim_label_centroids": """
+WITH u AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS x
+  FROM embeddings
+),
+cents AS (
+  SELECT label AS clabel, d, CAST(round(sum(x) / count(*)) AS BIGINT) AS m
+  FROM u GROUP BY 1, 2
+),
+dists AS (
+  SELECT u.vec_id, u.label, c.clabel,
+         sum((u.x - c.m) * (u.x - c.m)) AS d2
+  FROM u JOIN cents c ON u.d = c.d
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM dists
+)
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(clabel AS INTEGER) AS assigned_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2
 """,
 }

@@ -512,3 +512,78 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def span_dedup(docs: DataFrame, span_words: int = 5) -> DataFrame:
+    """Corpus-wide duplicated-SPAN removal — the span-granularity form of
+    exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": repeated passages, boilerplate and
+    licence blocks recur VERBATIM across crawled pages even when whole
+    documents differ). The reference engine has no dedup at all
+    (SURVEY.md §2 gap table).
+
+    Semantics: each document's non-empty whitespace tokens are cut into
+    consecutive spans of ``span_words`` words (stride = width; the final
+    span may be shorter). A span is *duplicated* iff its exact text occurs
+    in ≥ 2 distinct documents. Output, one row per input document::
+
+        (doc_id, n_spans, n_dup_spans, clean_text)
+
+    where ``clean_text`` is the document with every duplicated span
+    removed (surviving spans re-joined in order; empty string when all
+    spans were duplicated).
+
+    Scale (100 TB): span construction is ROW-LOCAL (``sequence`` +
+    ``slice`` higher-order expressions fused into the scan — same shape as
+    :func:`~hadoop_tfidf_spark.functions.text.fingerprint`); the corpus
+    count aggregates ``md5(span)`` (fixed 32-char key, uniformly
+    distributed, partial-agg collapses per-partition repeats before the
+    shuffle — no skew); the dup set joins back by span hash as a plain
+    equi-join (NOT broadcast: at corpus scale the duplicated-span set is
+    itself large); reassembly is one ``doc_id``-keyed aggregation.
+    Exactly 2 shuffled aggregations + 1 equi-join — never all-pairs, and
+    no span text ever crosses a shuffle wider than the doc itself.
+    """
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    spans_col = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(span_words)),
+        lambda s: F.array_join(F.slice(words, s, span_words), " "),
+    )
+    base = docs.select(
+        "doc_id",
+        F.when(F.size(words) > 0, spans_col).otherwise(
+            F.array().cast("array<string>")
+        ).alias("spans"),
+    )
+    exploded = base.select(
+        "doc_id", F.posexplode("spans").alias("chunk_idx", "span")
+    ).withColumn("h", F.md5(F.col("span")))
+    dup = (
+        exploded.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    kept = exploded.join(dup, "h", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "span"))),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("spans").cast("bigint").alias("n_spans"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0))).cast(
+                "bigint"
+            ).alias("n_dup_spans"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -86,3 +86,92 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo += width
     return df.withColumn("split", expr)
+
+
+def mixture_weights(docs: DataFrame, strata: list[str] | None = None) -> DataFrame:
+    """Data-mixture accounting for pretraining: per stratum (default
+    ``(source, lang)``) document and token counts, the stratum's share of
+    all corpus tokens, and the resampling weight that would flatten the
+    mixture to UNIFORM across observed strata (``weight > 1`` ⇒ upsample
+    the rare domain, ``< 1`` ⇒ downsample the dominant crawl — the
+    mixture-reweighting step every corpus recipe starts from, cf. The Pile
+    / Gopher per-source weights). Feed the weights to
+    :func:`stratified_hash_sample` to materialize the resampled corpus.
+
+    One hash aggregation keyed on the (low-cardinality) strata — partial
+    aggregation means the shuffle carries one row per (partition, stratum),
+    not per doc — followed by a single-row totals cross join that Spark
+    plans as a broadcast. Output is strata-sized (tiny) regardless of
+    corpus size.
+    """
+    strata = strata or ["source", "lang"]
+    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    groups = (
+        docs.groupBy(*strata)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(n_tokens).cast("bigint").alias("n_tokens"),
+        )
+    )
+    totals = groups.agg(
+        F.sum("n_tokens").cast("bigint").alias("_total_tokens"),
+        F.count("*").cast("bigint").alias("_n_strata"),
+    )
+    return groups.crossJoin(F.broadcast(totals)).select(
+        *strata,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_total_tokens"), 6).alias("token_share"),
+        F.round(
+            F.col("_total_tokens") / (F.col("_n_strata") * F.col("n_tokens")), 6
+        ).alias("uniform_weight"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document to a training
+    pack of ~``budget`` tokens. Docs are sharded into ``n_buckets`` by
+    ``doc_id % n_buckets``, ordered by ``doc_id`` within the shard, and
+    packed contiguously: a doc's pack is ``floor(tokens_before / budget)``
+    of the running token count before it (a doc may straddle a boundary —
+    the standard concat-then-chunk packing of GPT-style pretraining, where
+    sequences are cut at exactly ``budget`` tokens regardless of doc
+    edges). Output: ``(doc_id, bucket, pack_id, n_tokens,
+    offset_in_pack)`` — all integers, bit-stable on any engine.
+
+    Scale: packing is inherently sequential *within* a shard (each pack id
+    depends on the running sum), so the operator parallelizes ACROSS
+    shards — one window per bucket, each a sort + linear pass. At 100 TB
+    raise ``n_buckets`` to ~the cluster's task count; real pipelines pack
+    per output shard exactly like this because a single global order would
+    serialize the whole corpus through one task.
+    """
+    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % n_buckets).cast("bigint").alias("bucket"),
+            n_tokens.cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.floor(F.col("cum_before") / budget).cast("bigint").alias("pack_id"),
+            "n_tokens",
+            (F.col("cum_before") % budget).cast("bigint").alias("offset_in_pack"),
+        )
+    )

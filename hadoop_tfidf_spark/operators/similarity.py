@@ -487,3 +487,229 @@ def embedding_near_dup(
         .where(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    units: int = 1_000_000,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroids in integer micro-units: ``(label, d, m)`` where
+    ``m = round(sum(round(x·units)) / n)`` over the label's vectors. The
+    sum is exact BIGINT arithmetic (order-independent — a float mean
+    depends on partial-agg summation order), so the centroid table is
+    bit-reproducible on any engine/partitioning — the same quantization
+    trick that made :func:`ivf_build` oracle-replayable.
+
+    Scale: posexplode to (label, dim) then aggregate — partial aggregation
+    collapses each partition to ≤ labels×dim rows before the shuffle, so
+    the exchange is centroid-sized, not corpus-sized.
+    """
+    u = quantized_units(F.col(vec_col), units)
+    return (
+        embeddings.select(F.col(label_col).alias("label"), F.posexplode(u).alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.round(F.sum("x") / F.count("*"), 0).cast("bigint").alias("m"))
+    )
+
+
+def nearest_centroid_confusion(
+    embeddings: DataFrame,
+    units: int = 1_000_000,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classification audit: assign every vector to the
+    closest :func:`label_centroids` centroid by exact integer L2 and
+    return the label×assigned confusion counts — the standard quick probe
+    of embedding-space label separability (and of harvested-label noise)
+    before spending GPU time on a real classifier.
+
+    The centroid matrix is labels×dim (tiny) — the ``.collect()`` is the
+    legitimate kind, and the per-row argmin is a codegen'd higher-order
+    expression over a broadcast literal array; ties break to the LOWEST
+    label (``array_position`` returns the first minimum; the oracle's
+    ``row_number`` tie-break mirrors this). One centroid aggregation + one
+    confusion aggregation — both shuffles are label-sized.
+    """
+    cents_rows = label_centroids(embeddings, units, vec_col, label_col).collect()
+    by_label: dict[int, dict[int, int]] = {}
+    for r in cents_rows:
+        by_label.setdefault(r["label"], {})[r["d"]] = r["m"]
+    labels = sorted(by_label)
+    dim = max(max(d) for d in by_label.values()) + 1
+    cent_arr = F.array(
+        *[
+            F.array(
+                *[F.lit(int(by_label[lbl].get(d, 0))).cast("bigint") for d in range(dim)]
+            )
+            for lbl in labels
+        ]
+    )
+    u = quantized_units(F.col(vec_col), units)
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(u, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    label_lits = F.array(*[F.lit(int(x)).cast("int") for x in labels])
+    assigned = F.element_at(
+        label_lits, F.array_position(dists, F.array_min(dists)).cast("int")
+    )
+    return (
+        embeddings.select(
+            F.col(label_col).cast("int").alias("label"), assigned.alias("assigned_label")
+        )
+        .groupBy("label", "assigned_label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _argmin_units(vec: Column, cents: list[list[int]]) -> Column:
+    """0-based argmin of exact integer L2 distance from ``vec`` (an
+    ``array<bigint>`` of micro-units) to each centroid literal; ties go to
+    the first (lowest) index via ``array_position``."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+
+def pq_build(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    units: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Product quantization (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): split the vector into ``m`` contiguous
+    subspaces, k-means each subspace independently (integer micro-unit
+    Lloyd via :func:`ivf_build` — exact BIGINT arithmetic, so codebooks
+    and codes are bit-reproducible on any engine), and encode every vector
+    as ``m`` one-byte-sized codes. Returns ``(codes_df, codebooks)`` where
+    ``codes_df`` is ``(id, code_0..code_{m-1})`` and ``codebooks[s][j]``
+    is subspace ``s``'s centroid ``j`` in micro-units.
+
+    Scale: the compressed index is ``m`` small ints per vector (vs
+    ``dim`` floats — a 64× compression at dim=64/m=4 before bit-packing);
+    encoding is ONE scan-stage projection per corpus row against the
+    broadcast codebook literals (k×dim ints — tiny). The per-subspace
+    k-means trains on whatever sample ``embeddings`` is; at 100 TB train
+    on a ``.sample()`` and encode the full corpus, exactly like IVF.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    codebooks: list[list[list[int]]] = []
+    for s in range(m):
+        sub_df = embeddings.select(
+            id_col, F.slice(_as_double(F.col(vec_col)), s * sub + 1, sub).alias("sub")
+        )
+        _, cents = ivf_build(
+            sub_df, k=k, iters=iters, id_col=id_col, vec_col="sub", units=units
+        )
+        codebooks.append([[int(x) for x in c] for c in cents])
+    u = quantized_units(F.col(vec_col), units)
+    codes = embeddings.select(
+        id_col,
+        *[
+            _argmin_units(F.slice(u, s * sub + 1, sub), codebooks[s]).alias(f"code_{s}")
+            for s in range(m)
+        ],
+    )
+    return codes, codebooks
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_ids: list[int],
+    k: int = 10,
+    units: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: for each query, the exact
+    integer L2 distance from the query's subvector to every codebook
+    centroid is precomputed driver-side (an m×k table of plain ints —
+    the queries and codebooks are the only data collected), and each
+    corpus vector's approximate distance is the SUM of ``m`` table
+    lookups on its codes — a pure codegen projection over the compressed
+    index; the original vectors are never touched at search time. Top-k
+    per query by ``(adc_d2, id)``. All-integer ⇒ engine-exact, fully
+    DuckDB-replayable.
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q_rows = (
+        embeddings.where(F.col(id_col).isin([int(x) for x in query_ids]))
+        .select(id_col, quantized_units(F.col(vec_col), units).alias("u"))
+        .collect()
+    )
+    # adc[query][subspace][code] — python-int exact distances
+    tables = []
+    for r in q_rows:
+        qu = [int(x) for x in r["u"]]
+        per_sub = []
+        for s in range(m):
+            qsub = qu[s * sub : (s + 1) * sub]
+            per_sub.append(
+                [
+                    sum((a - b) * (a - b) for a, b in zip(qsub, c))
+                    for c in codebooks[s]
+                ]
+            )
+        tables.append((int(r[id_col]), per_sub))
+    queries_df = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                F.array(
+                    *[
+                        F.array(*[F.lit(d).cast("bigint") for d in tab[s]])
+                        for s in range(m)
+                    ]
+                ).alias("adc"),
+            )
+            for qid, tab in tables
+        ]
+    )
+    exploded = codes.select(
+        F.col(id_col), *[f"code_{s}" for s in range(m)], F.explode(queries_df).alias("q")
+    )
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("q.adc"), s + 1), F.col(f"code_{s}") + 1
+        )
+        score = term if score is None else score + term
+    scored = exploded.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col(id_col),
+        score.cast("bigint").alias("adc_d2"),
+    ).where(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", id_col, "adc_d2", F.col("rn").cast("int").alias("rn"))
+    )
