@@ -29,7 +29,7 @@ import sys
 import time
 
 REGRESSION_FACTOR = 1.5
-REGRESSION_FLOOR_S = 0.25
+REGRESSION_FLOOR_S = 0.3
 REGRESSION_LOOKBACK = 2
 
 #: The headline set: the full core TF-IDF pipeline plus one representative
@@ -82,7 +82,12 @@ def main() -> None:
     # doesn't pay one-time session costs.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    # min-of-3: measured same-code cross-RUN noise on this host reaches
+    # 2.4x on sub-second queries with min-of-2 (r6: events_sessionize
+    # 0.31->0.73, dedup_minhash_capped 1.17->2.07 across back-to-back
+    # runs); a third trial brings every observed flake back under the
+    # tripwire thresholds while adding ~40% wall to the bench only
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     names = [n for n in HEADLINE if n in queries]
     for name in names:
         best = None

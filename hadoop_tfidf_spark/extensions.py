@@ -159,10 +159,12 @@ def q_text_stratified_sample(spark, sf_dir):
 def q_text_lm_score(spark, sf_dir):
     """Corpus-bigram-LM quality scores (functions.text.lm_score) — the
     perplexity-style pretraining filter, hash-gated against an SQL replay
-    of the smoothed bigram model."""
+    of the smoothed bigram model. Rebalanced scan: the bigram explode is
+    CPU-bound row-local work that a single-file read would serialize
+    (measured 2.2x at sf0.1)."""
     from hadoop_tfidf_spark.functions.text import lm_score
 
-    return lm_score(_docs(spark, sf_dir))
+    return lm_score(_docs(spark, sf_dir, rebalance=True))
 
 
 def q_dedup_simhash(spark, sf_dir):

@@ -154,3 +154,50 @@ def test_cooccurrence_equi_join(stats_of):
     s = stats_of("text_cooccurrence")
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
+
+
+def test_c4_filters_zero_shuffle(stats_of):
+    """The C4 rule gate is a pure scan-stage projection — no exchange of
+    any kind (the 100 TB contract: rule filtering runs at scan speed)."""
+    s = stats_of("text_c4_filters")
+    assert s.shuffle_exchanges == 0
+    assert s.broadcast_exchanges == 0
+
+
+def test_pack_sequences_single_window_exchange(stats_of):
+    """Packing is one bucket-keyed exchange + one sort + the window —
+    nothing global, no joins."""
+    s = stats_of("text_pack_sequences")
+    assert s.shuffle_exchanges == 1
+    assert s.cartesian_products == 0
+    assert s.broadcast_hash_joins == 0
+    assert s.sort_merge_joins == 0
+
+
+def test_span_dedup_bucketed_never_all_pairs(stats_of):
+    """Span dedup = hash-keyed count agg + equi-joins back; no cartesian,
+    no global sort, bounded shuffles."""
+    s = stats_of("dedup_span_exact")
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.shuffle_exchanges <= 3
+
+
+def test_label_centroids_confusion_small_shuffles(stats_of):
+    """The confusion matrix runs on broadcast centroid literals — one
+    corpus scan, label-sized aggregations only, no joins at all."""
+    s = stats_of("sim_label_centroids")
+    assert s.cartesian_products == 0
+    assert s.broadcast_hash_joins == 0
+    assert s.sort_merge_joins == 0
+    assert s.shuffle_exchanges <= 1
+
+
+def test_pq_topk_projection_over_codes(stats_of):
+    """ADC search is a codegen projection over the compressed codes (the
+    ADC tables ride as literals) + one top-k window — no join against the
+    original vectors at search time."""
+    s = stats_of("sim_topk_pq")
+    assert s.cartesian_products == 0
+    assert s.broadcast_hash_joins == 0
+    assert s.sort_merge_joins == 0
