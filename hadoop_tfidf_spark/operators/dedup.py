@@ -535,55 +535,65 @@ def span_dedup(docs: DataFrame, span_words: int = 5) -> DataFrame:
 
     Scale (100 TB): span construction is ROW-LOCAL (``sequence`` +
     ``slice`` higher-order expressions fused into the scan — same shape as
-    :func:`~hadoop_tfidf_spark.functions.text.fingerprint`); the corpus
+    :func:`~hadoop_tfidf_spark.functions.text.fingerprint`) and runs
+    exactly TWICE — once to feed the corpus-wide span count, once for the
+    tagged pass (persisting the exploded spans instead would materialize
+    a corpus-sized relation; recompute is the right trade at scale). The
     count aggregates ``md5(span)`` (fixed 32-char key, uniformly
     distributed, partial-agg collapses per-partition repeats before the
     shuffle — no skew); the dup set joins back by span hash as a plain
     equi-join (NOT broadcast: at corpus scale the duplicated-span set is
-    itself large); reassembly is one ``doc_id``-keyed aggregation.
-    Exactly 2 shuffled aggregations + 1 equi-join — never all-pairs, and
-    no span text ever crosses a shuffle wider than the doc itself.
+    itself large) to FLAG each span, and one ``doc_id``-keyed aggregation
+    then produces counts and reassembly together. 2 shuffled aggregations
+    + 1 equi-join total — never all-pairs, and no span text ever crosses
+    a shuffle wider than the doc itself. Zero-span docs are filled from a
+    spans-free projection of the input (no second span construction).
     """
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     spans_col = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(span_words)),
         lambda s: F.array_join(F.slice(words, s, span_words), " "),
     )
-    base = docs.select(
-        "doc_id",
-        F.when(F.size(words) > 0, spans_col).otherwise(
-            F.array().cast("array<string>")
-        ).alias("spans"),
-    )
-    exploded = base.select(
-        "doc_id", F.posexplode("spans").alias("chunk_idx", "span")
+    exploded = docs.where(F.size(words) > 0).select(
+        "doc_id", F.posexplode(spans_col).alias("chunk_idx", "span")
     ).withColumn("h", F.md5(F.col("span")))
     dup = (
         exploded.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
-        .select("h")
+        .select("h", F.lit(1).alias("is_dup"))
     )
-    kept = exploded.join(dup, "h", "left_anti")
-    reassembled = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
+    tagged = exploded.join(dup, "h", "left").select(
+        "doc_id",
+        "chunk_idx",
+        "span",
+        F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_spans"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "span"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "is_dup", "span"))
+                    ),
+                    lambda x: x["is_dup"] == 0,
+                ),
                 lambda x: x["span"],
             ),
             " ",
         ).alias("clean_text"),
     )
     return (
-        base.select("doc_id", F.size("spans").cast("bigint").alias("n_spans"))
-        .join(reassembled, "doc_id", "left")
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_spans",
-            (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0))).cast(
-                "bigint"
-            ).alias("n_dup_spans"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
