@@ -76,6 +76,25 @@ def q_pipeline_curate(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir, rebalance=True))
 
 
+def q_pipeline_curate_pack(spark, sf_dir):
+    """Flagship extended to the training-ready layout: the full curation
+    pipeline (lang-id → quality → exact dedup → LSH near-dup → split)
+    composed with SPLIT-AWARE sequence packing — each train/valid/test
+    split packs independently into ~512-token packs (a doc never shares a
+    pack across splits), still ONE lazy plan. The oracle replays the
+    entire curation in SQL and then the packing window on top."""
+    from hadoop_tfidf_spark.operators.sampling import pack_sequences
+    from hadoop_tfidf_spark.pipeline import curate_corpus
+
+    curated = curate_corpus(_docs(spark, sf_dir, rebalance=True), keep_text=True)
+    return pack_sequences(
+        curated.select("doc_id", "text", "split"),
+        budget=512,
+        n_buckets=8,
+        partition_by=["split"],
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -966,6 +985,46 @@ def q_text_pii_redact(spark, sf_dir):
     return redact_pii(_docs(spark, sf_dir))
 
 
+def q_streaming_c4_filter(spark, sf_dir):
+    """Stateless STREAMING curation: the C4 rule gate applied to a
+    4-file document stream (one micro-batch per file) and drained with
+    the availableNow trigger in append mode. A stateless projection has
+    no watermark or state to withhold rows — every doc is emitted exactly
+    once regardless of file pickup order — so the drained sink must
+    hash-match the BATCH filter oracle verbatim: the same curation
+    verdicts whether the corpus arrives at rest or as a stream."""
+    import tempfile
+    import uuid
+
+    from hadoop_tfidf_spark.functions.text import c4_quality_filters
+    from hadoop_tfidf_spark.streaming.windows import run_to_completion
+
+    base = tempfile.mkdtemp(prefix="spark_graft_c4stream_")
+    docs = load_docs(spark, f"{sf_dir}/documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(base)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(base).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    out = run_to_completion(
+        c4_quality_filters(stream),
+        f"c4_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "word_dup_ratio",
+        "stop_ratio",
+        *[
+            F.col(c).cast("int").alias(c)
+            for c in ("pass_len", "pass_word_len", "pass_dup", "pass_stop", "keep")
+        ],
+    )
+
+
 def q_dedup_span_exact(spark, sf_dir):
     """Span-granularity exact dedup (Lee et al. 2022 exact-substring
     style): 5-word spans occurring verbatim in ≥ 2 documents are removed
@@ -1051,7 +1110,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pack_sequences": q_text_pack_sequences,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_topk_pq": q_sim_topk_pq,
+    "streaming_c4_filter": q_streaming_c4_filter,
     "pipeline_curate": q_pipeline_curate,
+    "pipeline_curate_pack": q_pipeline_curate_pack,
     # -- r5-green anchor kept in-window (the LSH cornerstone every dedup
     #    query builds on) --
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1074,10 +1135,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
     "events_hopping": q_events_hopping,
-    "events_click_purchase": q_events_click_purchase,
     "asof_last_purchase": q_asof_last_purchase,
     "rel_price_bands": q_rel_price_bands,
-    "rel_order_calendar": q_rel_order_calendar,
     "rel_lapsed_customers": q_rel_lapsed_customers,
     "rel_grouping_sets": q_rel_grouping_sets,
     "rel_order_gaps": q_rel_order_gaps,
@@ -1090,6 +1149,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_event_pivot": q_rel_event_pivot,
     "rel_region_year_cube": q_rel_region_year_cube,
     "rel_repeat_customers": q_rel_repeat_customers,
+    "events_click_purchase": q_events_click_purchase,
+    "rel_order_calendar": q_rel_order_calendar,
     "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
     "rel_acctbal_rollup": q_rel_acctbal_rollup,
     "events_json_props": q_events_json_props,
@@ -1607,15 +1668,18 @@ kept1 AS (
 kept2 AS (
   SELECT k.* FROM kept1 k
   WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.doc_b = k.doc_id)
+),
+curated AS (
+  SELECT doc_id, text, pred_lang, quality,
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT *, ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT % 100 AS bucket
+    FROM kept2
+  )
 )
-SELECT doc_id, pred_lang, quality,
-       CASE WHEN bucket < 90 THEN 'train'
-            WHEN bucket < 95 THEN 'valid'
-            ELSE 'test' END AS split
-FROM (
-  SELECT *, ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT % 100 AS bucket
-  FROM kept2
-)
+SELECT doc_id, pred_lang, quality, split FROM curated
 """,
     "dedup_simhash_pairs": _SIMHASH_CTES
     + """
@@ -2638,3 +2702,35 @@ FROM best WHERE rn = 1
 GROUP BY 1, 2
 """,
 }
+
+# The streaming C4 gate must equal the batch C4 gate — same oracle SQL.
+EXTENSION_ORACLE_SQL["streaming_c4_filter"] = EXTENSION_ORACLE_SQL["text_c4_filters"]
+
+# The curate→pack flagship replays the ENTIRE curation pipeline (same
+# prefix as pipeline_curate, down to the `curated` CTE) and then packs
+# each split independently — the packing suffix swaps in for the final
+# projection.
+EXTENSION_ORACLE_SQL["pipeline_curate_pack"] = EXTENSION_ORACLE_SQL[
+    "pipeline_curate"
+].replace(
+    "SELECT doc_id, pred_lang, quality, split FROM curated",
+    """, packsrc AS (
+  SELECT doc_id, split, doc_id % 8 AS bucket,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM curated
+),
+packed AS (
+  SELECT doc_id, split, bucket, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY split, bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM packsrc
+)
+SELECT doc_id, split, CAST(bucket AS BIGINT) AS bucket,
+       CAST(cum_before // 512 AS BIGINT) AS pack_id, n_tokens,
+       CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+FROM packed""",
+)
+

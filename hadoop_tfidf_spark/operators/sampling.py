@@ -132,6 +132,7 @@ def pack_sequences(
     docs: DataFrame,
     budget: int = 512,
     n_buckets: int = 8,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing: assign each document to a training
     pack of ~``budget`` tokens. Docs are sharded into ``n_buckets`` by
@@ -148,19 +149,25 @@ def pack_sequences(
     shards — one window per bucket, each a sort + linear pass. At 100 TB
     raise ``n_buckets`` to ~the cluster's task count; real pipelines pack
     per output shard exactly like this because a single global order would
-    serialize the whole corpus through one task.
+    serialize the whole corpus through one task. ``partition_by`` adds
+    outer packing partitions ahead of the bucket — e.g. ``["split"]``
+    packs each train/valid/test split independently (a doc never shares
+    a pack with another split's doc), the layout a training loader
+    actually consumes.
     """
     n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
     from pyspark.sql import Window
 
+    extra = list(partition_by or [])
     w = (
-        Window.partitionBy("bucket")
+        Window.partitionBy(*extra, "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
         docs.select(
             "doc_id",
+            *extra,
             (F.col("doc_id") % n_buckets).cast("bigint").alias("bucket"),
             n_tokens.cast("bigint").alias("n_tokens"),
         )
@@ -169,6 +176,7 @@ def pack_sequences(
         )
         .select(
             "doc_id",
+            *extra,
             "bucket",
             F.floor(F.col("cum_before") / budget).cast("bigint").alias("pack_id"),
             "n_tokens",

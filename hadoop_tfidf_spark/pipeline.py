@@ -55,11 +55,14 @@ def curate_corpus(
     max_bucket_size: int | None = None,
     persist_intermediate: bool = False,
     storage_level=None,
+    keep_text: bool = False,
 ) -> DataFrame:
     """Curate ``(doc_id, text)`` into ``(doc_id, pred_lang, quality,
     split)`` — language filter, quality filter, exact dedup, near-dup
     drop, split labels; one lazy plan (see module docstring for the
-    per-stage scale analysis).
+    per-stage scale analysis). ``keep_text=True`` retains the ``text``
+    column for downstream stages that consume the curated corpus itself
+    (e.g. sequence packing).
 
     Filters compare against the ROUNDED quality score (the hash-gate
     contract of :func:`quality_score`), so the kept set is identical in
@@ -135,4 +138,7 @@ def curate_corpus(
         )
     kept = kept.join(near_drop, "doc_id", "left_anti")
     labeled = hash_split(kept, "doc_id", splits or dict(DEFAULT_SPLITS), seed)
-    return labeled.select("doc_id", "pred_lang", "quality", "split")
+    cols = ["doc_id", "pred_lang", "quality", "split"]
+    if keep_text:
+        cols.insert(1, "text")
+    return labeled.select(*cols)

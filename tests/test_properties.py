@@ -154,3 +154,65 @@ def test_time_rollup_levels_consistent(spark):
     assert grand[0].n_events == sum(r.n_events for r in days) == sum(
         r.n_events for r in hours
     )
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_span_dedup_conservation(spark, texts):
+    """∀ corpus: one output row per doc; 0 ≤ n_dup_spans ≤ n_spans;
+    clean_text's spans are exactly the doc's non-duplicated spans in
+    order (token conservation: kept tokens ⊆ original tokens)."""
+    from hadoop_tfidf_spark.operators.dedup import span_dedup
+
+    docs = _docs(spark, texts)
+    out = {r.doc_id: r for r in span_dedup(docs, span_words=2).collect()}
+    assert len(out) == len(texts)
+    for i, t in enumerate(texts):
+        r = out[i]
+        words = [w for w in t.split(" ") if w]
+        n_spans = (len(words) + 1) // 2
+        assert r.n_spans == n_spans
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        kept = [w for w in r.clean_text.split(" ") if w]
+        # kept tokens are a subsequence of the original tokens
+        it = iter(words)
+        assert all(any(w == x for x in it) for w in kept)
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_mixture_weights_shares_sum_to_one(spark, texts):
+    """token_share sums to 1 and weight × share = 1/n_strata for every
+    stratum (the defining identity of uniform-target reweighting)."""
+    from hadoop_tfidf_spark.operators.sampling import mixture_weights
+
+    rows = [
+        (i, t, f"src{i % 2}", "en") for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+    out = mixture_weights(docs, ["source", "lang"]).collect()
+    assert abs(sum(r.token_share for r in out) - 1.0) < 1e-4
+    n = len(out)
+    for r in out:
+        assert abs(r.uniform_weight * r.token_share - 1 / n) < 1e-4
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_pack_sequences_reconstructs_running_sum(spark, texts):
+    """Within each bucket (docs ordered by doc_id), every doc's
+    (pack_id, offset_in_pack) equals the running token count before it
+    split by the budget — the packing is a pure function of the order."""
+    from hadoop_tfidf_spark.operators.sampling import pack_sequences
+
+    budget = 7
+    docs = _docs(spark, texts)
+    got = {r.doc_id: r for r in pack_sequences(docs, budget=budget, n_buckets=2).collect()}
+    cums = {0: 0, 1: 0}
+    for i, t in enumerate(texts):
+        b = i % 2
+        r = got[i]
+        assert r.bucket == b
+        assert r.pack_id == cums[b] // budget
+        assert r.offset_in_pack == cums[b] % budget
+        cums[b] += len([w for w in t.split(" ") if w])

@@ -212,3 +212,44 @@ def test_pq_topk_finds_planted_cluster(spark):
     d2s = [r.adc_d2 for r in out]
     assert d2s == sorted(d2s)
     assert [r.rn for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_streaming_c4_equals_batch(spark):
+    """The stateless streaming C4 gate emits exactly the batch filter's
+    rows — same verdicts whether the corpus arrives at rest or as a
+    stream (4 micro-batches, append drain)."""
+    from hadoop_tfidf_spark.extensions import q_streaming_c4_filter, q_text_c4_filters
+    from tests.conftest import SF_DIR_SMOKE
+
+    got = {
+        r.doc_id: r for r in q_streaming_c4_filter(spark, SF_DIR_SMOKE).collect()
+    }
+    want = {r.doc_id: r for r in q_text_c4_filters(spark, SF_DIR_SMOKE).collect()}
+    assert set(got) == set(want) and got
+    for k in want:
+        assert got[k] == want[k]
+
+
+def test_pack_sequences_partition_by_split(spark):
+    """Split-aware packing: each partition_by group packs independently
+    from offset 0 and docs never share a pack across groups."""
+    from hadoop_tfidf_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "train"),
+            (8, "d e f", "train"),
+            (16, "g h i", "test"),
+        ],
+        "doc_id BIGINT, text STRING, split STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in pack_sequences(
+            docs, budget=4, n_buckets=1, partition_by=["split"]
+        ).collect()
+    }
+    assert got[0].split == "train" and (got[0].pack_id, got[0].offset_in_pack) == (0, 0)
+    assert got[8].split == "train" and (got[8].pack_id, got[8].offset_in_pack) == (0, 3)
+    # the test split restarts at zero even though train already consumed tokens
+    assert got[16].split == "test" and (got[16].pack_id, got[16].offset_in_pack) == (0, 0)
