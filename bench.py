@@ -41,7 +41,8 @@ HEADLINE = [
     "tokens", "doc_word_count", "term_frequency", "doc_frequency",
     "tfidf", "search", "rank", "tfidf_rank",
     # end-to-end corpus curation (lang→quality→dedup→near-dup→split)
-    "pipeline_curate",
+    # and its training-ready extension (+ split-aware sequence packing)
+    "pipeline_curate", "pipeline_curate_pack",
     # modern ranking (Okapi BM25 over the same corpus + query literals)
     "search_bm25",
     # dedup family (minhash twice: free-running + megabucket cap engaged,

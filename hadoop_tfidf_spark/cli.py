@@ -22,6 +22,12 @@ Usage::
     python -m hadoop_tfidf_spark.cli search        IN OUT --query "a b"
     python -m hadoop_tfidf_spark.cli rank          IN OUT --query "a b"
     python -m hadoop_tfidf_spark.cli tfidfrank     IN OUT [--limit K]
+    python -m hadoop_tfidf_spark.cli curate        IN OUT [--pack N]
+
+``curate`` is engine surface beyond the reference (the north-star
+training-data pipeline): lang-id → quality filter → exact dedup → LSH
+near-dup drop → deterministic split in one lazy plan; ``--pack N``
+additionally packs each split into ~N-token training packs.
 
 ``IN`` is a text directory (file-per-document, the reference's input
 shape) or a parquet path with (doc_id, text) columns.
@@ -62,6 +68,7 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="hadoop_tfidf_spark")
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
+        "curate",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -71,6 +78,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
     p.add_argument("--exact-idf", action="store_true")
     p.add_argument("--dedupe-query", action="store_true")
+    p.add_argument("--pack", type=int, default=None, metavar="BUDGET",
+                   help="curate: also pack each split into ~BUDGET-token packs")
+    p.add_argument("--lang", default="en", help="curate: language to keep")
+    p.add_argument("--min-quality", type=float, default=0.5)
     args = p.parse_args(argv)
 
     from hadoop_tfidf_spark.corpus import tokenize
@@ -118,6 +129,25 @@ def main(argv: list[str] | None = None) -> None:
             )
             if args.tool == "rank"
             else scored
+        )
+    elif args.tool == "curate":
+        from hadoop_tfidf_spark.operators.sampling import pack_sequences
+        from hadoop_tfidf_spark.pipeline import curate_corpus
+
+        curated = curate_corpus(
+            docs,
+            lang=args.lang,
+            min_quality=args.min_quality,
+            keep_text=args.pack is not None,
+        )
+        out = (
+            pack_sequences(
+                curated.select("doc_id", "text", "split"),
+                budget=args.pack,
+                partition_by=["split"],
+            )
+            if args.pack is not None
+            else curated
         )
     else:  # tfidfrank
         t = tfidf(

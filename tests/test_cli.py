@@ -79,3 +79,40 @@ def test_tfidfrank_limit(text_corpus, tmp_path):
     _run("tfidfrank", text_corpus, out, "--limit", "2")
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n == 2
+
+
+def test_curate_and_pack(tmp_path):
+    """curate: end-to-end curation over a parquet corpus; --pack adds
+    split-aware packing columns."""
+    import duckdb as _dk
+
+    src = str(tmp_path / "docs.parquet")
+    _dk.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, 'the data lake holds a big table of rows and the "
+            f"query engine scans it fast doc{i} extra words here make "
+            f"quality pass easily now')"
+            for i in range(20)
+        )
+        + ") t(doc_id, text)) TO '" + src + "' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "curated")
+    _run("curate", src, out)
+    cols = {
+        r[0]
+        for r in duckdb.sql(f"DESCRIBE SELECT * FROM '{out}/*.parquet'").fetchall()
+    }
+    assert cols == {"doc_id", "pred_lang", "quality", "split"}
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n > 0
+
+    out2 = str(tmp_path / "packed")
+    _run("curate", src, out2, "--pack", "64")
+    cols2 = {
+        r[0]
+        for r in duckdb.sql(f"DESCRIBE SELECT * FROM '{out2}/*.parquet'").fetchall()
+    }
+    assert cols2 == {
+        "doc_id", "split", "bucket", "pack_id", "n_tokens", "offset_in_pack"
+    }
