@@ -1088,12 +1088,16 @@ def q_sim_label_centroids(spark, sf_dir):
 #   1) queries new or code-touched this round (streaming_search, the newly
 #      oracle-gated sim_topk_ivf, the two error-envelope twins, the
 #      incremental-stats guard, the interval-join drain fix, cooccurrence,
-#      the flagship pipeline),
+#      the EIGHT brand-new round-6 operators/compositions — span dedup,
+#      C4 filters + their streaming twin, mixture weights, sequence
+#      packing, label centroids, PQ ANN, curate→pack — and both flagship
+#      pipelines),
 #   2) the r5-green LSH anchor (the cornerstone every dedup query builds on),
-#   3) the 32 entries whose newest driver rows dated from r01–r04.
-# Rotated-out r5-green entries sit past the cap with their CORRECTNESS_r05
-# rows; the 2 structurally no-oracle entries (HLL/GK sketches, BLAS ulp)
-# close the registry.
+#   3) the entries whose newest driver rows dated from r01–r04 (eight
+#      long-stable ones ceded their slots to the new operators and sit
+#      past the cap on their r01–r05 rows + LOCAL_CHECK_r06.md).
+# The 2 structurally no-oracle entries (HLL/GK sketches, BLAS ulp) close
+# the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-6 fresh signal: new or code-touched this round --
     "streaming_search": q_streaming_search,
