@@ -95,6 +95,34 @@ def q_pipeline_curate_pack(spark, sf_dir):
     )
 
 
+def q_text_pack_shuffled(spark, sf_dir):
+    """Sequence packing in DETERMINISTIC-SHUFFLE order: docs within each
+    shard ordered by ``md5("1:{doc_id}")`` instead of doc_id — the
+    reproducible global shuffle a training loader wants (same deal on
+    every engine/partitioning/rerun; change the seed to re-deal)."""
+    from hadoop_tfidf_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=512, n_buckets=8, shuffle_seed=1
+    )
+
+
+def q_dedup_corpus_diff(spark, sf_dir):
+    """Content-addressed ingest diff between two synthetic corpus
+    generations (old = doc_id % 10 != 0; new = doc_id % 13 != 0 with
+    docs at doc_id % 7 == 0 textually revised) — every status class
+    (added / removed / changed / unchanged) populated at sf0.01."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.corpus_diff(old, new)
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -1109,9 +1137,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_cooccurrence": q_text_cooccurrence,
     "text_repetition": q_text_repetition,
     "dedup_span_exact": q_dedup_span_exact,
+    "dedup_corpus_diff": q_dedup_corpus_diff,
     "text_c4_filters": q_text_c4_filters,
     "text_mixture_weights": q_text_mixture_weights,
     "text_pack_sequences": q_text_pack_sequences,
+    "text_pack_shuffled": q_text_pack_shuffled,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_topk_pq": q_sim_topk_pq,
     "streaming_c4_filter": q_streaming_c4_filter,
@@ -1142,8 +1172,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_purchase": q_asof_last_purchase,
     "rel_price_bands": q_rel_price_bands,
     "rel_lapsed_customers": q_rel_lapsed_customers,
-    "rel_grouping_sets": q_rel_grouping_sets,
-    "rel_order_gaps": q_rel_order_gaps,
     # ---------------- past the driver's 50-entry cap ----------------
     # (rotated out this round; green rows in CORRECTNESS_r05, or r01-r04
     # for the five 4x-green stable entries that ceded their slots to the
@@ -1155,6 +1183,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_repeat_customers": q_rel_repeat_customers,
     "events_click_purchase": q_events_click_purchase,
     "rel_order_calendar": q_rel_order_calendar,
+    "rel_grouping_sets": q_rel_grouping_sets,
+    "rel_order_gaps": q_rel_order_gaps,
     "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
     "rel_acctbal_rollup": q_rel_acctbal_rollup,
     "events_json_props": q_events_json_props,
@@ -2706,6 +2736,47 @@ FROM best WHERE rn = 1
 GROUP BY 1, 2
 """,
 }
+
+EXTENSION_ORACLE_SQL["text_pack_shuffled"] = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('1:' || doc_id), 1, 15))::BIGINT AS ord
+  FROM documents
+),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(cum_before // 512 AS BIGINT) AS pack_id,
+       n_tokens,
+       CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+FROM c
+"""
+
+EXTENSION_ORACLE_SQL["dedup_corpus_diff"] = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 10 <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+           AS new_md5
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_md5, n.new_md5,
+       CASE WHEN o.old_md5 IS NULL THEN 'added'
+            WHEN n.new_md5 IS NULL THEN 'removed'
+            WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
 
 # The streaming C4 gate must equal the batch C4 gate — same oracle SQL.
 EXTENSION_ORACLE_SQL["streaming_c4_filter"] = EXTENSION_ORACLE_SQL["text_c4_filters"]

@@ -597,3 +597,31 @@ def span_dedup(docs: DataFrame, span_words: int = 5) -> DataFrame:
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Content-addressed corpus diff for incremental ingest auditing:
+    full-outer join the two generations on ``doc_id`` and classify every
+    doc as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    ``md5(text)`` comparison. The ingest ledger a training-data pipeline
+    keeps between crawls — what entered, what left, what silently mutated
+    (a changed doc invalidates its dedup signatures, eval-split
+    membership, and cached features downstream).
+
+    Scale: one doc_id-keyed full-outer join (high-cardinality uniform
+    key); md5 computed in the scan projection so only 32-char hashes and
+    ids cross the shuffle, never text. Output carries both hashes for
+    audit joins.
+    """
+    o = old.select("doc_id", F.md5("text").alias("old_md5"))
+    n = new.select("doc_id", F.md5("text").alias("new_md5"))
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        "old_md5",
+        "new_md5",
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") == F.col("new_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

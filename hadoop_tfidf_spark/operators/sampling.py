@@ -133,6 +133,7 @@ def pack_sequences(
     budget: int = 512,
     n_buckets: int = 8,
     partition_by: list[str] | None = None,
+    shuffle_seed: int | str | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing: assign each document to a training
     pack of ~``budget`` tokens. Docs are sharded into ``n_buckets`` by
@@ -153,15 +154,23 @@ def pack_sequences(
     outer packing partitions ahead of the bucket — e.g. ``["split"]``
     packs each train/valid/test split independently (a doc never shares
     a pack with another split's doc), the layout a training loader
-    actually consumes.
+    actually consumes. ``shuffle_seed`` orders docs within each shard by
+    ``md5("{seed}:{doc_id}")`` instead of ``doc_id`` — the deterministic
+    global shuffle a training loader wants (every engine/partitioning/
+    rerun packs the same order; change the seed to re-deal).
     """
     n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
     from pyspark.sql import Window
 
     extra = list(partition_by or [])
+    order = (
+        [F.col("_ord"), F.col("doc_id")]
+        if shuffle_seed is not None
+        else [F.col("doc_id")]
+    )
     w = (
         Window.partitionBy(*extra, "bucket")
-        .orderBy("doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
@@ -170,6 +179,15 @@ def pack_sequences(
             *extra,
             (F.col("doc_id") % n_buckets).cast("bigint").alias("bucket"),
             n_tokens.cast("bigint").alias("n_tokens"),
+            *(
+                [
+                    hex_to_long(
+                        seeded_md5(shuffle_seed, F.col("doc_id").cast("string"))
+                    ).alias("_ord")
+                ]
+                if shuffle_seed is not None
+                else []
+            ),
         )
         .withColumn(
             "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")

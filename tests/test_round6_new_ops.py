@@ -253,3 +253,41 @@ def test_pack_sequences_partition_by_split(spark):
     assert got[8].split == "train" and (got[8].pack_id, got[8].offset_in_pack) == (0, 3)
     # the test split restarts at zero even though train already consumed tokens
     assert got[16].split == "test" and (got[16].pack_id, got[16].offset_in_pack) == (0, 0)
+
+
+def test_pack_sequences_shuffle_seed_deterministic_redeal(spark):
+    """shuffle_seed packs in md5 order: deterministic across runs, a
+    different deal from the doc_id order, and token totals per bucket
+    are unchanged (order changes, membership doesn't)."""
+    from hadoop_tfidf_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1)) for i in range(0, 64, 2)],
+        "doc_id BIGINT, text STRING",
+    )
+    a = pack_sequences(docs, budget=6, n_buckets=2, shuffle_seed=1).collect()
+    b = pack_sequences(docs, budget=6, n_buckets=2, shuffle_seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    plain = pack_sequences(docs, budget=6, n_buckets=2).collect()
+    key = lambda rows: {r.doc_id: (r.pack_id, r.offset_in_pack) for r in rows}
+    assert key(a) != key(plain)  # a re-deal, not the identity order
+    tot = lambda rows: {
+        bkt: sum(r.n_tokens for r in rows if r.bucket == bkt) for bkt in (0, 1)
+    }
+    assert tot(a) == tot(plain)
+
+
+def test_corpus_diff_all_statuses(spark):
+    """One doc per status class, classified by content hash."""
+    from hadoop_tfidf_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "changed text"), (4, "brand new")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
