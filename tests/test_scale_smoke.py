@@ -69,3 +69,65 @@ def test_fingerprint_zero_shuffle_at_scale(spark, big_docs):
     assert out.count() > 0
     # narrow plan: output partitioning == input partitioning
     assert out.rdd.getNumPartitions() == big_docs.rdd.getNumPartitions()
+
+
+def test_span_dedup_all_spans_duplicated_at_scale(spark, big_docs):
+    """With 8 exact replicas of every doc, EVERY span occurs in ≥ 8 docs —
+    the dup set is the entire span universe (the worst case for the
+    join-back) and the operator must still complete with every doc fully
+    scrubbed: n_dup_spans == n_spans and empty clean_text everywhere."""
+    out = D.span_dedup(big_docs, span_words=5)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("n_dup_spans") == F.col("n_spans")).cast("int")).alias("all_dup"),
+        F.max(F.length("clean_text")).alias("max_clean"),
+    ).collect()[0]
+    assert agg.n == big_docs.count()
+    assert agg.all_dup == agg.n
+    assert agg.max_clean == 0
+
+
+def test_pack_sequences_conserves_tokens_at_scale(spark, big_docs):
+    """Packing 8× the corpus: one row per doc, and per-bucket token sums
+    equal the corpus' own per-bucket sums (packing moves nothing)."""
+    from hadoop_tfidf_spark.operators.sampling import pack_sequences
+
+    packed = pack_sequences(big_docs, budget=512, n_buckets=16)
+    assert packed.count() == big_docs.count()
+    direct = {
+        r.b: r.s
+        for r in big_docs.select(
+            (F.col("doc_id") % 16).alias("b"),
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
+        )
+        .groupBy("b")
+        .agg(F.sum("t").alias("s"))
+        .collect()
+    }
+    via_pack = {
+        r.bucket: r.s
+        for r in packed.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert via_pack == direct
+
+
+def test_pq_replicated_vectors_share_min_adc(spark):
+    """8 exact replicas of every embedding: the query's replicas must
+    occupy the top of its ADC ranking with one shared minimal distance
+    (identical vectors get identical codes)."""
+    from hadoop_tfidf_spark.operators.similarity import pq_build, pq_topk
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    n = 1000
+    parts = [
+        base.select((F.col("vec_id") + F.lit(i * n)).alias("vec_id"), "embedding")
+        for i in range(REPLICAS)
+    ]
+    emb = parts[0]
+    for p in parts[1:]:
+        emb = emb.unionByName(p)
+    codes, books = pq_build(emb, m=4, k=8, iters=1)
+    out = pq_topk(emb, codes, books, [0], k=REPLICAS - 1).collect()
+    assert len(out) == REPLICAS - 1
+    assert {r.vec_id for r in out} == {i * n for i in range(1, REPLICAS)}
+    assert len({r.adc_d2 for r in out}) == 1
