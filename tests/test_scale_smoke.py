@@ -131,3 +131,21 @@ def test_pq_replicated_vectors_share_min_adc(spark):
     assert len(out) == REPLICAS - 1
     assert {r.vec_id for r in out} == {i * n for i in range(1, REPLICAS)}
     assert len({r.adc_d2 for r in out}) == 1
+
+
+def test_pipeline_curate_collapses_replicas_to_base(spark, big_docs):
+    """End-to-end: curating the 8x-replicated corpus must yield EXACTLY
+    the base curation — every replica is an exact duplicate, exact dedup
+    keeps the minimum id (the original), and the LSH/near-dup/split
+    stages see the same survivors. The strongest whole-pipeline scale
+    invariant: 8x the data, bit-identical output."""
+    from hadoop_tfidf_spark.pipeline import curate_corpus
+
+    base = {
+        tuple(r)
+        for r in curate_corpus(
+            load_docs(spark, f"{SF_DIR}/documents.parquet")
+        ).collect()
+    }
+    big = {tuple(r) for r in curate_corpus(big_docs).collect()}
+    assert big == base and base
