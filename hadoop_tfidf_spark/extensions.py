@@ -123,6 +123,15 @@ def q_dedup_corpus_diff(spark, sf_dir):
     return D.corpus_diff(old, new)
 
 
+def q_text_self_dedup(spark, sf_dir):
+    """Within-doc repeated-span removal (Gopher-style self-dedup repair,
+    first-occurrence-wins) — zero-shuffle row-local cleanup; non-vacuous
+    at sf0.01 with span_words=2 (~250 repeated spans in 181 docs)."""
+    from hadoop_tfidf_spark.functions.text import self_dedup_spans
+
+    return self_dedup_spans(_docs(spark, sf_dir), span_words=2)
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -1139,6 +1148,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_exact": q_dedup_span_exact,
     "dedup_corpus_diff": q_dedup_corpus_diff,
     "text_c4_filters": q_text_c4_filters,
+    "text_self_dedup": q_text_self_dedup,
     "text_mixture_weights": q_text_mixture_weights,
     "text_pack_sequences": q_text_pack_sequences,
     "text_pack_shuffled": q_text_pack_shuffled,
@@ -1171,7 +1181,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hopping": q_events_hopping,
     "asof_last_purchase": q_asof_last_purchase,
     "rel_price_bands": q_rel_price_bands,
-    "rel_lapsed_customers": q_rel_lapsed_customers,
     # ---------------- past the driver's 50-entry cap ----------------
     # (rotated out this round; green rows in CORRECTNESS_r05, or r01-r04
     # for the five 4x-green stable entries that ceded their slots to the
@@ -1183,6 +1192,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_repeat_customers": q_rel_repeat_customers,
     "events_click_purchase": q_events_click_purchase,
     "rel_order_calendar": q_rel_order_calendar,
+    "rel_lapsed_customers": q_rel_lapsed_customers,
     "rel_grouping_sets": q_rel_grouping_sets,
     "rel_order_gaps": q_rel_order_gaps,
     "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
@@ -2736,6 +2746,40 @@ FROM best WHERE rn = 1
 GROUP BY 1, 2
 """,
 }
+
+EXTENSION_ORACLE_SQL["text_self_dedup"] = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         generate_subscripts(generate_series(1, len(words), 2), 1) AS chunk_idx,
+         unnest(generate_series(1, len(words), 2)) AS s, words
+  FROM w WHERE len(words) > 0
+),
+spans AS (
+  SELECT doc_id, chunk_idx, array_to_string(words[s:s+1], ' ') AS span FROM sp
+),
+firsts AS (
+  SELECT doc_id, chunk_idx, span,
+         min(chunk_idx) OVER (PARTITION BY doc_id, span) AS first_idx
+  FROM spans
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY chunk_idx) AS clean_text
+  FROM firsts WHERE chunk_idx = first_idx GROUP BY 1
+),
+ns AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1)
+SELECT w.doc_id,
+       CAST(coalesce(ns.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(ns.n_spans, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_repeated,
+       coalesce(a.clean_text, '') AS clean_text
+FROM w LEFT JOIN ns ON ns.doc_id = w.doc_id
+LEFT JOIN agg a ON a.doc_id = w.doc_id
+"""
 
 EXTENSION_ORACLE_SQL["text_pack_shuffled"] = """
 WITH t AS (

@@ -534,3 +534,40 @@ def c4_quality_filters(
         pass_stop.alias("pass_stop"),
         (pass_len & pass_wl & pass_dup & pass_stop).alias("keep"),
     )
+
+
+def self_dedup_spans(docs: DataFrame, span_words: int = 2) -> DataFrame:
+    """WITHIN-document repeated-span removal — the Gopher-style self-dedup
+    cleanup (Rae et al. 2021 §A1.1: pages whose own content loops are
+    trimmed, not just scored — :func:`repetition_score` measures, this
+    repairs). Each doc's non-empty tokens are cut into consecutive
+    ``span_words``-word spans (stride = width); only the FIRST occurrence
+    of each span text survives, in order. Output::
+
+        (doc_id, n_spans, n_repeated, clean_text)
+
+    Complements ``operators.dedup.span_dedup`` (corpus-wide duplicated
+    spans): this one needs no corpus state at all.
+
+    ZERO shuffle: spans and the first-occurrence filter are higher-order
+    array expressions over the doc's own row (``array_position`` returns
+    the first index — exactly first-occurrence-wins). The per-doc filter
+    is O(spans²) in the worst case, bounded by (doc length / span_words)²
+    — document-local work that scales with executors, never a join.
+    """
+    text = F.col("text")
+    words = F.filter(F.split(text, " "), lambda x: x != "")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(span_words)),
+        lambda s: F.array_join(F.slice(words, s, span_words), " "),
+    )
+    spans = F.when(F.size(words) > 0, spans).otherwise(
+        F.array().cast("array<string>")
+    )
+    kept = F.filter(spans, lambda x, i: F.array_position(spans, x) == i + 1)
+    return docs.select(
+        "doc_id",
+        F.size(spans).cast("bigint").alias("n_spans"),
+        (F.size(spans) - F.size(kept)).cast("bigint").alias("n_repeated"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -291,3 +291,19 @@ def test_corpus_diff_all_statuses(spark):
     )
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_self_dedup_spans_first_occurrence_wins(spark):
+    """Within-doc repeats trim to their first occurrence, in order;
+    unique docs pass through; empty docs yield empty output."""
+    from hadoop_tfidf_spark.functions.text import self_dedup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c d a b"), (2, "x y z"), (3, "")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r.doc_id: r for r in self_dedup_spans(docs, span_words=2).collect()}
+    assert (got[1].n_spans, got[1].n_repeated) == (4, 2)
+    assert got[1].clean_text == "a b c d"
+    assert got[2].n_repeated == 0 and got[2].clean_text == "x y z"
+    assert (got[3].n_spans, got[3].clean_text) == (0, "")
