@@ -132,6 +132,22 @@ def q_text_self_dedup(spark, sf_dir):
     return self_dedup_spans(_docs(spark, sf_dir), span_words=2)
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Decontamination APPLY: the candidate corpus (doc_id % 10 != 0)
+    with every doc dropped whose 3-gram overlap against the benchmark
+    slice (doc_id % 10 == 0) exceeds 0.1 — non-vacuous at sf0.01 (drops
+    200 of 450 candidates)."""
+    from hadoop_tfidf_spark.functions.text import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        k=3,
+        max_overlap=0.1,
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_docs(spark, sf_dir))
 
@@ -1149,6 +1165,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_diff": q_dedup_corpus_diff,
     "text_c4_filters": q_text_c4_filters,
     "text_self_dedup": q_text_self_dedup,
+    "text_decontaminate": q_text_decontaminate,
     "text_mixture_weights": q_text_mixture_weights,
     "text_pack_sequences": q_text_pack_sequences,
     "text_pack_shuffled": q_text_pack_shuffled,
@@ -1180,7 +1197,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_moving_avg": q_events_moving_avg,
     "events_hopping": q_events_hopping,
     "asof_last_purchase": q_asof_last_purchase,
-    "rel_price_bands": q_rel_price_bands,
     # ---------------- past the driver's 50-entry cap ----------------
     # (rotated out this round; green rows in CORRECTNESS_r05, or r01-r04
     # for the five 4x-green stable entries that ceded their slots to the
@@ -1193,6 +1209,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_click_purchase": q_events_click_purchase,
     "rel_order_calendar": q_rel_order_calendar,
     "rel_lapsed_customers": q_rel_lapsed_customers,
+    "rel_price_bands": q_rel_price_bands,
     "rel_grouping_sets": q_rel_grouping_sets,
     "rel_order_gaps": q_rel_order_gaps,
     "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
@@ -2779,6 +2796,30 @@ SELECT w.doc_id,
        coalesce(a.clean_text, '') AS clean_text
 FROM w LEFT JOIN ns ON ns.doc_id = w.doc_id
 LEFT JOIN agg a ON a.doc_id = w.doc_id
+"""
+
+EXTENSION_ORACLE_SQL["text_decontaminate"] = """
+WITH sh AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+  )
+),
+cand AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+r AS (
+  SELECT c.doc_id,
+         round(CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*), 6) AS overlap_ratio
+  FROM cand c LEFT JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.doc_id
+),
+dropped AS (SELECT doc_id FROM r WHERE overlap_ratio > 0.1)
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id % 10 <> 0
+  AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
 """
 
 EXTENSION_ORACLE_SQL["text_pack_shuffled"] = """

@@ -571,3 +571,30 @@ def self_dedup_spans(docs: DataFrame, span_words: int = 2) -> DataFrame:
         (F.size(spans) - F.size(kept)).cast("bigint").alias("n_repeated"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    k: int = 3,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination, APPLY form: drop every candidate doc
+    whose distinct-``k``-gram overlap with the benchmark corpus exceeds
+    ``max_overlap`` (:func:`contamination_check` measures; this removes —
+    the check/apply pairing of ``exact_dedup``/``exact_dedup_apply``).
+    Docs shorter than ``k`` words carry no shingle evidence and are kept.
+    Returns the cleaned ``(doc_id, text)`` corpus.
+
+    The filter compares against the ROUNDED ratio (the hash-gate
+    contract), so the kept set is engine-exact. Plan: the check's
+    semi-join + two aggs produce a (small) drop list of doc_ids; one
+    ``left_anti`` join keyed on doc_id removes them — the corpus never
+    shuffles on anything wider than its id.
+    """
+    dropped = (
+        contamination_check(docs, bench_docs, k=k)
+        .where(F.col("overlap_ratio") > max_overlap)
+        .select("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti")

@@ -307,3 +307,24 @@ def test_self_dedup_spans_first_occurrence_wins(spark):
     assert got[1].clean_text == "a b c d"
     assert got[2].n_repeated == 0 and got[2].clean_text == "x y z"
     assert (got[3].n_spans, got[3].clean_text) == (0, "")
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    """A doc sharing most shingles with the benchmark is dropped; a
+    clean doc and a too-short doc (no shingle evidence) are kept."""
+    from hadoop_tfidf_spark.functions.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # = bench
+            (2, "completely unrelated training text goes here"),
+            (3, "hi there"),  # < k words: no evidence, kept
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over anything")],
+        "doc_id BIGINT, text STRING",
+    )
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench, k=3, max_overlap=0.3).collect())
+    assert kept == [2, 3]
