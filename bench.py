@@ -29,7 +29,10 @@ import sys
 import time
 
 REGRESSION_FACTOR = 1.5
-REGRESSION_FLOOR_S = 0.3
+# 0.25, not higher: min-of-3 trials already brings observed same-code
+# flakes under the 1.5x factor, so widening the absolute floor would only
+# grow the blind spot for real regressions in sub-second queries
+REGRESSION_FLOOR_S = 0.25
 REGRESSION_LOOKBACK = 2
 
 #: The headline set: the full core TF-IDF pipeline plus one representative

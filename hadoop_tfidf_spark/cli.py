@@ -22,12 +22,15 @@ Usage::
     python -m hadoop_tfidf_spark.cli search        IN OUT --query "a b"
     python -m hadoop_tfidf_spark.cli rank          IN OUT --query "a b"
     python -m hadoop_tfidf_spark.cli tfidfrank     IN OUT [--limit K]
-    python -m hadoop_tfidf_spark.cli curate        IN OUT [--pack N]
+    python -m hadoop_tfidf_spark.cli curate        IN OUT [--pack-budget N]
+                  [--splits train=90,valid=5,test=5] [--max-bucket-size N]
 
 ``curate`` is engine surface beyond the reference (the north-star
 training-data pipeline): lang-id → quality filter → exact dedup → LSH
-near-dup drop → deterministic split in one lazy plan; ``--pack N``
-additionally packs each split into ~N-token training packs.
+near-dup drop → deterministic split in one lazy plan; ``--pack-budget N``
+(alias ``--pack``) additionally packs each split into ~N-token training
+packs, ``--splits`` overrides the 90/5/5 split percentages, and
+``--max-bucket-size`` engages the LSH megabucket cap.
 
 ``IN`` is a text directory (file-per-document, the reference's input
 shape) or a parquet path with (doc_id, text) columns.
@@ -78,10 +81,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--format", choices=["parquet", "tsv"], default="parquet")
     p.add_argument("--exact-idf", action="store_true")
     p.add_argument("--dedupe-query", action="store_true")
-    p.add_argument("--pack", type=int, default=None, metavar="BUDGET",
+    p.add_argument("--pack", "--pack-budget", dest="pack", type=int,
+                   default=None, metavar="BUDGET",
                    help="curate: also pack each split into ~BUDGET-token packs")
     p.add_argument("--lang", default="en", help="curate: language to keep")
     p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--max-bucket-size", type=int, default=None, metavar="N",
+                   help="curate: drop LSH bands whose bucket exceeds N docs "
+                        "(the boilerplate-megabucket safety valve)")
+    p.add_argument("--splits", default=None, metavar="NAME=PCT,...",
+                   help="curate: split percentages, e.g. train=90,valid=5,"
+                        "test=5 (must sum to 100; default 90/5/5)")
     args = p.parse_args(argv)
 
     from hadoop_tfidf_spark.corpus import tokenize
@@ -134,10 +144,20 @@ def main(argv: list[str] | None = None) -> None:
         from hadoop_tfidf_spark.operators.sampling import pack_sequences
         from hadoop_tfidf_spark.pipeline import curate_corpus
 
+        splits = None
+        if args.splits is not None:
+            splits = {
+                name.strip(): int(pct)
+                for name, _, pct in (
+                    part.partition("=") for part in args.splits.split(",")
+                )
+            }
         curated = curate_corpus(
             docs,
             lang=args.lang,
             min_quality=args.min_quality,
+            splits=splits,
+            max_bucket_size=args.max_bucket_size,
             keep_text=args.pack is not None,
         )
         out = (

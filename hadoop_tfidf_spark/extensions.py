@@ -646,11 +646,10 @@ def q_streaming_incremental_df(spark, sf_dir):
     (the whole point of the incremental path: same answer, maintained
     incrementally). Exercises generation-commit atomicity, batch-id
     idempotence, and the upsert merge end-to-end."""
-    import tempfile
-
     from hadoop_tfidf_spark.streaming.incremental import IncrementalTfidfStats
+    from hadoop_tfidf_spark.streaming.windows import staging_dir
 
-    base = tempfile.mkdtemp(prefix="spark_graft_incdf_")
+    base = staging_dir("spark_graft_incdf_")
     docs = load_docs(spark, f"{sf_dir}/documents.parquet")
     docs.repartition(4).write.mode("overwrite").parquet(f"{base}/docs")
     stream = (
@@ -672,15 +671,14 @@ def q_streaming_search(spark, sf_dir):
     batch ``search`` oracle. This closes the loop between the streaming
     stats machinery and the reference's actual query surface (Search.java):
     same answer whether the corpus arrived at rest or as a stream."""
-    import tempfile
-
     from hadoop_tfidf_spark.corpus import SPACE_TOKEN_PATTERN, tokenize
     from hadoop_tfidf_spark.declared import SEARCH_QUERIES
     from hadoop_tfidf_spark.search import query_term_bag, search
     from hadoop_tfidf_spark.streaming.incremental import IncrementalTfidfStats
+    from hadoop_tfidf_spark.streaming.windows import staging_dir
     from hadoop_tfidf_spark.tfidf import doc_word_count
 
-    base = tempfile.mkdtemp(prefix="spark_graft_incsearch_")
+    base = staging_dir("spark_graft_incsearch_")
     docs = load_docs(spark, f"{sf_dir}/documents.parquet")
     docs.repartition(4).write.mode("overwrite").parquet(f"{base}/docs")
     stream = (
@@ -718,16 +716,16 @@ def q_streaming_tumbling(spark, sf_dir):
     (the append path stays covered by tests/test_streaming.py). Value sums
     ride as integer micro-units (`exact_sums`) so micro-batch merge order
     can't flip a float's last rounded digit."""
-    import tempfile
     import uuid
 
     from hadoop_tfidf_spark.streaming.windows import (
         read_event_stream,
         run_to_completion,
+        staging_dir,
         windowed_event_counts,
     )
 
-    path = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    path = staging_dir("spark_graft_stream_")
     load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
@@ -753,16 +751,16 @@ def q_streaming_stateful_totals(spark, sf_dir):
     per user is the final state — which must hash-match the plain batch
     aggregation oracle. Proves custom state survives and composes across
     micro-batches, not just that rows came out."""
-    import tempfile
     import uuid
 
     from hadoop_tfidf_spark.streaming.stateful import running_user_totals
     from hadoop_tfidf_spark.streaming.windows import (
         read_event_stream,
         run_to_completion,
+        staging_dir,
     )
 
-    path = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    path = staging_dir("spark_graft_stream_")
     load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
@@ -797,11 +795,10 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     hash-match the ONE-SHOT batch LSH oracle (the equivalence guarantee:
     cross-batch pairs surface via the new-vs-old index join, same-batch
     pairs via the self-join)."""
-    import tempfile
-
     from hadoop_tfidf_spark.streaming.dedup import IncrementalLshIndex
+    from hadoop_tfidf_spark.streaming.windows import staging_dir
 
-    base = tempfile.mkdtemp(prefix="spark_graft_incdedup_")
+    base = staging_dir("spark_graft_incdedup_")
     docs = load_docs(spark, f"{sf_dir}/documents.parquet")
     docs.repartition(4).write.mode("overwrite").parquet(f"{base}/docs")
     stream = (
@@ -852,16 +849,16 @@ def q_streaming_session(spark, sf_dir):
     >= threshold; the batch twin ``events_sessionize`` keeps > — see
     streaming/windows.py). The append-mode path stays covered by
     tests/test_streaming.py."""
-    import tempfile
     import uuid
 
     from hadoop_tfidf_spark.streaming.windows import (
         read_event_stream,
         run_to_completion,
         session_windows,
+        staging_dir,
     )
 
-    path = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    path = staging_dir("spark_graft_stream_")
     load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
@@ -953,6 +950,29 @@ def q_text_cooccurrence(spark, sf_dir):
     return cooccurrence(_docs(spark, sf_dir), top=100)
 
 
+#: Gate/bench value for the cooccurrence per-doc vocab cap. Production runs
+#: cap in the thousands (guard only the 50k-distinct-token outlier page,
+#: whose single-key join group AQE cannot split); the synthetic corpus maxes
+#: out at 31 distinct tokens per doc, so 25 is a value that *engages* the
+#: valve here — it truncates 239 of 500 docs at sf0.01, giving the capped
+#: dataflow (slice-before-explode) a real correctness row and bench signal
+#: rather than a vacuous pass-through (same argument as
+#: :data:`GATE_LSH_BUCKET_CAP`).
+GATE_COOC_VOCAB_CAP = 25
+
+
+def q_text_cooccurrence_capped(spark, sf_dir):
+    """Co-occurrence with the ``max_doc_vocab`` 100 TB safety valve
+    ENGAGED: each doc keeps only its first :data:`GATE_COOC_VOCAB_CAP`
+    distinct tokens in document order before pairing — deterministic
+    truncation the oracle replays via first-occurrence rank."""
+    from hadoop_tfidf_spark.functions.text import cooccurrence
+
+    return cooccurrence(
+        _docs(spark, sf_dir), top=100, max_doc_vocab=GATE_COOC_VOCAB_CAP
+    )
+
+
 def q_events_interval_join(spark, sf_dir):
     return R.click_purchase_interval_join(load_events(spark, sf_dir))
 
@@ -969,16 +989,16 @@ def q_streaming_interval_join(spark, sf_dir):
     commit order could hand the watermark a late range first and evict a
     row whose partner is still pending (the role Kafka's per-partition
     time order plays in production)."""
-    import tempfile
     import uuid
 
     from hadoop_tfidf_spark.streaming.joins import click_purchase_stream_join
     from hadoop_tfidf_spark.streaming.windows import (
         read_event_stream,
         run_to_completion,
+        staging_dir,
     )
 
-    path = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    path = staging_dir("spark_graft_stream_")
     load_events(spark, sf_dir).drop("ts_ns").orderBy("ts").coalesce(1).write.mode(
         "overwrite"
     ).parquet(path)
@@ -1046,13 +1066,12 @@ def q_streaming_c4_filter(spark, sf_dir):
     once regardless of file pickup order — so the drained sink must
     hash-match the BATCH filter oracle verbatim: the same curation
     verdicts whether the corpus arrives at rest or as a stream."""
-    import tempfile
     import uuid
 
     from hadoop_tfidf_spark.functions.text import c4_quality_filters
-    from hadoop_tfidf_spark.streaming.windows import run_to_completion
+    from hadoop_tfidf_spark.streaming.windows import run_to_completion, staging_dir
 
-    base = tempfile.mkdtemp(prefix="spark_graft_c4stream_")
+    base = staging_dir("spark_graft_c4stream_")
     docs = load_docs(spark, f"{sf_dir}/documents.parquet")
     docs.repartition(4).write.mode("overwrite").parquet(base)
     stream = (
@@ -1085,6 +1104,16 @@ def q_dedup_span_exact(spark, sf_dir):
     md5-keyed count aggregation, one anti-join. Non-vacuous at sf0.01
     (~226 cross-doc duplicate spans)."""
     return D.span_dedup(_docs(spark, sf_dir), span_words=5)
+
+
+def q_dedup_span_sliding(spark, sf_dir):
+    """SLIDING-span exact dedup (Lee et al. arbitrary-boundary
+    approximation): 5-word spans starting every 2 words; a word is
+    removed iff covered by any span duplicated across ≥ 2 docs.
+    Strictly more sensitive than the fixed tiling (catches passages that
+    start mid-span); plan is still 2 row-local span passes + 1 md5-keyed
+    count + 1 equi-join."""
+    return D.span_dedup(_docs(spark, sf_dir), span_words=5, stride=2)
 
 
 def q_text_c4_filters(spark, sf_dir):
@@ -2474,6 +2503,35 @@ GROUP BY a.w, b.w
 ORDER BY n DESC, w1, w2
 LIMIT 100
 """,
+    # Capped variant: keep each doc's first GATE_COOC_VOCAB_CAP (25)
+    # distinct tokens in DOCUMENT order (Spark: slice on array_distinct,
+    # which preserves first-occurrence order; here: rank by first index)
+    "text_cooccurrence_capped": """
+WITH tok AS (
+  SELECT doc_id, w, i FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+           generate_subscripts(
+             list_filter(string_split(text, ' '), x -> x <> ''), 1) AS i
+    FROM documents
+  )
+),
+firsts AS (
+  SELECT doc_id, w, min(i) AS first_i FROM tok GROUP BY 1, 2
+),
+capped AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY first_i) AS rn
+    FROM firsts
+  ) WHERE rn <= 25
+)
+SELECT a.w AS w1, b.w AS w2, count(*) AS n
+FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.w < b.w
+GROUP BY a.w, b.w
+ORDER BY n DESC, w1, w2
+LIMIT 100
+""",
     "events_interval_join": """
 WITH c AS (
   SELECT event_id AS click_id, user_id,
@@ -2657,8 +2715,62 @@ SELECT w.doc_id,
 FROM w LEFT JOIN ns ON ns.doc_id = w.doc_id
 LEFT JOIN re ON re.doc_id = w.doc_id
 """,
+    # Sliding 5-word spans every 2 words (full width; short docs = one
+    # short span); a WORD drops iff any duplicated span covers it
+    "dedup_span_sliding": """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(words) - 4, 1), 2)) AS s,
+         words
+  FROM w WHERE len(words) > 0
+),
+spans AS (
+  SELECT doc_id, s, array_to_string(words[s:s+4], ' ') AS span FROM sp
+),
+dup AS (
+  SELECT md5(span) AS h FROM spans GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+tagged AS (
+  SELECT sx.doc_id, sx.s,
+         CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+  FROM spans sx LEFT JOIN dup d ON md5(sx.span) = d.h
+),
+cnt AS (
+  SELECT doc_id, count(*) AS n_spans, sum(is_dup) AS n_dup_spans
+  FROM tagged GROUP BY 1
+),
+wp AS (
+  SELECT doc_id, unnest(words) AS word, generate_subscripts(words, 1) AS i
+  FROM w WHERE len(words) > 0
+),
+keepw AS (
+  SELECT wp.doc_id, wp.i, wp.word
+  FROM wp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tagged t
+    WHERE t.doc_id = wp.doc_id AND t.is_dup = 1
+      AND t.s <= wp.i AND wp.i <= t.s + 4
+  )
+),
+re AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS clean_text
+  FROM keepw GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(coalesce(cnt.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(cnt.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       coalesce(re.clean_text, '') AS clean_text
+FROM w LEFT JOIN cnt ON cnt.doc_id = w.doc_id
+LEFT JOIN re ON re.doc_id = w.doc_id
+""",
     # C4/Gopher-style quality rules; thresholds mirror
-    # text.c4_quality_filters defaults; flags cast to INT on both sides
+    # text.c4_quality_filters defaults; flags cast to INT on both sides.
+    # Zero-word docs emit a keep=0 verdict row (NULL ratios, flags 0) —
+    # coalesce mirrors the Spark side's NULL-comparison guard.
     "text_c4_filters": """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
@@ -2666,24 +2778,29 @@ WITH t AS (
 ),
 s AS (
   SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-         round(CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w), 6)
-           AS mean_word_len,
-         round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
-           AS word_dup_ratio,
-         round(CAST(len(list_filter(w, x -> x IN
-           ('the','a','an','of','and','or','is','to','in','it')))
-           AS DOUBLE) / len(w), 6) AS stop_ratio
-  FROM t WHERE len(w) > 0
+         CASE WHEN len(w) > 0 THEN
+           round(CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w), 6)
+         END AS mean_word_len,
+         CASE WHEN len(w) > 0 THEN
+           round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+         END AS word_dup_ratio,
+         CASE WHEN len(w) > 0 THEN
+           round(CAST(len(list_filter(w, x -> x IN
+             ('the','a','an','of','and','or','is','to','in','it')))
+             AS DOUBLE) / len(w), 6)
+         END AS stop_ratio
+  FROM t
 )
 SELECT doc_id, n_words, mean_word_len, word_dup_ratio, stop_ratio,
        CAST(n_words BETWEEN 20 AND 80 AS INTEGER) AS pass_len,
-       CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS pass_word_len,
-       CAST(word_dup_ratio <= 0.55 AS INTEGER) AS pass_dup,
-       CAST(stop_ratio >= 0.02 AS INTEGER) AS pass_stop,
+       CAST(coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
+            AS INTEGER) AS pass_word_len,
+       CAST(coalesce(word_dup_ratio <= 0.55, false) AS INTEGER) AS pass_dup,
+       CAST(coalesce(stop_ratio >= 0.02, false) AS INTEGER) AS pass_stop,
        CAST(n_words BETWEEN 20 AND 80
-            AND mean_word_len BETWEEN 3.0 AND 10.0
-            AND word_dup_ratio <= 0.55
-            AND stop_ratio >= 0.02 AS INTEGER) AS keep
+            AND coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
+            AND coalesce(word_dup_ratio <= 0.55, false)
+            AND coalesce(stop_ratio >= 0.02, false) AS INTEGER) AS keep
 FROM s
 """,
     # Mixture accounting: per-(source, lang) token share + uniform-target
@@ -2706,12 +2823,14 @@ SELECT source, lang, n_docs, n_tokens,
        round(CAST(tt AS DOUBLE) / (ng * n_tokens), 6) AS uniform_weight
 FROM g, tot
 """,
-    # Concat-then-chunk sequence packing: 8 shards by doc_id, running
-    # token count before each doc, pack = cum_before DIV 512 — all
-    # integer arithmetic, bit-stable
+    # Concat-then-chunk sequence packing: 8 shards by md5 hash of doc_id
+    # (hash_bucket_col — id-type-agnostic, mirrors the Spark operator),
+    # running token count before each doc, pack = cum_before DIV 512 —
+    # all integer arithmetic, bit-stable
     "text_pack_sequences": """
 WITH t AS (
-  SELECT doc_id, doc_id % 8 AS bucket,
+  SELECT doc_id,
+         ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT % 8 AS bucket,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
               AS BIGINT) AS n_tokens
   FROM documents
@@ -2824,7 +2943,8 @@ WHERE d.doc_id % 10 <> 0
 
 EXTENSION_ORACLE_SQL["text_pack_shuffled"] = """
 WITH t AS (
-  SELECT doc_id, doc_id % 8 AS bucket,
+  SELECT doc_id,
+         ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT % 8 AS bucket,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
               AS BIGINT) AS n_tokens,
          ('0x' || substr(md5('1:' || doc_id), 1, 15))::BIGINT AS ord
@@ -2875,7 +2995,8 @@ EXTENSION_ORACLE_SQL["pipeline_curate_pack"] = EXTENSION_ORACLE_SQL[
 ].replace(
     "SELECT doc_id, pred_lang, quality, split FROM curated",
     """, packsrc AS (
-  SELECT doc_id, split, doc_id % 8 AS bucket,
+  SELECT doc_id, split,
+         ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT % 8 AS bucket,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
               AS BIGINT) AS n_tokens
   FROM curated

@@ -83,34 +83,42 @@ def repetition_score(docs: DataFrame, k: int = 3) -> DataFrame:
 
     ZERO shuffle: a doc's words and shingles live in its own row, so both
     ratios are higher-order array expressions fused into the scan stage —
-    the same scale shape as :func:`fingerprint`. Docs with fewer than
-    ``k`` words get a NULL gram ratio (no shingles exist), matching the
-    oracle's LEFT-JOIN null.
+    the same scale shape as :func:`fingerprint`, with the word and gram
+    arrays staged through projections so the per-shingle lambda doesn't
+    re-split the doc per element (the O(words²) trap — see
+    :func:`~hadoop_tfidf_spark.operators.dedup.shingles`). Docs with
+    fewer than ``k`` words get a NULL gram ratio (no shingles exist),
+    matching the oracle's LEFT-JOIN null.
     """
-    text = F.col("text")
-    toks = F.filter(_words(text), lambda x: x != "")
-    words = _words(text)
+    staged = docs.select("doc_id", _words(F.col("text")).alias("_w"))
+    toks = F.filter(F.col("_w"), lambda x: x != "")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
+        F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
     )
-    n_words = F.size(toks).cast("bigint")
-    n_grams = F.when(F.size(words) >= k, F.size(grams)).otherwise(F.lit(0))
-    return docs.select(
+    staged2 = staged.select(
+        "doc_id",
+        toks.alias("_t"),
+        F.size("_w").alias("_nw"),
+        F.when(F.size("_w") >= k, grams).alias("_g"),
+    )
+    n_words = F.size("_t").cast("bigint")
+    n_grams = F.when(F.col("_nw") >= k, F.size("_g")).otherwise(F.lit(0))
+    return staged2.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_words"),
+        F.size(F.array_distinct("_t")).cast("bigint").alias("n_distinct_words"),
         F.when(
             n_words > 0,
             F.round(
-                F.lit(1.0) - F.size(F.array_distinct(toks)) / n_words, 6
+                F.lit(1.0) - F.size(F.array_distinct("_t")) / n_words, 6
             ),
         ).alias("word_dup_ratio"),
         n_grams.cast("bigint").alias("n_grams"),
         F.when(
-            F.size(words) >= k,
+            F.col("_nw") >= k,
             F.round(
-                F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 6
+                F.lit(1.0) - F.size(F.array_distinct("_g")) / F.size("_g"), 6
             ),
         ).alias("gram_dup_ratio"),
     )
@@ -309,18 +317,19 @@ def chunk_tokens(
     Pure narrow expression pipeline (sequence → transform → posexplode):
     no shuffle, no Python — chunking 100 TB is scan-bound. A Python UDTF
     could express the same thing; the built-in path stays in whole-stage
-    codegen (see SURVEY.md §4 on keeping the hot path JVM-side).
+    codegen (see SURVEY.md §4 on keeping the hot path JVM-side). The word
+    array is staged so the per-chunk lambda doesn't re-split the doc per
+    element (the O(words²) trap — see operators.dedup.shingles).
     """
     if stride is None:
         stride = chunk_size
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    n = F.size(words)
+    staged = docs.where(F.size(words) > 0).select("doc_id", words.alias("_w"))
     # start offsets 1, 1+stride, … ≤ n — every window is non-empty
-    starts = F.sequence(F.lit(1), n, F.lit(stride))
-    chunks = F.transform(starts, lambda s: F.slice(words, s, chunk_size))
+    starts = F.sequence(F.lit(1), F.size("_w"), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(F.col("_w"), s, chunk_size))
     return (
-        docs.where(n > 0)
-        .select("doc_id", F.posexplode(chunks).alias("chunk_id0", "chunk"))
+        staged.select("doc_id", F.posexplode(chunks).alias("chunk_id0", "chunk"))
         .select(
             "doc_id",
             (F.col("chunk_id0") + 1).cast("bigint").alias("chunk_id"),
@@ -461,9 +470,12 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     no row.
     """
     words = F.split(F.col("text"), " ")
+    # words staged so the per-shingle lambda doesn't re-split the doc per
+    # element (the O(words²) trap — see operators.dedup.shingles)
+    staged = docs.where(F.size(words) >= k).select("doc_id", words.alias("_w"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
+        F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
     )
     hashes = F.transform(grams, F.md5)
     mins = F.transform(
@@ -471,8 +483,7 @@ def fingerprint(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
         lambda p: F.array_min(F.slice(F.col("_h"), p, window)),
     )
     return (
-        docs.where(F.size(words) >= k)
-        .select("doc_id", hashes.alias("_h"))
+        staged.select("doc_id", hashes.alias("_h"))
         .select("doc_id", mins.alias("_fps"))
         .select(
             "doc_id",
@@ -500,6 +511,12 @@ def c4_quality_filters(
     per rule, and the conjunctive ``keep`` verdict — pipelines filter on
     ``keep`` but log the per-rule flags for curation dashboards.
 
+    Zero-word documents get a ``keep = false`` verdict row (NULL measured
+    ratios, every flag false) rather than being silently dropped — a
+    caller joining verdicts back to the corpus sees every doc flagged
+    (earlier rounds emitted no row at all for empty docs, which looked
+    like a lost doc rather than a rejected one).
+
     ZERO shuffle: every rule is a row-local higher-order array expression
     over the doc's own words, fused into the scan by whole-stage codegen —
     the same scale shape as :func:`repetition_score`. At 100 TB this runs
@@ -507,22 +524,32 @@ def c4_quality_filters(
     """
     words = F.filter(_words(F.col("text")), lambda x: x != "")
     n_words = F.size(words).cast("bigint")
-    mean_wl = F.round(
-        F.length(F.array_join(words, "")) / F.size(words), 6
+    nonempty = F.size(words) > 0
+    # ratio divisions guarded: ANSI mode raises DIVIDE_BY_ZERO on the
+    # zero-word row without the `when`
+    mean_wl = F.when(
+        nonempty, F.round(F.length(F.array_join(words, "")) / F.size(words), 6)
     )
-    dup_ratio = F.round(
-        F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words), 6
+    dup_ratio = F.when(
+        nonempty,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words), 6),
     )
-    stop_ratio = F.round(
-        F.size(F.filter(words, lambda w: w.isin(*QUALITY_STOPWORDS)))
-        / F.size(words),
-        6,
+    stop_ratio = F.when(
+        nonempty,
+        F.round(
+            F.size(F.filter(words, lambda w: w.isin(*QUALITY_STOPWORDS)))
+            / F.size(words),
+            6,
+        ),
     )
     pass_len = (n_words >= min_words) & (n_words <= max_words)
-    pass_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
-    pass_dup = dup_ratio <= max_word_dup_ratio
-    pass_stop = stop_ratio >= min_stop_ratio
-    return docs.where(F.size(words) > 0).select(
+    pass_wl = F.coalesce(
+        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        F.lit(False),
+    )
+    pass_dup = F.coalesce(dup_ratio <= max_word_dup_ratio, F.lit(False))
+    pass_stop = F.coalesce(stop_ratio >= min_stop_ratio, F.lit(False))
+    return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
@@ -550,25 +577,39 @@ def self_dedup_spans(docs: DataFrame, span_words: int = 2) -> DataFrame:
     spans): this one needs no corpus state at all.
 
     ZERO shuffle: spans and the first-occurrence filter are higher-order
-    array expressions over the doc's own row (``array_position`` returns
-    the first index — exactly first-occurrence-wins). The per-doc filter
-    is O(spans²) in the worst case, bounded by (doc length / span_words)²
-    — document-local work that scales with executors, never a join.
+    array expressions over the doc's own row. First-occurrence-wins IS
+    ``array_distinct`` (Spark keeps the first occurrence of each value in
+    encounter order), which runs LINEAR in the span count — the earlier
+    ``filter(array_position == i+1)`` formulation was O(spans²) on a
+    single task row, so one 200k-word outlier page could pin a task for
+    ~10¹⁰ comparisons; ``array_distinct``'s hash-set pass makes the tail
+    doc cost O(doc length), same as every other row-local text operator.
+
+    The word array and the span array are each STAGED through their own
+    projection (see :func:`~hadoop_tfidf_spark.operators.dedup.shingles`
+    for the full argument): a lambda body that closes over the raw
+    ``split(text)`` expression re-evaluates that split once PER SPAN
+    (measured: a 100k-word doc never finishes), because higher-order
+    lambdas re-run their inlined subtrees per element — binding the array
+    to a column first makes each pass evaluate once per row, and
+    CollapseProject keeps multi-referenced non-cheap aliases staged.
+    Document-local work that scales with executors, never a join.
     """
-    text = F.col("text")
-    words = F.filter(F.split(text, " "), lambda x: x != "")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    staged = docs.select("doc_id", words.alias("_w"))
     spans = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(span_words)),
-        lambda s: F.array_join(F.slice(words, s, span_words), " "),
+        F.sequence(F.lit(1), F.greatest(F.size("_w"), F.lit(1)), F.lit(span_words)),
+        lambda s: F.array_join(F.slice(F.col("_w"), s, span_words), " "),
     )
-    spans = F.when(F.size(words) > 0, spans).otherwise(
+    spans = F.when(F.size("_w") > 0, spans).otherwise(
         F.array().cast("array<string>")
     )
-    kept = F.filter(spans, lambda x, i: F.array_position(spans, x) == i + 1)
-    return docs.select(
+    staged2 = staged.select("doc_id", spans.alias("_spans"))
+    kept = F.array_distinct(F.col("_spans"))
+    return staged2.select(
         "doc_id",
-        F.size(spans).cast("bigint").alias("n_spans"),
-        (F.size(spans) - F.size(kept)).cast("bigint").alias("n_repeated"),
+        F.size("_spans").cast("bigint").alias("n_spans"),
+        (F.size("_spans") - F.size(kept)).cast("bigint").alias("n_repeated"),
         F.array_join(kept, " ").alias("clean_text"),
     )
 

@@ -77,15 +77,27 @@ def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """Word ``k``-gram shingles with positions: ``(doc_id, pos, shingle)``,
     ``pos`` 1-based. Narrow transformation (split + transform + posexplode)
     — no shuffle; docs shorter than ``k`` words produce no rows.
+
+    The word array is STAGED through its own projection before the
+    per-shingle ``transform``: a lambda that closes over the inline
+    ``split(text)`` expression re-evaluates the full split once PER
+    ELEMENT (higher-order lambdas re-run their inlined subtrees each
+    invocation), making shingle construction O(words²) per document — a
+    200k-word outlier page would pin one task for ~4·10¹⁰ token reads.
+    Binding the array to a ``_w`` column first costs one extra narrow
+    Project (CollapseProject deliberately keeps multi-referenced
+    non-cheap aliases staged) and makes every span/shingle builder in
+    the engine LINEAR in doc length (measured: a 100k-word doc went from
+    never-finishing to 0.4 s).
     """
     words = F.split(F.col("text"), " ")
+    staged = docs.where(F.size(words) >= k).select("doc_id", words.alias("_w"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
+        F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
     )
     return (
-        docs.where(F.size(words) >= k)
-        .select("doc_id", F.posexplode(grams).alias("pos0", "shingle"))
+        staged.select("doc_id", F.posexplode(grams).alias("pos0", "shingle"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
     )
 
@@ -140,12 +152,15 @@ def minhash_signatures_from_docs(
     whole-stage codegen), and a forked downstream plan (e.g. the LSH
     self-join) re-scans the corpus because there is no Exchange for
     ReuseExchange to collapse — persist, or add an explicit repartition,
-    before forking.
+    before forking. The word array is staged through its own projection
+    so the per-shingle lambda doesn't re-split the doc per element (the
+    O(words²) trap — see :func:`shingles`).
     """
     words = F.split(F.col("text"), " ")
+    staged = docs.where(F.size(words) >= k).select("doc_id", words.alias("_w"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
+        F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
     )
     bases = F.transform(grams, lambda g: hex_to_long(F.md5(g)) % F.lit(M31))
     sig_cols = [
@@ -158,8 +173,7 @@ def minhash_signatures_from_docs(
         for h in range(num_hashes)
     ]
     return (
-        docs.where(F.size(words) >= k)
-        .select("doc_id", bases.alias("_bases"))
+        staged.select("doc_id", bases.alias("_bases"))
         .select("doc_id", *sig_cols)
     )
 
@@ -267,22 +281,34 @@ def fuzzy_pairs(
     Scale shape: Levenshtein is O(len²) per pair, so it NEVER runs
     all-pairs — only over the LSH candidate set (bounded by bucket
     collisions). The distance is the JVM built-in ``levenshtein``
-    expression (codegen, no Python). Returns
+    expression (codegen, no Python). When ``max_dist`` is given, the
+    3-arg ``levenshtein(l, r, threshold)`` form is used: the JVM kernel
+    exits as soon as the running distance exceeds the threshold (banded
+    DP, O(len·max_dist) instead of O(len²)) and returns −1, which the
+    filter drops — same surviving pairs and distances as filtering the
+    unbounded distance, but two long near-dup documents no longer cost a
+    full quadratic table on one task. Returns
     ``(doc_a, doc_b, edit_dist BIGINT)``.
     """
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    dist = (
+        F.levenshtein("_ta", "_tb")
+        if max_dist is None
+        else F.levenshtein("_ta", "_tb", int(max_dist))
+    )
     out = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
+            dist.cast("bigint").alias("edit_dist"),
         )
     )
     if max_dist is not None:
-        out = out.where(F.col("edit_dist") <= max_dist)
+        # threshold form returns -1 for pairs beyond max_dist
+        out = out.where(F.col("edit_dist") >= 0)
     return out
 
 
@@ -514,7 +540,9 @@ def simhash_pairs(
     )
 
 
-def span_dedup(docs: DataFrame, span_words: int = 5) -> DataFrame:
+def span_dedup(
+    docs: DataFrame, span_words: int = 5, stride: int | None = None
+) -> DataFrame:
     """Corpus-wide duplicated-SPAN removal — the span-granularity form of
     exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better": repeated passages, boilerplate and
@@ -533,6 +561,15 @@ def span_dedup(docs: DataFrame, span_words: int = 5) -> DataFrame:
     removed (surviving spans re-joined in order; empty string when all
     spans were duplicated).
 
+    ``stride`` (< ``span_words``) switches to SLIDING spans — the closer
+    approximation of Lee et al.'s arbitrary-boundary exact-substring
+    match (a duplicated passage is caught even when it starts mid-span of
+    the fixed tiling; stride 1 = every word boundary). Overlapping spans
+    can't be re-joined disjointly, so removal becomes word-granular: a
+    WORD is dropped iff any duplicated span covers it, and ``clean_text``
+    re-joins the surviving words (see :func:`_span_dedup_sliding` for the
+    plan shape — still 2 row-local span passes + 1 equi-join).
+
     Scale (100 TB): span construction is ROW-LOCAL (``sequence`` +
     ``slice`` higher-order expressions fused into the scan — same shape as
     :func:`~hadoop_tfidf_spark.functions.text.fingerprint`) and runs
@@ -549,12 +586,19 @@ def span_dedup(docs: DataFrame, span_words: int = 5) -> DataFrame:
     a shuffle wider than the doc itself. Zero-span docs are filled from a
     spans-free projection of the input (no second span construction).
     """
+    if stride is not None and stride != span_words:
+        if not 1 <= stride < span_words:
+            raise ValueError(f"stride must be in [1, span_words): {stride}")
+        return _span_dedup_sliding(docs, span_words, stride)
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # words staged to a column so the per-span lambda doesn't re-split the
+    # doc per element (the O(words²) trap — see shingles())
+    staged = docs.where(F.size(words) > 0).select("doc_id", words.alias("_w"))
     spans_col = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(span_words)),
-        lambda s: F.array_join(F.slice(words, s, span_words), " "),
+        F.sequence(F.lit(1), F.greatest(F.size("_w"), F.lit(1)), F.lit(span_words)),
+        lambda s: F.array_join(F.slice(F.col("_w"), s, span_words), " "),
     )
-    exploded = docs.where(F.size(words) > 0).select(
+    exploded = staged.select(
         "doc_id", F.posexplode(spans_col).alias("chunk_idx", "span")
     ).withColumn("h", F.md5(F.col("span")))
     dup = (
@@ -595,6 +639,87 @@ def span_dedup(docs: DataFrame, span_words: int = 5) -> DataFrame:
                 "n_dup_spans"
             ),
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def _span_dedup_sliding(
+    docs: DataFrame, span_words: int, stride: int
+) -> DataFrame:
+    """Sliding-span exact dedup (the ``stride < span_words`` path of
+    :func:`span_dedup`): spans of ``span_words`` words start every
+    ``stride`` words (full-width only — starts run to
+    ``len − span_words + 1``; a doc shorter than ``span_words`` is one
+    short span). A span is duplicated iff its exact text occurs in ≥ 2
+    distinct documents; a WORD is removed iff covered by any duplicated
+    span. Output: ``(doc_id, n_spans, n_dup_spans, clean_text)``.
+
+    Plan shape matches the fixed-stride path: 2 row-local span passes
+    (the dup-count aggregation and the tagged join re-derive the span
+    explode — recompute beats materializing a corpus-sized relation),
+    1 md5-keyed count aggregation, 1 equi-join back (NOT broadcast —
+    the dup-span set is corpus-scale), then one doc_id-keyed aggregation
+    that collects only the DUPLICATED span start offsets (integers,
+    bounded by dup density, never whole spans) and one doc_id equi-join
+    to the input for the word-coverage filter — a row-local
+    ``filter(words, ¬∃ covering dup start)`` whose cost is
+    O(words · dup_starts) per doc, zero extra shuffle.
+    """
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # words staged to a column so the per-span lambda doesn't re-split the
+    # doc per element (the O(words²) trap — see shingles())
+    staged = docs.where(F.size(words) > 0).select("doc_id", words.alias("_w"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("_w") - F.lit(span_words - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    span_structs = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("s"),
+            F.array_join(F.slice(F.col("_w"), s, span_words), " ").alias("span"),
+        ),
+    )
+    exploded = (
+        staged.select("doc_id", F.explode(span_structs).alias("sp"))
+        .select("doc_id", F.col("sp.s").alias("s"), F.md5("sp.span").alias("h"))
+    )
+    dup = (
+        exploded.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    tagged = exploded.join(dup, "h", "left").select(
+        "doc_id", "s", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup")
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_spans"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("is_dup") == 1, F.col("s")))
+        ).alias("_dup_starts"),
+    )
+    dup_starts = F.coalesce(
+        F.col("_dup_starts"), F.array().cast("array<int>")
+    )
+    kept_words = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            dup_starts,
+            lambda s: (s <= i + 1) & (i + 1 <= s + F.lit(span_words - 1)),
+        ),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+            F.array_join(kept_words, " ").alias("clean_text"),
         )
     )
 

@@ -137,8 +137,13 @@ def pack_sequences(
 ) -> DataFrame:
     """Deterministic sequence packing: assign each document to a training
     pack of ~``budget`` tokens. Docs are sharded into ``n_buckets`` by
-    ``doc_id % n_buckets``, ordered by ``doc_id`` within the shard, and
-    packed contiguously: a doc's pack is ``floor(tokens_before / budget)``
+    :func:`hash_bucket_col` over ``doc_id`` (md5-based — works for ANY id
+    type; a ``doc_id % n_buckets`` formulation silently casts string ids
+    to NULL under ANSI-off engines, landing the whole corpus in ONE null
+    bucket and serializing it through a single window task, and throws
+    CAST_INVALID_INPUT under Spark 4 ANSI), ordered by ``doc_id`` within
+    the shard, and packed contiguously: a doc's pack is
+    ``floor(tokens_before / budget)``
     of the running token count before it (a doc may straddle a boundary —
     the standard concat-then-chunk packing of GPT-style pretraining, where
     sequences are cut at exactly ``budget`` tokens regardless of doc
@@ -177,7 +182,7 @@ def pack_sequences(
         docs.select(
             "doc_id",
             *extra,
-            (F.col("doc_id") % n_buckets).cast("bigint").alias("bucket"),
+            hash_bucket_col(F.col("doc_id"), n_buckets).cast("bigint").alias("bucket"),
             n_tokens.cast("bigint").alias("n_tokens"),
             *(
                 [

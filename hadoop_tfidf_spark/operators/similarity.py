@@ -595,6 +595,7 @@ def pq_build(
     units: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pack: bool = False,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Product quantization (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search"): split the vector into ``m`` contiguous
@@ -611,10 +612,20 @@ def pq_build(
     broadcast codebook literals (k×dim ints — tiny). The per-subspace
     k-means trains on whatever sample ``embeddings`` is; at 100 TB train
     on a ``.sample()`` and encode the full corpus, exactly like IVF.
+
+    ``pack=True`` (requires ``m ≤ 8`` and ``k ≤ 256``) returns the codes
+    as ONE ``pq_code`` BIGINT — code ``s`` in byte ``s`` — instead of
+    ``m`` int columns: the stored-index form (8 bytes per vector flat,
+    the compression the module docstring promises delivered on disk, not
+    just in column count). :func:`pq_topk` and :func:`ivfpq_topk` unpack
+    with a shift-and-mask projection at search time; same results either
+    way.
     """
     dim = len(embeddings.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if pack and (m > 8 or k > 256):
+        raise ValueError(f"pack=True needs m<=8 and k<=256, got m={m} k={k}")
     sub = dim // m
     codebooks: list[list[list[int]]] = []
     for s in range(m):
@@ -626,14 +637,32 @@ def pq_build(
         )
         codebooks.append([[int(x) for x in c] for c in cents])
     u = quantized_units(F.col(vec_col), units)
-    codes = embeddings.select(
-        id_col,
-        *[
-            _argmin_units(F.slice(u, s * sub + 1, sub), codebooks[s]).alias(f"code_{s}")
-            for s in range(m)
-        ],
-    )
+    code_cols = [
+        _argmin_units(F.slice(u, s * sub + 1, sub), codebooks[s]).alias(f"code_{s}")
+        for s in range(m)
+    ]
+    if pack:
+        packed = None
+        for s, c in enumerate(code_cols):
+            term = F.shiftleft(c.cast("long"), 8 * s)
+            packed = term if packed is None else packed + term
+        codes = embeddings.select(id_col, packed.alias("pq_code"))
+    else:
+        codes = embeddings.select(id_col, *code_cols)
     return codes, codebooks
+
+
+def _pq_code_cols(codes: DataFrame, m: int) -> list[Column]:
+    """The ``m`` per-subspace code expressions over a codes relation in
+    either storage form: ``code_0..code_{m-1}`` columns, or the packed
+    ``pq_code`` BIGINT (one byte per code — unpacked here with a
+    shift-and-mask codegen projection, no join, no Python)."""
+    if "pq_code" in codes.columns:
+        return [
+            F.shiftrightunsigned(F.col("pq_code"), 8 * s).bitwiseAND(F.lit(255))
+            for s in range(m)
+        ]
+    return [F.col(f"code_{s}") for s in range(m)]
 
 
 def pq_topk(
@@ -659,26 +688,9 @@ def pq_topk(
     from pyspark.sql import Window
 
     m = len(codebooks)
-    sub = len(codebooks[0][0])
-    q_rows = (
-        embeddings.where(F.col(id_col).isin([int(x) for x in query_ids]))
-        .select(id_col, quantized_units(F.col(vec_col), units).alias("u"))
-        .collect()
+    tables = _adc_tables(
+        embeddings, codebooks, query_ids, units, id_col, vec_col
     )
-    # adc[query][subspace][code] — python-int exact distances
-    tables = []
-    for r in q_rows:
-        qu = [int(x) for x in r["u"]]
-        per_sub = []
-        for s in range(m):
-            qsub = qu[s * sub : (s + 1) * sub]
-            per_sub.append(
-                [
-                    sum((a - b) * (a - b) for a, b in zip(qsub, c))
-                    for c in codebooks[s]
-                ]
-            )
-        tables.append((int(r[id_col]), per_sub))
     queries_df = F.array(
         *[
             F.struct(
@@ -693,8 +705,11 @@ def pq_topk(
             for qid, tab in tables
         ]
     )
+    code_cols = _pq_code_cols(codes, m)
     exploded = codes.select(
-        F.col(id_col), *[f"code_{s}" for s in range(m)], F.explode(queries_df).alias("q")
+        F.col(id_col),
+        *[c.alias(f"code_{s}") for s, c in enumerate(code_cols)],
+        F.explode(queries_df).alias("q"),
     )
     score = None
     for s in range(m):
@@ -707,6 +722,125 @@ def pq_topk(
         F.col(id_col),
         score.cast("bigint").alias("adc_d2"),
     ).where(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", id_col, "adc_d2", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _adc_tables(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_ids: list[int],
+    units: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, list[list[int]]]]:
+    """Per-query ADC lookup tables ``adc[query][subspace][code]`` — exact
+    python-int L2 distances from the query's micro-unit subvectors to
+    every codebook centroid. Only the (tiny) query rows are collected."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q_rows = (
+        embeddings.where(F.col(id_col).isin([int(x) for x in query_ids]))
+        .select(id_col, quantized_units(F.col(vec_col), units).alias("u"))
+        .collect()
+    )
+    tables = []
+    for r in q_rows:
+        qu = [int(x) for x in r["u"]]
+        per_sub = []
+        for s in range(m):
+            qsub = qu[s * sub : (s + 1) * sub]
+            per_sub.append(
+                [
+                    sum((a - b) * (a - b) for a, b in zip(qsub, c))
+                    for c in codebooks[s]
+                ]
+            )
+        tables.append((int(r[id_col]), per_sub))
+    return tables
+
+
+def ivfpq_topk(
+    assigned: DataFrame,
+    centroids: list[list[int]],
+    codes: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    units: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the realistic 100 TB ANN index —
+    coarse-quantize the corpus into IVF cells, PQ-compress every vector,
+    then per query probe the ``nprobe`` integer-nearest cells and rank
+    ONLY their members by the ADC table-lookup distance. Composes
+    :func:`ivf_build` (``assigned`` + micro-unit ``centroids``) with
+    :func:`pq_build` (``codes`` in either storage form + ``codebooks``);
+    ``embeddings`` (defaults to ``assigned``) supplies the query vectors.
+    Output ``(query_id, vec_id, adc_d2, rn)`` — same shape as
+    :func:`pq_topk`; all-integer, engine-exact, DuckDB-replayable.
+
+    Scale shape: the searched index is ``(cluster, pq_code)`` per vector —
+    a cluster id plus 8 bytes; probing is driver-side over the tiny
+    centroid matrix; candidates come from ONE broadcast equi-join of the
+    (queries × nprobe)-row probe relation on ``cluster`` (scan cost
+    ~nprobe/k_coarse of the corpus per query, never a full ADC sweep);
+    the ADC sum is a pure codegen projection (m table lookups into the
+    broadcast per-query literals); one top-k window keyed on query_id.
+    The cell join + the code join on ``id_col`` are the only shuffles —
+    at scale the index is STORED pre-joined (cluster, pq_code), leaving
+    the probe join + window only.
+    """
+    m = len(codebooks)
+    emb = embeddings if embeddings is not None else assigned
+    # integer probe of the nprobe nearest coarse cells (mirrors ivf_topk's
+    # units path: exact python-int distances, ties -> lowest cluster id)
+    q_rows = (
+        emb.where(F.col(id_col).isin([int(x) for x in query_ids]))
+        .select(id_col, quantized_units(F.col(vec_col), units).alias("u"))
+        .collect()
+    )
+    probe_rows = []
+    for r in q_rows:
+        qu = [int(x) for x in r["u"]]
+        d2s = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qu, c)), ci)
+            for ci, c in enumerate(centroids)
+        )
+        for _, ci in d2s[:nprobe]:
+            probe_rows.append((int(r[id_col]), int(ci)))
+    adc = {qid: tab for qid, tab in _adc_tables(emb, codebooks, query_ids, units, id_col, vec_col)}
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(
+        [(qid, ci, adc[qid]) for qid, ci in probe_rows],
+        "query_id BIGINT, cluster INT, adc ARRAY<ARRAY<BIGINT>>",
+    )
+    code_cols = _pq_code_cols(codes, m)
+    index = assigned.select(id_col, "cluster").join(
+        codes.select(
+            id_col, *[c.alias(f"code_{s}") for s, c in enumerate(code_cols)]
+        ),
+        id_col,
+    )
+    cand = index.join(F.broadcast(probes), "cluster").where(
+        F.col(id_col) != F.col("query_id")
+    )
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("adc"), s + 1), F.col(f"code_{s}") + 1
+        )
+        score = term if score is None else score + term
+    scored = cand.select(
+        "query_id", F.col(id_col), score.cast("bigint").alias("adc_d2")
+    )
     w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
     return (
         scored.withColumn("rn", F.row_number().over(w))

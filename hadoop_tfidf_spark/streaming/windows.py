@@ -15,6 +15,10 @@ executors by the shuffle. Output modes: ``update`` for dashboards,
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -37,6 +41,27 @@ EVENTS_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+
+_STAGING_DIRS: list[str] = []
+
+
+def staging_dir(prefix: str = "spark_graft_stream_") -> str:
+    """Process-scoped temp staging dir for file-backed stream drains,
+    removed at interpreter exit. Every gate/bench run that materializes a
+    corpus copy to feed a file-source stream previously leaked that copy
+    (one ``mkdtemp`` per query, never cleaned); registering the dirs for
+    ``atexit`` removal bounds disk use to one session's working set."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not _STAGING_DIRS:
+        atexit.register(_cleanup_staging_dirs)
+    _STAGING_DIRS.append(path)
+    return path
+
+
+def _cleanup_staging_dirs() -> None:
+    while _STAGING_DIRS:
+        shutil.rmtree(_STAGING_DIRS.pop(), ignore_errors=True)
 
 
 def read_event_stream(

@@ -116,3 +116,64 @@ def test_curate_and_pack(tmp_path):
     assert cols2 == {
         "doc_id", "split", "bucket", "pack_id", "n_tokens", "offset_in_pack"
     }
+
+
+def test_curate_pack_text_dir_string_ids(tmp_path):
+    """Regression (ADVICE r6): curate --pack on a TEXT directory — doc_ids
+    are STRING filenames, which crashed the old `doc_id % n` packing under
+    ANSI. The md5 hash bucket must pack them fine."""
+    d = tmp_path / "txt"
+    d.mkdir()
+    body = (
+        "the data lake holds a big table of rows and the query engine "
+        "scans it fast with extra words here to make quality pass easily"
+    )
+    for i in range(8):
+        (d / f"doc{i}.txt").write_text(f"{body} number{i}\n")
+    out = str(tmp_path / "packed")
+    _run("curate", str(d), out, "--pack", "64")
+    rows = duckdb.sql(
+        f"SELECT doc_id, bucket FROM '{out}/*.parquet'"
+    ).fetchall()
+    assert len(rows) == 8
+    assert all(did.endswith(".txt") for did, _ in rows)
+    assert all(b is not None and 0 <= b < 8 for _, b in rows)
+
+
+def test_curate_splits_and_bucket_cap_flags(tmp_path):
+    """--splits overrides split percentages (all-train → every row
+    'train'); --max-bucket-size engages the capped LSH path;
+    --pack-budget is the documented alias of --pack."""
+    import duckdb as _dk
+
+    src = str(tmp_path / "docs.parquet")
+    _dk.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, 'the data lake holds a big table of rows and the "
+            f"query engine scans it fast doc{i} extra words here make "
+            f"quality pass easily now')"
+            for i in range(12)
+        )
+        + ") t(doc_id, text)) TO '" + src + "' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "curated")
+    _run(
+        "curate", src, out,
+        "--splits", "train=100",
+        "--max-bucket-size", "50",
+    )
+    splits = {
+        r[0] for r in duckdb.sql(f"SELECT DISTINCT split FROM '{out}/*.parquet'").fetchall()
+    }
+    assert splits == {"train"}
+
+    out2 = str(tmp_path / "packed")
+    _run("curate", src, out2, "--pack-budget", "64", "--splits", "train=50,test=50")
+    cols = {
+        r[0]
+        for r in duckdb.sql(f"DESCRIBE SELECT * FROM '{out2}/*.parquet'").fetchall()
+    }
+    assert cols == {
+        "doc_id", "split", "bucket", "pack_id", "n_tokens", "offset_in_pack"
+    }
