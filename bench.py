@@ -52,12 +52,16 @@ HEADLINE = [
     # so the 100 TB safety valve's sizes-agg + filter-join has a timing row)
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",
     "dedup_simhash", "dedup_embedding", "dedup_span_exact",
-    # similarity search (+ the integer-centroid label audit)
+    "dedup_span_sliding",
+    # similarity search (+ the integer-centroid label audit and the
+    # composed IVFADC index — the realistic 100 TB ANN shape)
     "sim_topk_brute", "sim_topk_lsh", "sim_label_centroids",
+    "sim_topk_ivfpq",
     # text analysis (lm_score = the corpus-bigram perplexity filter;
-    # c4_filters = the rule gate; pack_sequences = training-pack prep)
+    # c4_filters = the rule gate; pack_sequences = training-pack prep;
+    # cooccurrence_capped = the engaged single-key-tail valve)
     "text_quality", "text_fingerprint", "text_lm_score",
-    "text_c4_filters", "text_pack_sequences",
+    "text_c4_filters", "text_pack_sequences", "text_cooccurrence_capped",
     # multimodal (Arrow mapInPandas path)
     "multimodal_decode",
     # relational / events

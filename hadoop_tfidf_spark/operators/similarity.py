@@ -659,7 +659,9 @@ def _pq_code_cols(codes: DataFrame, m: int) -> list[Column]:
     shift-and-mask codegen projection, no join, no Python)."""
     if "pq_code" in codes.columns:
         return [
-            F.shiftrightunsigned(F.col("pq_code"), 8 * s).bitwiseAND(F.lit(255))
+            F.shiftrightunsigned(F.col("pq_code"), 8 * s)
+            .bitwiseAND(F.lit(255))
+            .cast("int")
             for s in range(m)
         ]
     return [F.col(f"code_{s}") for s in range(m)]

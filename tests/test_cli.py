@@ -124,12 +124,16 @@ def test_curate_pack_text_dir_string_ids(tmp_path):
     ANSI. The md5 hash bucket must pack them fine."""
     d = tmp_path / "txt"
     d.mkdir()
-    body = (
-        "the data lake holds a big table of rows and the query engine "
-        "scans it fast with extra words here to make quality pass easily"
-    )
     for i in range(8):
-        (d / f"doc{i}.txt").write_text(f"{body} number{i}\n")
+        # per-doc suffixed vocabulary: keeps lang/quality passing while
+        # sharing no 3-gram shingles, so curation's near-dup stage
+        # doesn't (correctly) collapse the corpus to one survivor
+        body = (
+            f"the data{i} lake{i} holds a big table{i} of rows{i} and "
+            f"the query{i} engine{i} scans it fast{i} with extra "
+            f"words{i} here to make quality{i} pass easily now{i}"
+        )
+        (d / f"doc{i}.txt").write_text(f"{body}\n")
     out = str(tmp_path / "packed")
     _run("curate", str(d), out, "--pack", "64")
     rows = duckdb.sql(

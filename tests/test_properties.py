@@ -202,7 +202,10 @@ def test_mixture_weights_shares_sum_to_one(spark, texts):
 def test_pack_sequences_reconstructs_running_sum(spark, texts):
     """Within each bucket (docs ordered by doc_id), every doc's
     (pack_id, offset_in_pack) equals the running token count before it
-    split by the budget — the packing is a pure function of the order."""
+    split by the budget — the packing is a pure function of the order.
+    Bucket assignment replays the operator's md5('0:{id}') hash."""
+    import hashlib
+
     from hadoop_tfidf_spark.operators.sampling import pack_sequences
 
     budget = 7
@@ -210,7 +213,7 @@ def test_pack_sequences_reconstructs_running_sum(spark, texts):
     got = {r.doc_id: r for r in pack_sequences(docs, budget=budget, n_buckets=2).collect()}
     cums = {0: 0, 1: 0}
     for i, t in enumerate(texts):
-        b = i % 2
+        b = int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16) % 2
         r = got[i]
         assert r.bucket == b
         assert r.pack_id == cums[b] // budget

@@ -108,8 +108,9 @@ def test_mixture_weights_hand_computed(spark):
 
 
 def test_pack_sequences_boundaries_and_straddle(spark):
-    """Budget 10, one bucket: docs of 4/4/4 tokens → the third doc starts
-    at cum 8 (pack 0, offset 8) and straddles into pack 1 — pack id is
+    """Budget 10, one bucket (n_buckets=1 pins every doc to shard 0 under
+    the md5 bucketing): docs of 4/4/4 tokens → the third doc starts at
+    cum 8 (pack 0, offset 8) and straddles into pack 1 — pack id is
     floor(tokens_before/budget), the concat-then-chunk contract."""
     from hadoop_tfidf_spark.operators.sampling import pack_sequences
 
@@ -119,7 +120,7 @@ def test_pack_sequences_boundaries_and_straddle(spark):
     )
     got = {
         r.doc_id: r
-        for r in pack_sequences(docs, budget=10, n_buckets=8).collect()
+        for r in pack_sequences(docs, budget=10, n_buckets=1).collect()
     }
     assert all(got[i].bucket == 0 for i in (0, 8, 16, 24))
     assert (got[0].pack_id, got[0].offset_in_pack) == (0, 0)
@@ -129,16 +130,18 @@ def test_pack_sequences_boundaries_and_straddle(spark):
 
 
 def test_pack_sequences_buckets_are_independent(spark):
-    """Docs in different buckets pack independently from offset 0."""
+    """Docs in different buckets pack independently from offset 0 (ids
+    0/1/4 land in md5 buckets 0/1/2 with n_buckets=3 — pinned by the
+    same md5('0:{id}') formula the operator uses)."""
     from hadoop_tfidf_spark.operators.sampling import pack_sequences
 
     docs = spark.createDataFrame(
-        [(0, "a b c"), (1, "d e f"), (2, "g h i")],
+        [(0, "a b c"), (1, "d e f"), (4, "g h i")],
         "doc_id BIGINT, text STRING",
     )
     got = {r.doc_id: r for r in pack_sequences(docs, budget=4, n_buckets=3).collect()}
-    assert {got[i].bucket for i in range(3)} == {0, 1, 2}
-    assert all(got[i].offset_in_pack == 0 and got[i].pack_id == 0 for i in range(3))
+    assert {got[i].bucket for i in (0, 1, 4)} == {0, 1, 2}
+    assert all(got[i].offset_in_pack == 0 and got[i].pack_id == 0 for i in (0, 1, 4))
 
 
 def test_nearest_centroid_confusion_separable_labels(spark):

@@ -142,6 +142,132 @@ def test_c4_filters_zero_word_doc_gets_keep_false_row(spark):
     assert got[3].n_words == 7
 
 
+def test_span_dedup_sliding_catches_offset_duplicates(spark):
+    """A duplicated passage that starts MID-span of the fixed tiling is
+    caught by the sliding form (stride 1 = every boundary) and missed by
+    the fixed one — the point of the stride parameter; covered words
+    drop, others survive. (stride s only aligns starts ≡ 1 mod s: the
+    recall-vs-cost dial.)"""
+    from hadoop_tfidf_spark.operators.dedup import span_dedup
+
+    shared = "alpha beta gamma delta epsilon"  # 5-word duplicated passage
+    docs = spark.createDataFrame(
+        [
+            # passage starts at word 2 (mid-tile) in doc 1, word 3 in doc 2
+            (1, f"x {shared} y z w v u t"),
+            (2, f"p q {shared} r s t u v"),
+            (3, "nothing shared with anyone here at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    fixed = {r.doc_id: r for r in span_dedup(docs, span_words=5).collect()}
+    assert fixed[1].n_dup_spans == 0  # tiling misses the offset passage
+    sliding = {
+        r.doc_id: r
+        for r in span_dedup(docs, span_words=5, stride=1).collect()
+    }
+    assert sliding[1].n_dup_spans >= 1
+    for w in shared.split():
+        assert w not in sliding[1].clean_text.split()
+        assert w not in sliding[2].clean_text.split()
+    assert "x" in sliding[1].clean_text.split()  # uncovered word survives
+    assert sliding[3].n_dup_spans == 0
+    assert sliding[3].clean_text == "nothing shared with anyone here at all"
+
+
+def test_span_dedup_sliding_rejects_bad_stride(spark):
+    import pytest
+
+    from hadoop_tfidf_spark.operators.dedup import span_dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError):
+        span_dedup(docs, span_words=5, stride=0)
+
+
+def test_pq_pack_roundtrip_same_topk(spark):
+    """Bit-packed codes (one BIGINT) and column codes produce identical
+    ADC top-k — the unpack projection is lossless."""
+    from hadoop_tfidf_spark.operators.similarity import pq_build, pq_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 7 + d * 3) % 11) - 5) for d in range(8)]) for i in range(40)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    codes_cols, books = pq_build(emb, m=4, k=4, iters=1, units=1000)
+    codes_packed, books2 = pq_build(emb, m=4, k=4, iters=1, units=1000, pack=True)
+    assert books == books2
+    assert codes_packed.columns == ["vec_id", "pq_code"]
+    a = sorted(
+        map(tuple, pq_topk(emb, codes_cols, books, [0, 1], k=5, units=1000).collect())
+    )
+    b = sorted(
+        map(tuple, pq_topk(emb, codes_packed, books, [0, 1], k=5, units=1000).collect())
+    )
+    assert a == b and len(a) == 10
+
+
+def test_ivfpq_recall_vs_brute(spark):
+    """IVFADC finds the right NEIGHBORHOOD on clustered data: every
+    result comes from the query's own (well-separated) cluster, like the
+    exact brute-force result set does, and overlaps it (nprobe=2 of 4
+    cells). Exact rank WITHIN a cluster of near-identical vectors is not
+    asserted — there ADC-L2 and cosine legitimately order the noise
+    differently."""
+    import random
+
+    from hadoop_tfidf_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivfpq_topk,
+        pq_build,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # 4 well-separated cluster centers, 20 points each
+    for c in range(4):
+        base = [10.0 * (1 if (c >> d) & 1 else -1) for d in range(8)]
+        for i in range(20):
+            rows.append(
+                (c * 20 + i, [base[d] + rng.uniform(-1, 1) for d in range(8)])
+            )
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    assigned, cents = ivf_build(emb, k=4, iters=2, units=1000)
+    codes, books = pq_build(emb, m=4, k=8, iters=1, units=1000, pack=True)
+    got = ivfpq_topk(
+        assigned, cents, codes, books, [0, 25], k=5, nprobe=2, units=1000
+    ).collect()
+    queries = emb.where(emb.vec_id.isin([0, 25]))
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    for qid in (0, 25):
+        g = {r.vec_id for r in got if r.query_id == qid}
+        e = {r.vec_id for r in exact if r.query_id == qid}
+        own_cluster = set(range((qid // 20) * 20, (qid // 20) * 20 + 20))
+        assert len(g) == 5
+        assert g <= own_cluster - {qid}  # right neighborhood, never self
+        assert e <= own_cluster - {qid}
+        assert g & e  # and the sets genuinely overlap
+
+
+def test_cooccurrence_cap_truncates_deterministically(spark):
+    """max_doc_vocab keeps the FIRST n distinct tokens in document order:
+    pairs involving later-vocabulary tokens vanish, earlier pairs keep
+    their counts."""
+    from hadoop_tfidf_spark.functions.text import cooccurrence
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y")], "doc_id BIGINT, text STRING"
+    )
+    full = {(r.w1, r.w2): r.n for r in cooccurrence(docs, top=100).collect()}
+    capped = {
+        (r.w1, r.w2): r.n
+        for r in cooccurrence(docs, top=100, max_doc_vocab=2).collect()
+    }
+    assert capped == {("a", "b"): 2}  # only the first-2 vocab pair survives
+    assert full[("a", "b")] == 2 and ("c", "d") in full
+
+
 def test_streaming_staging_dirs_registered_for_cleanup():
     """staging_dir() creates real dirs and registers them for atexit
     removal; manual cleanup empties the registry."""

@@ -94,10 +94,12 @@ def test_pack_sequences_conserves_tokens_at_scale(spark, big_docs):
 
     packed = pack_sequences(big_docs, budget=512, n_buckets=16)
     assert packed.count() == big_docs.count()
+    from hadoop_tfidf_spark.operators.sampling import hash_bucket_col
+
     direct = {
         r.b: r.s
         for r in big_docs.select(
-            (F.col("doc_id") % 16).alias("b"),
+            hash_bucket_col(F.col("doc_id"), 16).cast("bigint").alias("b"),
             F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
         )
         .groupBy("b")
