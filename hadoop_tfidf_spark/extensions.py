@@ -548,8 +548,16 @@ def q_sim_topk_ivfpq(spark, sf_dir):
     integer-nearest cells per query, rank ONLY their members by ADC
     table lookups. Both builds and the whole search are exact BIGINT
     arithmetic, so the oracle replays coarse Lloyd, per-subspace Lloyd,
-    the probe, and the ADC sum unrolled."""
-    emb = _emb(spark, sf_dir)
+    the probe, and the ADC sum unrolled.
+
+    The embeddings persist across the composed builds: coarse Lloyd +
+    per-subspace Lloyds + encode is ~11 passes over the table, each of
+    which would otherwise re-read parquet. At 100 TB the builds train on
+    a SAMPLE (persist that instead); only the one-pass encode touches
+    the full corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     assigned, cents = S.ivf_build(emb, k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS)
     codes, books = S.pq_build(
         emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True

