@@ -1197,6 +1197,27 @@ def q_dedup_span_exact(spark, sf_dir):
     return D.span_dedup(_docs(spark, sf_dir), span_words=5)
 
 
+def q_sim_topk_ivfpq_res(spark, sf_dir):
+    """RESIDUAL IVFADC (Jégou §IV proper): PQ codes encode each vector's
+    integer residual from its coarse centroid, and ADC tables are built
+    per (query, probed cell) from the query's residual wrt that cell —
+    tighter distances for the same 8 bytes/vector. Every step exact
+    BIGINT, oracle replays coarse Lloyd + residual projection +
+    per-subspace Lloyd + per-cell ADC unrolled."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned, cents, codes, books = S.ivfpq_build_residual(
+        emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
+    )
+    return S.ivfpq_topk(
+        assigned, cents, codes, books, SIM_QUERY_IDS,
+        k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
+        embeddings=emb, residual=True,
+    )
+
+
 def q_dedup_span_sliding(spark, sf_dir):
     """SLIDING-span exact dedup (Lee et al. arbitrary-boundary
     approximation): 5-word spans starting every 2 words; a word is
@@ -1258,8 +1279,9 @@ def q_sim_label_centroids(spark, sf_dir):
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
 # oracle-backed query's newest driver row stays fresh. Round-7 composition:
-#   1) the FOUR brand-new round-7 queries (sliding-span dedup, the
-#      engaged cooccurrence vocab cap, IVFADC, streaming decontamination)
+#   1) the FIVE brand-new round-7 queries (sliding-span dedup, the
+#      engaged cooccurrence vocab cap, IVFADC + its residual form,
+#      streaming decontamination)
 #      plus every query whose SEMANTICS or code changed this round
 #      (bit-packed PQ, hash-bucketed packing ×3, zero-word C4 verdicts ×2,
 #      linearized self-dedup, thresholded fuzzy),
@@ -1267,7 +1289,8 @@ def q_sim_label_centroids(spark, sf_dir):
 #      identical, plan changed — fresh driver rows prove it): the span/
 #      chunk/fingerprint/repetition family, the LSH+Jaccard+LM family,
 #      both flagship pipelines, incremental dedup, and the
-#      streaming-search anchor,
+#      incremental-dedup anchor (streaming_search ceded its slot to the
+#      residual IVFADC, riding its r6 row),
 #   3) the TWELVE entries the r6 verdict listed as riding r01–r05 rows
 #      (rel_event_pivot … rel_price_bands) — all rotated back in-window,
 #   4) four more whose newest rows date from r04 or earlier
@@ -1283,6 +1306,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_sliding": q_dedup_span_sliding,
     "text_cooccurrence_capped": q_text_cooccurrence_capped,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
+    "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
     "streaming_decontaminate": q_streaming_decontaminate,
     "sim_topk_pq": q_sim_topk_pq,
     "text_pack_sequences": q_text_pack_sequences,
@@ -1305,7 +1329,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_capped": q_dedup_minhash_capped,
     "pipeline_curate": q_pipeline_curate,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
-    "streaming_search": q_streaming_search,
     # -- rotation: the 12 entries riding r01–r05 rows (r6 verdict list) --
     "rel_event_pivot": q_rel_event_pivot,
     "rel_region_year_cube": q_rel_region_year_cube,
@@ -1329,6 +1352,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # newcomers, r05 or earlier for the long-stable remainder — and the
     # local checker runs ALL registered queries every round:
     # LOCAL_CHECK_r07.md)
+    "streaming_search": q_streaming_search,
     "sim_topk_ivf": q_sim_topk_ivf,
     "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
     "sim_topk_pandas_bounds": q_sim_topk_pandas_bounds,
@@ -1667,7 +1691,7 @@ def _pq_sql(dim: int = 64) -> str:
     )
 
 
-def _ivfpq_sql(dim: int = 64) -> str:
+def _ivfpq_sql(dim: int = 64, residual: bool = False) -> str:
     """Unrolled replay of IVFADC (mirrors similarity.ivfpq_topk): the
     coarse integer Lloyd of the IVF oracle (same CTE chain), the
     per-subspace integer Lloyd of the PQ oracle, the integer probe of
@@ -1675,7 +1699,14 @@ def _ivfpq_sql(dim: int = 64) -> str:
     restricted to the probed cells' members — every quantity BIGINT, so
     the hash row pins the composed index end-to-end (bit-packing is a
     Spark-side storage detail: codes round-trip through one BIGINT and
-    unpack to the same integers this replay derives directly)."""
+    unpack to the same integers this replay derives directly).
+
+    ``residual=True`` replays the :func:`similarity.ivfpq_build_residual`
+    index instead: the PQ chains train on and encode each vector's
+    integer residual from its coarse centroid, and the per-subspace
+    query distances use the query's residual wrt each PROBED cell (the
+    qsub CTEs carry (query, cluster) grain) — restriction to probed
+    cells falls out of the cluster join."""
     sub = dim // PQ_M
     # coarse IVF chain (verbatim structure from _ivf_sql)
     ctes = [
@@ -1723,12 +1754,28 @@ def _ivfpq_sql(dim: int = 64) -> str:
   ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2, cluster)
     <= {IVF_NPROBE}
 )""")
+    if residual:
+        ctes.append(f"""res AS (
+  SELECT e.vec_id, a.cluster,
+         list_transform(generate_series(1, {dim}), i -> e.u[i] - c.u[i]) AS u
+  FROM e JOIN assign{final} a ON a.vec_id = e.vec_id
+  JOIN cent{final} c ON c.cluster = a.cluster
+)""")
+    pq_src = "res" if residual else "e"
     # per-subspace PQ chains (verbatim structure from _pq_sql)
     dists = []
     for s in range(PQ_M):
         lo, hi = s * sub + 1, (s + 1) * sub
         ctes.append(f"""sub{s} AS (
-  SELECT vec_id, u[{lo}:{hi}] AS su FROM e
+  SELECT vec_id, u[{lo}:{hi}] AS su FROM {pq_src}
+)""")
+        if residual:
+            ctes.append(f"""qsub{s} AS (
+  SELECT q.query_id, p.cluster,
+         list_transform(generate_series({lo}, {hi}), i -> q.q_u[i] - c.u[i])
+           AS su
+  FROM qv q JOIN probe p ON p.query_id = q.query_id
+  JOIN cent{final} c ON c.cluster = p.cluster
 )""")
         ctes.append(f"""pcent{s}_0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, su AS cu
@@ -1755,23 +1802,39 @@ def _ivfpq_sql(dim: int = 64) -> str:
   SELECT c.cluster, coalesce(m.cu, c.cu) AS cu
   FROM pcent{s}_{it} c LEFT JOIN pmean{s}_{it + 1} m ON m.cluster = c.cluster
 )""")
-        dists.append(
-            f"""SELECT q.query_id, a.vec_id, {_int_d2_sql("q.su", "c.cu")} AS d2
+        if residual:
+            dists.append(
+                f"""SELECT qs.query_id, a.vec_id, {_int_d2_sql("qs.su", "c.cu")} AS d2
+    FROM passign{s}_{PQ_ITERS} a
+    JOIN pcent{s}_{PQ_ITERS} c ON a.cluster = c.cluster
+    JOIN res r ON r.vec_id = a.vec_id
+    JOIN qsub{s} qs ON qs.cluster = r.cluster"""
+            )
+        else:
+            dists.append(
+                f"""SELECT q.query_id, a.vec_id, {_int_d2_sql("q.su", "c.cu")} AS d2
     FROM passign{s}_{PQ_ITERS} a
     JOIN pcent{s}_{PQ_ITERS} c ON a.cluster = c.cluster
     CROSS JOIN (SELECT vec_id AS query_id, su FROM sub{s}
                 WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})) q"""
-        )
+            )
     union = "\n    UNION ALL\n    ".join(dists)
     ctes.append(f"""alld AS (
     {union}
 )""")
-    ctes.append(f"""cand AS (
+    if residual:
+        # restriction to probed cells is the qsub cluster join above
+        ctes.append("""scored AS (
+  SELECT query_id, vec_id, CAST(sum(d2) AS BIGINT) AS adc_d2
+  FROM alld WHERE vec_id <> query_id GROUP BY 1, 2
+)""")
+    else:
+        ctes.append(f"""cand AS (
   SELECT p.query_id, a.vec_id
   FROM assign{final} a JOIN probe p ON p.cluster = a.cluster
   WHERE a.vec_id <> p.query_id
 )""")
-    ctes.append("""scored AS (
+        ctes.append("""scored AS (
   SELECT c.query_id, c.vec_id, CAST(sum(d.d2) AS BIGINT) AS adc_d2
   FROM cand c JOIN alld d
     ON d.query_id = c.query_id AND d.vec_id = c.vec_id
@@ -2558,6 +2621,7 @@ FROM events GROUP BY user_id
     "sim_topk_ivf": _ivf_sql(),
     "sim_topk_pq": _pq_sql(),
     "sim_topk_ivfpq": _ivfpq_sql(),
+    "sim_topk_ivfpq_res": _ivfpq_sql(residual=True),
     # Envelope oracles: exact values recomputed independently; the
     # in-bounds flags are asserted literally — the Spark side must deliver
     # sketch/BLAS results inside their error contracts to hash-match.

@@ -640,6 +640,22 @@ def pq_build(
     # build sets where per-job overhead dominates, same passes at scale).
     u = quantized_units(F.col(vec_col), units)
     base = embeddings.select(id_col, u.alias("_u"))
+    codebooks = _pq_train_units(base, m=m, k=k, iters=iters, id_col=id_col)
+    codes = _pq_encode_units(base, codebooks, id_col=id_col, pack=pack)
+    return codes, codebooks
+
+
+def _pq_train_units(
+    base: DataFrame, m: int, k: int, iters: int, id_col: str
+) -> list[list[list[int]]]:
+    """The fused per-subspace integer Lloyd over a ``(id, _u)`` relation
+    (``_u`` already in micro-units — raw quantized vectors for
+    :func:`pq_build`, coarse-cell residuals for
+    :func:`ivfpq_build_residual`). Seeds = the first ``k`` rows by id
+    sliced per subspace; one means aggregation per round covers all
+    ``m`` subspaces."""
+    dim = len(base.select("_u").first()[0])
+    sub = dim // m
     seed_rows = base.orderBy(id_col).limit(k).collect()
     codebooks: list[list[list[int]]] = [
         [
@@ -676,19 +692,36 @@ def pq_build(
         for r in means:
             new_books[r["s"]][r["cluster"]][r["d"]] = int(r["mv"])
         codebooks = new_books
+    return codebooks
+
+
+def _pq_encode_units(
+    base: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str,
+    pack: bool,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Encode a ``(id, _u)`` relation against trained codebooks — one
+    scan-stage argmin projection per subspace; ``pack`` emits the single
+    ``pq_code`` BIGINT form. ``extra_cols`` carries columns through
+    (e.g. the coarse ``cluster`` for the residual index)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
     code_cols = [
-        _argmin_units(F.slice(u, s * sub + 1, sub), codebooks[s]).alias(f"code_{s}")
+        _argmin_units(
+            F.slice(F.col("_u"), s * sub + 1, sub), codebooks[s]
+        ).alias(f"code_{s}")
         for s in range(m)
     ]
+    extra = list(extra_cols or [])
     if pack:
         packed = None
         for s, c in enumerate(code_cols):
             term = F.shiftleft(c.cast("long"), 8 * s)
             packed = term if packed is None else packed + term
-        codes = embeddings.select(id_col, packed.alias("pq_code"))
-    else:
-        codes = embeddings.select(id_col, *code_cols)
-    return codes, codebooks
+        return base.select(id_col, *extra, packed.alias("pq_code"))
+    return base.select(id_col, *extra, *code_cols)
 
 
 def _pq_code_cols(codes: DataFrame, m: int) -> list[Column]:
@@ -805,6 +838,59 @@ def _adc_tables(
     return tables
 
 
+def ivfpq_build_residual(
+    embeddings: DataFrame,
+    coarse_k: int = 16,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    units: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pack: bool = True,
+) -> tuple[DataFrame, list[list[int]], DataFrame, list[list[list[int]]]]:
+    """Residual IVFADC index (Jégou et al. 2011 §IV, the actual IVFADC):
+    coarse-quantize with :func:`ivf_build`, then PQ-encode each vector's
+    RESIDUAL ``u − centroid[cluster]`` rather than the raw vector — the
+    codebooks only have to cover the within-cell spread, so the same m
+    bytes carry far less quantization error. All arithmetic stays exact
+    BIGINT (residual = integer subtraction of micro-units), so the whole
+    build remains DuckDB-replayable. Returns ``(assigned, centroids,
+    codes, codebooks)`` where ``codes`` carries the coarse ``cluster``
+    alongside the (packed) residual codes — the stored index is
+    ``(cluster, pq_code)`` per vector, exactly what :func:`ivfpq_topk`
+    searches with ``residual=True``.
+
+    Scale: one extra zero-shuffle projection over the coarse-assigned
+    corpus (the residual subtraction against broadcast centroid
+    literals); training and encoding inherit the fused-job shape of
+    :func:`pq_build`.
+    """
+    assigned, cents = ivf_build(
+        embeddings, k=coarse_k, iters=coarse_iters,
+        id_col=id_col, vec_col=vec_col, units=units,
+    )
+    cent_arr = F.array(
+        *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
+    )
+    u = quantized_units(F.col(vec_col), units)
+    res = assigned.select(
+        id_col,
+        "cluster",
+        F.zip_with(
+            u,
+            F.element_at(cent_arr, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        ).alias("_u"),
+    )
+    codebooks = _pq_train_units(res, m=m, k=k, iters=iters, id_col=id_col)
+    codes = _pq_encode_units(
+        res, codebooks, id_col=id_col, pack=pack, extra_cols=["cluster"]
+    )
+    return assigned, cents, codes, codebooks
+
+
 def ivfpq_topk(
     assigned: DataFrame,
     centroids: list[list[int]],
@@ -817,6 +903,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     embeddings: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): the realistic 100 TB ANN index —
     coarse-quantize the corpus into IVF cells, PQ-compress every vector,
@@ -825,6 +912,12 @@ def ivfpq_topk(
     :func:`ivf_build` (``assigned`` + micro-unit ``centroids``) with
     :func:`pq_build` (``codes`` in either storage form + ``codebooks``);
     ``embeddings`` (defaults to ``assigned``) supplies the query vectors.
+    ``residual=True`` searches a :func:`ivfpq_build_residual` index:
+    codes encode the vector's residual from its coarse centroid, and the
+    ADC tables are built per (query, probed cell) from the query's
+    residual wrt that cell — the actual Jégou IVFADC, tighter distances
+    for the same bytes because each cell's codebook only has to cover
+    the within-cell spread.
     Output ``(query_id, vec_id, adc_d2, rn)`` — same shape as
     :func:`pq_topk`; all-integer, engine-exact, DuckDB-replayable.
 
@@ -844,44 +937,65 @@ def ivfpq_topk(
     emb = embeddings if embeddings is not None else assigned
     # ONE collect of the (tiny) query rows feeds both the integer probe
     # (mirrors ivf_topk's units path: exact python-int distances, ties ->
-    # lowest cluster id) and the ADC tables
+    # lowest cluster id) and the ADC tables. In residual mode the ADC
+    # table is PER (query, probed cluster): distances go from the query's
+    # residual wrt THAT cluster's centroid to the residual codebooks —
+    # Jegou §IV's per-cell lookup tables; the probes relation already has
+    # exactly that grain, so only the table contents change.
     q_rows = (
         emb.where(F.col(id_col).isin([int(x) for x in query_ids]))
         .select(id_col, quantized_units(F.col(vec_col), units).alias("u"))
         .collect()
     )
+
+    def _tab(qvec: list[int]) -> list[list[int]]:
+        return [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qvec[s * sub : (s + 1) * sub], c)
+                )
+                for c in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+
     probe_rows = []
-    adc: dict[int, list[list[int]]] = {}
     for r in q_rows:
         qu = [int(x) for x in r["u"]]
         d2s = sorted(
             (sum((a - b) * (a - b) for a, b in zip(qu, c)), ci)
             for ci, c in enumerate(centroids)
         )
+        shared = None if residual else _tab(qu)
         for _, ci in d2s[:nprobe]:
-            probe_rows.append((int(r[id_col]), int(ci)))
-        adc[int(r[id_col])] = [
-            [
-                sum(
-                    (a - b) * (a - b)
-                    for a, b in zip(qu[s * sub : (s + 1) * sub], c)
-                )
-                for c in codebooks[s]
-            ]
-            for s in range(m)
-        ]
+            tab = (
+                _tab([a - b for a, b in zip(qu, centroids[ci])])
+                if residual
+                else shared
+            )
+            probe_rows.append((int(r[id_col]), int(ci), tab))
     spark = assigned.sparkSession
     probes = spark.createDataFrame(
-        [(qid, ci, adc[qid]) for qid, ci in probe_rows],
+        probe_rows,
         "query_id BIGINT, cluster INT, adc ARRAY<ARRAY<BIGINT>>",
     )
     code_cols = _pq_code_cols(codes, m)
-    index = assigned.select(id_col, "cluster").join(
-        codes.select(
-            id_col, *[c.alias(f"code_{s}") for s, c in enumerate(code_cols)]
-        ),
-        id_col,
-    )
+    if "cluster" in codes.columns:
+        # residual codes already carry the coarse cell — the index is
+        # stored pre-joined, no id join needed
+        index = codes.select(
+            id_col,
+            "cluster",
+            *[c.alias(f"code_{s}") for s, c in enumerate(code_cols)],
+        )
+    else:
+        index = assigned.select(id_col, "cluster").join(
+            codes.select(
+                id_col, *[c.alias(f"code_{s}") for s, c in enumerate(code_cols)]
+            ),
+            id_col,
+        )
     cand = index.join(F.broadcast(probes), "cluster").where(
         F.col(id_col) != F.col("query_id")
     )

@@ -250,6 +250,52 @@ def test_ivfpq_recall_vs_brute(spark):
         assert g & e  # and the sets genuinely overlap
 
 
+def test_ivfpq_residual_same_neighborhood_tighter_distances(spark):
+    """Residual IVFADC finds the same cluster neighborhood as the raw
+    form, and its ADC distances to same-cluster points are (on average)
+    smaller — the codebooks only cover within-cell spread, which is the
+    whole point of encoding residuals."""
+    import random
+
+    from hadoop_tfidf_spark.operators.similarity import (
+        ivf_build,
+        ivfpq_build_residual,
+        ivfpq_topk,
+        pq_build,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(4):
+        base = [10.0 * (1 if (c >> d) & 1 else -1) for d in range(8)]
+        for i in range(20):
+            rows.append(
+                (c * 20 + i, [base[d] + rng.uniform(-1, 1) for d in range(8)])
+            )
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    assigned, cents, rcodes, rbooks = ivfpq_build_residual(
+        emb, coarse_k=4, coarse_iters=2, m=4, k=8, iters=1, units=1000
+    )
+    got = ivfpq_topk(
+        assigned, cents, rcodes, rbooks, [0, 45], k=5, nprobe=2,
+        units=1000, embeddings=emb, residual=True,
+    ).collect()
+    _, rawcents = ivf_build(emb, k=4, iters=2, units=1000)
+    rawcodes, rawbooks = pq_build(emb, m=4, k=8, iters=1, units=1000, pack=True)
+    raw = ivfpq_topk(
+        assigned, rawcents, rawcodes, rawbooks, [0, 45], k=5, nprobe=2,
+        units=1000, embeddings=emb,
+    ).collect()
+    for qid in (0, 45):
+        own = set(range((qid // 20) * 20, (qid // 20) * 20 + 20)) - {qid}
+        g = {r.vec_id for r in got if r.query_id == qid}
+        assert len(g) == 5 and g <= own
+    # residual quantization error is smaller on average
+    mean_res = sum(r.adc_d2 for r in got) / len(got)
+    mean_raw = sum(r.adc_d2 for r in raw) / len(raw)
+    assert mean_res < mean_raw
+
+
 def test_cooccurrence_cap_truncates_deterministically(spark):
     """max_doc_vocab keeps the FIRST n distinct tokens in document order:
     pairs involving later-vocabulary tokens vanish, earlier pairs keep
