@@ -24,6 +24,7 @@ Usage::
     python -m hadoop_tfidf_spark.cli tfidfrank     IN OUT [--limit K]
     python -m hadoop_tfidf_spark.cli curate        IN OUT [--pack-budget N]
                   [--splits train=90,valid=5,test=5] [--max-bucket-size N]
+                  [--decontaminate BENCH]
 
 ``curate`` is engine surface beyond the reference (the north-star
 training-data pipeline): lang-id → quality filter → exact dedup → LSH
@@ -92,6 +93,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--splits", default=None, metavar="NAME=PCT,...",
                    help="curate: split percentages, e.g. train=90,valid=5,"
                         "test=5 (must sum to 100; default 90/5/5)")
+    p.add_argument("--decontaminate", default=None, metavar="BENCH",
+                   help="curate: drop docs whose 3-gram overlap with the "
+                        "benchmark corpus at BENCH (text dir or parquet) "
+                        "exceeds 0.1, before curation")
     args = p.parse_args(argv)
 
     from hadoop_tfidf_spark.corpus import tokenize
@@ -144,6 +149,10 @@ def main(argv: list[str] | None = None) -> None:
         from hadoop_tfidf_spark.operators.sampling import pack_sequences
         from hadoop_tfidf_spark.pipeline import curate_corpus
 
+        if args.decontaminate is not None:
+            from hadoop_tfidf_spark.functions.text import decontaminate
+
+            docs = decontaminate(docs, _load(spark, args.decontaminate))
         splits = None
         if args.splits is not None:
             splits = {

@@ -144,6 +144,30 @@ def test_curate_pack_text_dir_string_ids(tmp_path):
     assert all(b is not None and 0 <= b < 8 for _, b in rows)
 
 
+def test_curate_decontaminate_flag(tmp_path):
+    """--decontaminate drops the candidate doc that verbatim-overlaps the
+    benchmark corpus; clean docs survive curation."""
+    cand = tmp_path / "cand"
+    cand.mkdir()
+    bench = tmp_path / "bench"
+    bench.mkdir()
+    leaked = (
+        "the benchmark question asks about a big data lake and the "
+        "answer is to scan it fast with extra words to pass quality now"
+    )
+    clean = (
+        "the data engine holds a wide table of rows and it scans fast "
+        "with plenty of extra words here to make quality pass easily"
+    )
+    (cand / "leaked.txt").write_text(leaked + "\n")
+    (cand / "clean.txt").write_text(clean + "\n")
+    (bench / "bench.txt").write_text(leaked + "\n")
+    out = str(tmp_path / "curated")
+    _run("curate", str(cand), out, "--decontaminate", str(bench))
+    ids = {r[0] for r in duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()}
+    assert ids == {"clean.txt"}
+
+
 def test_curate_splits_and_bucket_cap_flags(tmp_path):
     """--splits overrides split percentages (all-train → every row
     'train'); --max-bucket-size engages the capped LSH path;
