@@ -155,12 +155,17 @@ def main(argv: list[str] | None = None) -> None:
             docs = decontaminate(docs, _load(spark, args.decontaminate))
         splits = None
         if args.splits is not None:
-            splits = {
-                name.strip(): int(pct)
-                for name, _, pct in (
-                    part.partition("=") for part in args.splits.split(",")
-                )
-            }
+            splits = {}
+            for part in args.splits.split(","):
+                name, eq, pct = part.partition("=")
+                if not eq or not name.strip() or not pct.strip().isdigit():
+                    p.error(
+                        f"--splits entry {part!r} is not NAME=PCT "
+                        "(non-negative integer percentages, e.g. "
+                        "train=90,valid=5,test=5)"
+                    )
+                splits[name.strip()] = int(pct)
+            # isdigit() rejects negatives; hash_split rejects sums != 100
         curated = curate_corpus(
             docs,
             lang=args.lang,

@@ -562,10 +562,16 @@ def q_sim_topk_ivfpq(spark, sf_dir):
     codes, books = S.pq_build(
         emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True
     )
-    return S.ivfpq_topk(
+    out = S.ivfpq_topk(
         assigned, cents, codes, books, SIM_QUERY_IDS,
         k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
     )
+    # materialize the (50-row) result so the build cache can be released
+    # — without this, repeated invocations in one session (bench trials,
+    # gate drives) would each pin another copy of the embeddings table
+    out = out.localCheckpoint(eager=True)
+    emb.unpersist()
+    return out
 
 
 def q_rel_price_bands(spark, sf_dir):
@@ -1211,11 +1217,14 @@ def q_sim_topk_ivfpq_res(spark, sf_dir):
         emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
         m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
     )
-    return S.ivfpq_topk(
+    out = S.ivfpq_topk(
         assigned, cents, codes, books, SIM_QUERY_IDS,
         k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
         embeddings=emb, residual=True,
     )
+    out = out.localCheckpoint(eager=True)  # see q_sim_topk_ivfpq
+    emb.unpersist()
+    return out
 
 
 def q_dedup_span_sliding(spark, sf_dir):

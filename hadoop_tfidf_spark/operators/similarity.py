@@ -640,21 +640,26 @@ def pq_build(
     # build sets where per-job overhead dominates, same passes at scale).
     u = quantized_units(F.col(vec_col), units)
     base = embeddings.select(id_col, u.alias("_u"))
-    codebooks = _pq_train_units(base, m=m, k=k, iters=iters, id_col=id_col)
+    codebooks = _pq_train_units(
+        base, m=m, k=k, iters=iters, id_col=id_col, dim=dim
+    )
     codes = _pq_encode_units(base, codebooks, id_col=id_col, pack=pack)
     return codes, codebooks
 
 
 def _pq_train_units(
-    base: DataFrame, m: int, k: int, iters: int, id_col: str
+    base: DataFrame, m: int, k: int, iters: int, id_col: str,
+    dim: int | None = None,
 ) -> list[list[list[int]]]:
     """The fused per-subspace integer Lloyd over a ``(id, _u)`` relation
     (``_u`` already in micro-units — raw quantized vectors for
     :func:`pq_build`, coarse-cell residuals for
     :func:`ivfpq_build_residual`). Seeds = the first ``k`` rows by id
     sliced per subspace; one means aggregation per round covers all
-    ``m`` subspaces."""
-    dim = len(base.select("_u").first()[0])
+    ``m`` subspaces. ``dim`` skips the probe job when the caller already
+    knows it."""
+    if dim is None:
+        dim = len(base.select("_u").first()[0])
     sub = dim // m
     seed_rows = base.orderBy(id_col).limit(k).collect()
     codebooks: list[list[list[int]]] = [
@@ -804,6 +809,25 @@ def pq_topk(
     )
 
 
+def _adc_table(qvec: list[int], codebooks: list[list[list[int]]]) -> list[list[int]]:
+    """One ADC lookup table ``adc[subspace][code]`` — exact python-int L2
+    distances from the (micro-unit) query vector's subvectors to every
+    codebook centroid. Shared by :func:`pq_topk` (raw query vector) and
+    :func:`ivfpq_topk` (raw, or per-cell residual, vector)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return [
+        [
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(qvec[s * sub : (s + 1) * sub], c)
+            )
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+
+
 def _adc_tables(
     embeddings: DataFrame,
     codebooks: list[list[list[int]]],
@@ -812,30 +836,17 @@ def _adc_tables(
     id_col: str,
     vec_col: str,
 ) -> list[tuple[int, list[list[int]]]]:
-    """Per-query ADC lookup tables ``adc[query][subspace][code]`` — exact
-    python-int L2 distances from the query's micro-unit subvectors to
-    every codebook centroid. Only the (tiny) query rows are collected."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
+    """Per-query ADC lookup tables via :func:`_adc_table`. Only the
+    (tiny) query rows are collected."""
     q_rows = (
         embeddings.where(F.col(id_col).isin([int(x) for x in query_ids]))
         .select(id_col, quantized_units(F.col(vec_col), units).alias("u"))
         .collect()
     )
-    tables = []
-    for r in q_rows:
-        qu = [int(x) for x in r["u"]]
-        per_sub = []
-        for s in range(m):
-            qsub = qu[s * sub : (s + 1) * sub]
-            per_sub.append(
-                [
-                    sum((a - b) * (a - b) for a, b in zip(qsub, c))
-                    for c in codebooks[s]
-                ]
-            )
-        tables.append((int(r[id_col]), per_sub))
-    return tables
+    return [
+        (int(r[id_col]), _adc_table([int(x) for x in r["u"]], codebooks))
+        for r in q_rows
+    ]
 
 
 def ivfpq_build_residual(
@@ -871,6 +882,11 @@ def ivfpq_build_residual(
         embeddings, k=coarse_k, iters=coarse_iters,
         id_col=id_col, vec_col=vec_col, units=units,
     )
+    dim = len(cents[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if pack and (m > 8 or k > 256):
+        raise ValueError(f"pack=True needs m<=8 and k<=256, got m={m} k={k}")
     cent_arr = F.array(
         *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
     )
@@ -884,7 +900,9 @@ def ivfpq_build_residual(
             lambda a, b: a - b,
         ).alias("_u"),
     )
-    codebooks = _pq_train_units(res, m=m, k=k, iters=iters, id_col=id_col)
+    codebooks = _pq_train_units(
+        res, m=m, k=k, iters=iters, id_col=id_col, dim=dim
+    )
     codes = _pq_encode_units(
         res, codebooks, id_col=id_col, pack=pack, extra_cols=["cluster"]
     )
@@ -933,7 +951,6 @@ def ivfpq_topk(
     the probe join + window only.
     """
     m = len(codebooks)
-    sub = len(codebooks[0][0])
     emb = embeddings if embeddings is not None else assigned
     # ONE collect of the (tiny) query rows feeds both the integer probe
     # (mirrors ivf_topk's units path: exact python-int distances, ties ->
@@ -948,18 +965,6 @@ def ivfpq_topk(
         .collect()
     )
 
-    def _tab(qvec: list[int]) -> list[list[int]]:
-        return [
-            [
-                sum(
-                    (a - b) * (a - b)
-                    for a, b in zip(qvec[s * sub : (s + 1) * sub], c)
-                )
-                for c in codebooks[s]
-            ]
-            for s in range(m)
-        ]
-
     probe_rows = []
     for r in q_rows:
         qu = [int(x) for x in r["u"]]
@@ -967,10 +972,10 @@ def ivfpq_topk(
             (sum((a - b) * (a - b) for a, b in zip(qu, c)), ci)
             for ci, c in enumerate(centroids)
         )
-        shared = None if residual else _tab(qu)
+        shared = None if residual else _adc_table(qu, codebooks)
         for _, ci in d2s[:nprobe]:
             tab = (
-                _tab([a - b for a, b in zip(qu, centroids[ci])])
+                _adc_table([a - b for a, b in zip(qu, centroids[ci])], codebooks)
                 if residual
                 else shared
             )

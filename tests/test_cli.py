@@ -144,6 +144,29 @@ def test_curate_pack_text_dir_string_ids(tmp_path):
     assert all(b is not None and 0 <= b < 8 for _, b in rows)
 
 
+def test_curate_rejects_malformed_splits(tmp_path):
+    """Malformed or negative --splits entries die with a clear argparse
+    error, not a bare int() traceback (and negatives can't sneak past the
+    sum==100 check)."""
+    import os
+    import subprocess
+
+    src = str(tmp_path / "docs.parquet")
+    duckdb.sql(
+        "COPY (SELECT 1 AS doc_id, 'a b c' AS text) TO '"
+        + src + "' (FORMAT PARQUET)"
+    )
+    for bad in ("train:90", "train=90,valid=5,test=5,", "train=150,test=-50"):
+        res = subprocess.run(
+            [sys.executable, "-m", "hadoop_tfidf_spark.cli", "curate",
+             src, str(tmp_path / "out"), "--splits", bad],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            env=dict(os.environ, SPARK_GRAFT_CPUS="2"),
+        )
+        assert res.returncode == 2, (bad, res.returncode, res.stderr[-500:])
+        assert "--splits" in res.stderr
+
+
 def test_curate_decontaminate_flag(tmp_path):
     """--decontaminate drops the candidate doc that verbatim-overlaps the
     benchmark corpus; clean docs survive curation."""

@@ -296,6 +296,23 @@ def test_ivfpq_residual_same_neighborhood_tighter_distances(spark):
     assert mean_res < mean_raw
 
 
+def test_ivfpq_residual_build_validates_params(spark):
+    """The residual builder enforces the same guards as pq_build: dim
+    must divide by m, and pack requires byte-range codes."""
+    import pytest
+
+    from hadoop_tfidf_spark.operators.similarity import ivfpq_build_residual
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + d) for d in range(8)]) for i in range(20)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_build_residual(emb, coarse_k=4, coarse_iters=1, m=3, k=4, units=1000)
+    with pytest.raises(ValueError, match="pack=True"):
+        ivfpq_build_residual(emb, coarse_k=4, coarse_iters=1, m=4, k=300, units=1000)
+
+
 def test_cooccurrence_cap_truncates_deterministically(spark):
     """max_doc_vocab keeps the FIRST n distinct tokens in document order:
     pairs involving later-vocabulary tokens vanish, earlier pairs keep
