@@ -566,10 +566,10 @@ def q_sim_topk_ivfpq(spark, sf_dir):
         assigned, cents, codes, books, SIM_QUERY_IDS,
         k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
     )
-    # materialize the (50-row) result so the build cache can be released
-    # — without this, repeated invocations in one session (bench trials,
-    # gate drives) would each pin another copy of the embeddings table
-    out = out.localCheckpoint(eager=True)
+    # the cache exists to serve the ~11 BUILD collects, all executed by
+    # now — release it immediately so repeated invocations in one session
+    # (bench trials, gate drives) don't pin extra embedding copies; the
+    # returned lazy search plan simply re-reads parquet for its one pass
     emb.unpersist()
     return out
 
@@ -1222,8 +1222,7 @@ def q_sim_topk_ivfpq_res(spark, sf_dir):
         k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
         embeddings=emb, residual=True,
     )
-    out = out.localCheckpoint(eager=True)  # see q_sim_topk_ivfpq
-    emb.unpersist()
+    emb.unpersist()  # build collects done — see q_sim_topk_ivfpq
     return out
 
 

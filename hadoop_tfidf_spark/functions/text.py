@@ -519,42 +519,57 @@ def c4_quality_filters(
 
     ZERO shuffle: every rule is a row-local higher-order array expression
     over the doc's own words, fused into the scan by whole-stage codegen —
-    the same scale shape as :func:`repetition_score`. At 100 TB this runs
-    at scan speed with no exchange at all.
+    the same scale shape as :func:`repetition_score`. The word array and
+    the measured ratios are each STAGED through their own projection (the
+    flag and ``keep`` expressions then reference the ratio COLUMNS, not
+    re-instantiated ratio trees — without the staging, the flag +
+    conjunction layer re-evaluated each guarded ratio ~3×, measured 2.4×
+    slower at sf0.1). At 100 TB this runs at scan speed with no exchange
+    at all.
     """
     words = F.filter(_words(F.col("text")), lambda x: x != "")
-    n_words = F.size(words).cast("bigint")
-    nonempty = F.size(words) > 0
+    staged = docs.select("doc_id", words.alias("_w"))
+    nonempty = F.size("_w") > 0
     # ratio divisions guarded: ANSI mode raises DIVIDE_BY_ZERO on the
     # zero-word row without the `when`
-    mean_wl = F.when(
-        nonempty, F.round(F.length(F.array_join(words, "")) / F.size(words), 6)
+    measured = staged.select(
+        "doc_id",
+        F.size("_w").cast("bigint").alias("n_words"),
+        F.when(
+            nonempty,
+            F.round(F.length(F.array_join("_w", "")) / F.size("_w"), 6),
+        ).alias("mean_word_len"),
+        F.when(
+            nonempty,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("_w")) / F.size("_w"), 6
+            ),
+        ).alias("word_dup_ratio"),
+        F.when(
+            nonempty,
+            F.round(
+                F.size(F.filter(F.col("_w"), lambda w: w.isin(*QUALITY_STOPWORDS)))
+                / F.size("_w"),
+                6,
+            ),
+        ).alias("stop_ratio"),
     )
-    dup_ratio = F.when(
-        nonempty,
-        F.round(F.lit(1.0) - F.size(F.array_distinct(words)) / F.size(words), 6),
-    )
-    stop_ratio = F.when(
-        nonempty,
-        F.round(
-            F.size(F.filter(words, lambda w: w.isin(*QUALITY_STOPWORDS)))
-            / F.size(words),
-            6,
-        ),
-    )
-    pass_len = (n_words >= min_words) & (n_words <= max_words)
+    pass_len = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
     pass_wl = F.coalesce(
-        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
         F.lit(False),
     )
-    pass_dup = F.coalesce(dup_ratio <= max_word_dup_ratio, F.lit(False))
-    pass_stop = F.coalesce(stop_ratio >= min_stop_ratio, F.lit(False))
-    return docs.select(
+    pass_dup = F.coalesce(
+        F.col("word_dup_ratio") <= max_word_dup_ratio, F.lit(False)
+    )
+    pass_stop = F.coalesce(F.col("stop_ratio") >= min_stop_ratio, F.lit(False))
+    return measured.select(
         "doc_id",
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        dup_ratio.alias("word_dup_ratio"),
-        stop_ratio.alias("stop_ratio"),
+        "n_words",
+        "mean_word_len",
+        "word_dup_ratio",
+        "stop_ratio",
         pass_len.alias("pass_len"),
         pass_wl.alias("pass_word_len"),
         pass_dup.alias("pass_dup"),

@@ -663,7 +663,16 @@ def _span_dedup_sliding(
     bounded by dup density, never whole spans) and one doc_id equi-join
     to the input for the word-coverage filter — a row-local
     ``filter(words, ¬∃ covering dup start)`` whose cost is
-    O(words · dup_starts) per doc, zero extra shuffle.
+    O(words · dup_starts) per doc, zero extra shuffle. Worst-case bound:
+    a page that is ENTIRELY duplicated boilerplate has
+    dup_starts ≈ words/stride, making the row-local filter
+    O(words²/stride) — but such pages are exactly what the upstream
+    cheap passes (exact dedup, ``repetition_score``) remove first, and
+    the fully-relational alternative (explode word positions, anti-join
+    covered indices) costs a corpus-sized extra shuffle on EVERY doc to
+    guard a tail the pipeline order already handles; if sliding dedup
+    must run first on adversarial input, raise ``stride`` (the bound is
+    inverse in it) or pre-filter with ``repetition_score``.
     """
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     # words staged to a column so the per-span lambda doesn't re-split the

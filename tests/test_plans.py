@@ -213,11 +213,36 @@ def test_span_sliding_same_dataflow_as_fixed(stats_of):
     assert s.shuffle_exchanges <= 3
 
 
-def test_ivfpq_probe_is_broadcast_equi_join(stats_of):
+def test_ivfpq_probe_is_broadcast_equi_join(spark):
     """IVFADC search: the (queries × nprobe) probe relation broadcasts
     onto the cell-id equi-join; ADC is a projection — never a cartesian
-    sweep of the corpus, ≤ 2 shuffles (code join + top-k window)."""
-    s = stats_of("sim_topk_ivfpq")
+    sweep of the corpus, ≤ 2 shuffles (code join + top-k window).
+    Built from the operators directly — the declared query checkpoints
+    its 50-row result to release the build cache, which hides the search
+    plan from the census."""
+    from hadoop_tfidf_spark.extensions import (
+        IVF_ITERS,
+        IVF_K,
+        IVF_NPROBE,
+        IVF_UNITS,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        SIM_K,
+        SIM_QUERY_IDS,
+    )
+    from hadoop_tfidf_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet")
+    assigned, cents = S.ivf_build(emb, k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS)
+    codes, books = S.pq_build(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True
+    )
+    out = S.ivfpq_topk(
+        assigned, cents, codes, books, SIM_QUERY_IDS,
+        k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
+    )
+    s = plan_stats(out)
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
     assert s.broadcast_hash_joins >= 1
