@@ -239,6 +239,21 @@ def q_text_lm_score(spark, sf_dir):
     return lm_score(_docs(spark, sf_dir, rebalance=True))
 
 
+def q_text_lm_histogram(spark, sf_dir):
+    """Perplexity-distribution telemetry: fixed-width histogram of the
+    corpus-bigram LM score (bucket = floor(score/0.5)) with doc shares —
+    the threshold-picking chart of a curation run; one low-cardinality
+    aggregation, never a global rank. Width 2^-6 (a power of two —
+    exact IEEE division) resolves the synthetic corpus's tight score
+    range ([-1.58, -1.41] at sf0.01) into ~10 buckets; real corpora
+    spread over several log10 units and use the coarser default."""
+    from hadoop_tfidf_spark.functions.text import lm_score_histogram
+
+    return lm_score_histogram(
+        _docs(spark, sf_dir, rebalance=True), bucket_width=0.015625
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -1301,9 +1316,9 @@ def q_sim_label_centroids(spark, sf_dir):
 #      residual IVFADC, riding its r6 row),
 #   3) the TWELVE entries the r6 verdict listed as riding r01–r05 rows
 #      (rel_event_pivot … rel_price_bands) — all rotated back in-window,
-#   4) four more whose newest rows date from r04 or earlier
-#      (rel_percentiles, events_interval_join, asof_next_event,
-#      events_range_frame).
+#   4) three more whose newest rows date from r04 or earlier
+#      (rel_percentiles, events_interval_join, asof_next_event) plus the
+#      brand-new lm-score histogram telemetry query.
 # Stable round-6 newcomers (corpus diff, mixture weights, label
 # centroids, the error-envelope twins, sim_topk_ivf, uncapped
 # cooccurrence) ceded their slots and sit past the cap on their r6 rows +
@@ -1354,12 +1369,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_percentiles": q_rel_percentiles,
     "events_interval_join": q_events_interval_join,
     "asof_next_event": q_asof_next_event,
-    "events_range_frame": q_events_range_frame,
+    "text_lm_histogram": q_text_lm_histogram,
     # ---------------- past the driver's 50-entry cap ----------------
     # (rotated out this round; green rows in CORRECTNESS_r06 for the r6
     # newcomers, r05 or earlier for the long-stable remainder — and the
     # local checker runs ALL registered queries every round:
     # LOCAL_CHECK_r07.md)
+    "events_range_frame": q_events_range_frame,
     "streaming_search": q_streaming_search,
     "sim_topk_ivf": q_sim_topk_ivf,
     "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
@@ -3282,6 +3298,18 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 # The streaming C4 gate must equal the batch C4 gate — same oracle SQL.
+EXTENSION_ORACLE_SQL["text_lm_histogram"] = f"""
+SELECT CAST(floor(lm_score / 0.015625) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM ({EXTENSION_ORACLE_SQL["text_lm_score"]})
+                WHERE lm_score IS NOT NULL), 6) AS doc_share
+FROM ({EXTENSION_ORACLE_SQL["text_lm_score"]})
+WHERE lm_score IS NOT NULL
+GROUP BY 1
+"""
+
 EXTENSION_ORACLE_SQL["streaming_c4_filter"] = EXTENSION_ORACLE_SQL["text_c4_filters"]
 
 # The streaming decontamination gate must equal the batch apply — same

@@ -281,6 +281,44 @@ def lm_score(docs: DataFrame, k_smooth: float = 0.5) -> DataFrame:
     )
 
 
+def lm_score_histogram(
+    docs: DataFrame, bucket_width: float = 0.5, k_smooth: float = 0.5
+) -> DataFrame:
+    """Corpus quality-distribution telemetry: fixed-width histogram of
+    :func:`lm_score` — per bucket the doc count, bigram volume, and doc
+    share. This is how a curation run picks its perplexity threshold
+    (plot the distribution, cut the gibberish tail) and how drift between
+    crawls is monitored; every recipe paper publishes exactly this chart.
+
+    Buckets are ``floor(lm_score / bucket_width)`` — a pure projection,
+    so the histogram is one low-cardinality aggregation over the scored
+    corpus, NOT a global ntile (a quantile sketch or single-partition
+    rank window would serialize the corpus; fixed thresholds keep it
+    embarrassingly parallel, and the bucket share still answers the
+    threshold question). Docs with no bigrams (< 2 words, NULL score)
+    are excluded. The division by ``bucket_width`` (default 0.5 = a
+    power of two) is exact IEEE on the 6-decimal-rounded score, so
+    bucket ids are engine-identical. One strata-sized aggregation + a
+    1-row broadcast totals join (the :func:`mixture_weights` shape).
+    """
+    scored = lm_score(docs, k_smooth=k_smooth).where(
+        F.col("lm_score").isNotNull()
+    )
+    g = scored.groupBy(
+        F.floor(F.col("lm_score") / bucket_width).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+    )
+    tot = g.agg(F.sum("n_docs").cast("bigint").alias("_t"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_docs",
+        "n_bigrams",
+        F.round(F.col("n_docs") / F.col("_t"), 6).alias("doc_share"),
+    )
+
+
 def ngram_freq(docs: DataFrame, n: int = 2, top: int = 100) -> DataFrame:
     """Corpus-wide n-gram frequency table, top ``top`` by count — the
     n-gram LM statistics pass of a training-data pipeline (also the input

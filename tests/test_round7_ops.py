@@ -331,6 +331,35 @@ def test_cooccurrence_cap_truncates_deterministically(spark):
     assert full[("a", "b")] == 2 and ("c", "d") in full
 
 
+def test_lm_histogram_buckets_and_shares(spark):
+    """Histogram buckets are floor(score/width), shares sum to 1 over
+    scored docs, and docs without bigrams (NULL score) are excluded."""
+    from hadoop_tfidf_spark.functions.text import lm_score, lm_score_histogram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "a b c d e f"),
+            (3, "z z z z"),
+            (4, "solo"),  # < 2 words -> NULL score, excluded
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    hist = lm_score_histogram(docs, bucket_width=0.25).collect()
+    scored = {
+        r.doc_id: r.lm_score
+        for r in lm_score(docs).collect()
+        if r.lm_score is not None
+    }
+    assert len(scored) == 3
+    import math
+
+    expected_buckets = {math.floor(v / 0.25) for v in scored.values()}
+    assert {r.bucket for r in hist} == expected_buckets
+    assert sum(r.n_docs for r in hist) == 3
+    assert abs(sum(r.doc_share for r in hist) - 1.0) < 1e-6
+
+
 def test_streaming_staging_dirs_registered_for_cleanup():
     """staging_dir() creates real dirs and registers them for atexit
     removal; manual cleanup empties the registry."""
