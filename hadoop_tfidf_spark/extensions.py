@@ -611,6 +611,24 @@ def q_text_ngram_freq(spark, sf_dir):
     return ngram_freq(_docs(spark, sf_dir), n=2, top=100)
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size distribution: per cluster size (1 =
+    singleton, no near-dup), how many clusters and how many docs — the
+    dedup AUDIT chart (how much of the corpus is boilerplate clusters?
+    did this crawl's dup rate drift?). Two label-keyed aggregations over
+    the 1-hop canonicalization — both shuffles are cluster-sized, and
+    the output is histogram-sized regardless of corpus scale."""
+    docs = _docs(spark, sf_dir, rebalance=True)
+    canon = D.near_dup_canonical(docs, D.minhash_lsh_dedup(docs))
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+
+
 def q_dedup_near_canonical(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return D.near_dup_canonical(docs, D.minhash_lsh_dedup(docs))
@@ -1389,6 +1407,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_bm25": q_search_bm25,
     "text_stratified_sample": q_text_stratified_sample,
     "dedup_near_canonical": q_dedup_near_canonical,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "text_ngram_freq": q_text_ngram_freq,
     "dedup_exact_apply": q_dedup_exact_apply,
     "dedup_simhash": q_dedup_simhash,
@@ -2478,6 +2497,22 @@ GROUP BY ngram ORDER BY n DESC, ngram LIMIT 100
 SELECT d.doc_id, coalesce(min(c.doc_a), d.doc_id) AS canonical_id
 FROM documents d LEFT JOIN cand c ON c.doc_b = d.doc_id
 GROUP BY d.doc_id
+""",
+    # histogram over the 1-hop canonicalization above
+    "dedup_cluster_sizes": _MINHASH_CTES
+    + """
+, canon AS (
+  SELECT d.doc_id, coalesce(min(c.doc_a), d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN cand c ON c.doc_b = d.doc_id
+  GROUP BY d.doc_id
+),
+sizes AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM canon GROUP BY 1
+)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
 """,
     # transitive closure as a recursive CTE: reach(d, r) = r reachable from
     # d over the undirected candidate graph; canonical = min reachable.
