@@ -1308,6 +1308,52 @@ def q_text_pack_sequences(spark, sf_dir):
     return pack_sequences(_docs(spark, sf_dir), budget=512, n_buckets=8)
 
 
+def q_streaming_mixture_weights(spark, sf_dir):
+    """STREAMING data-mixture monitoring under the strong gate: per
+    (source, lang) doc/token counts accumulate over a 4-file document
+    stream (one stateless-input aggregation, state = one row per
+    stratum — strata-sized, never corpus-sized), drained with
+    availableNow in complete mode; shares and uniform-target weights are
+    derived from the drained totals exactly as the batch operator does,
+    so the result must hash-match the ``text_mixture_weights`` oracle
+    verbatim — the mixture dashboard shows the same numbers during
+    ingest as at rest."""
+    import uuid
+
+    from hadoop_tfidf_spark.streaming.windows import run_to_completion, staging_dir
+
+    base = staging_dir("spark_graft_mixstream_")
+    docs = _tbl(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(base)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    counts = stream.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("n_tokens"),
+    )
+    drained = run_to_completion(
+        counts, f"mix_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )
+    totals = drained.agg(
+        F.sum("n_tokens").cast("bigint").alias("_total_tokens"),
+        F.count("*").cast("bigint").alias("_n_strata"),
+    )
+    return drained.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_total_tokens"), 6).alias("token_share"),
+        F.round(
+            F.col("_total_tokens") / (F.col("_n_strata") * F.col("n_tokens")), 6
+        ).alias("uniform_weight"),
+    )
+
+
 def q_sim_label_centroids(spark, sf_dir):
     """Nearest-centroid label audit over the embeddings table: integer
     micro-unit per-label centroids (exact BIGINT sums → engine-exact),
@@ -1408,6 +1454,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stratified_sample": q_text_stratified_sample,
     "dedup_near_canonical": q_dedup_near_canonical,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "streaming_mixture_weights": q_streaming_mixture_weights,
     "text_ngram_freq": q_text_ngram_freq,
     "dedup_exact_apply": q_dedup_exact_apply,
     "dedup_simhash": q_dedup_simhash,
@@ -3351,6 +3398,11 @@ EXTENSION_ORACLE_SQL["streaming_c4_filter"] = EXTENSION_ORACLE_SQL["text_c4_filt
 # oracle SQL (same candidate/benchmark slices, same rounded-ratio rule).
 EXTENSION_ORACLE_SQL["streaming_decontaminate"] = EXTENSION_ORACLE_SQL[
     "text_decontaminate"
+]
+
+# The streaming mixture gate must equal the batch accounting — same oracle.
+EXTENSION_ORACLE_SQL["streaming_mixture_weights"] = EXTENSION_ORACLE_SQL[
+    "text_mixture_weights"
 ]
 
 # The curate→pack flagship replays the ENTIRE curation pipeline (same
