@@ -298,8 +298,15 @@ def lm_score_histogram(
     threshold question). Docs with no bigrams (< 2 words, NULL score)
     are excluded. The division by ``bucket_width`` (default 0.5 = a
     power of two) is exact IEEE on the 6-decimal-rounded score, so
-    bucket ids are engine-identical. One strata-sized aggregation + a
-    1-row broadcast totals join (the :func:`mixture_weights` shape).
+    bucket ids are engine-identical.
+
+    The total for ``doc_share`` comes from an unpartitioned WINDOW over
+    the bucket aggregation's output — histogram-sized, so the one-task
+    window is benign (the declared.py post-LIMIT precedent) — NOT from
+    a separate totals-aggregate branch: the aggregation is a plan
+    diamond, and Spark recomputes diamonds, so the crossJoin(totals)
+    form executed the ENTIRE upstream lm_score pipeline twice (measured:
+    9 shuffles vs 5 in the executed census). One corpus pass total.
     """
     scored = lm_score(docs, k_smooth=k_smooth).where(
         F.col("lm_score").isNotNull()
@@ -310,12 +317,14 @@ def lm_score_histogram(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
     )
-    tot = g.agg(F.sum("n_docs").cast("bigint").alias("_t"))
-    return g.crossJoin(F.broadcast(tot)).select(
+    w = Window.partitionBy(F.lit(1))
+    return g.select(
         "bucket",
         "n_docs",
         "n_bigrams",
-        F.round(F.col("n_docs") / F.col("_t"), 6).alias("doc_share"),
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("bigint"), 6
+        ).alias("doc_share"),
     )
 
 

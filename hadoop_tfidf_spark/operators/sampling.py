@@ -100,10 +100,15 @@ def mixture_weights(docs: DataFrame, strata: list[str] | None = None) -> DataFra
 
     One hash aggregation keyed on the (low-cardinality) strata — partial
     aggregation means the shuffle carries one row per (partition, stratum),
-    not per doc — followed by a single-row totals cross join that Spark
-    plans as a broadcast. Output is strata-sized (tiny) regardless of
-    corpus size.
+    not per doc. The corpus totals come from an unpartitioned WINDOW over
+    the strata-sized aggregation output (one task over tens of rows —
+    benign), NOT from a separate totals-aggregate branch: the aggregation
+    is a plan diamond and Spark recomputes diamonds, so the
+    crossJoin(totals) form scanned the corpus twice. Output is
+    strata-sized (tiny) regardless of corpus size; one corpus pass.
     """
+    from pyspark.sql import Window
+
     strata = strata or ["source", "lang"]
     n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
     groups = (
@@ -113,17 +118,16 @@ def mixture_weights(docs: DataFrame, strata: list[str] | None = None) -> DataFra
             F.sum(n_tokens).cast("bigint").alias("n_tokens"),
         )
     )
-    totals = groups.agg(
-        F.sum("n_tokens").cast("bigint").alias("_total_tokens"),
-        F.count("*").cast("bigint").alias("_n_strata"),
-    )
-    return groups.crossJoin(F.broadcast(totals)).select(
+    w = Window.partitionBy(F.lit(1))
+    total_tokens = F.sum("n_tokens").over(w).cast("bigint")
+    n_strata = F.count("*").over(w).cast("bigint")
+    return groups.select(
         *strata,
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("_total_tokens"), 6).alias("token_share"),
+        F.round(F.col("n_tokens") / total_tokens, 6).alias("token_share"),
         F.round(
-            F.col("_total_tokens") / (F.col("_n_strata") * F.col("n_tokens")), 6
+            total_tokens / (n_strata * F.col("n_tokens")), 6
         ).alias("uniform_weight"),
     )
 
