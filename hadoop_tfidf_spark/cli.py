@@ -164,8 +164,17 @@ def main(argv: list[str] | None = None) -> None:
                         "(non-negative integer percentages, e.g. "
                         "train=90,valid=5,test=5)"
                     )
+                if name.strip() in splits:
+                    p.error(
+                        f"--splits names a split twice: {name.strip()!r}"
+                    )
                 splits[name.strip()] = int(pct)
-            # isdigit() rejects negatives; hash_split rejects sums != 100
+            # isdigit() rejects negatives
+            if sum(splits.values()) != 100:
+                p.error(
+                    "--splits percentages must sum to 100, got "
+                    f"{sum(splits.values())} from {args.splits!r}"
+                )
         curated = curate_corpus(
             docs,
             lang=args.lang,

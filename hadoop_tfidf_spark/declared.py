@@ -206,7 +206,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 CORE_ORACLE_SQL: dict[str, str] = {
     "tokens": _ORACLE_CTES + "SELECT doc_id, word FROM tokens",
-    "tokens_reference_pattern": """
+    "tokens_reference_pattern": r"""
 SELECT doc_id, word FROM (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
   WHERE regexp_matches(text, '\A[A-Za-z0-9_]+( [A-Za-z0-9_]+)*\z')

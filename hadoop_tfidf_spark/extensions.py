@@ -241,7 +241,8 @@ def q_text_lm_score(spark, sf_dir):
 
 def q_text_lm_histogram(spark, sf_dir):
     """Perplexity-distribution telemetry: fixed-width histogram of the
-    corpus-bigram LM score (bucket = floor(score/0.5)) with doc shares —
+    corpus-bigram LM score (bucket = floor(score/bucket_width), width
+    0.015625 here) with doc shares —
     the threshold-picking chart of a curation run; one low-cardinality
     aggregation, never a global rank. Width 2^-6 (a power of two —
     exact IEEE division) resolves the synthetic corpus's tight score

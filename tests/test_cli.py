@@ -156,7 +156,13 @@ def test_curate_rejects_malformed_splits(tmp_path):
         "COPY (SELECT 1 AS doc_id, 'a b c' AS text) TO '"
         + src + "' (FORMAT PARQUET)"
     )
-    for bad in ("train:90", "train=90,valid=5,test=5,", "train=150,test=-50"):
+    for bad in (
+        "train:90",
+        "train=90,valid=5,test=5,",
+        "train=150,test=-50",
+        "train=90,valid=5",      # sum != 100
+        "train=50,train=50",     # duplicate name would silently collapse
+    ):
         res = subprocess.run(
             [sys.executable, "-m", "hadoop_tfidf_spark.cli", "curate",
              src, str(tmp_path / "out"), "--splits", bad],

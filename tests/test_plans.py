@@ -217,9 +217,10 @@ def test_ivfpq_probe_is_broadcast_equi_join(spark):
     """IVFADC search: the (queries × nprobe) probe relation broadcasts
     onto the cell-id equi-join; ADC is a projection — never a cartesian
     sweep of the corpus, ≤ 2 shuffles (code join + top-k window).
-    Built from the operators directly — the declared query checkpoints
-    its 50-row result to release the build cache, which hides the search
-    plan from the census."""
+    Built from the operators directly — the declared query unpersists
+    the embedding cache after the build collects and returns a lazy
+    search plan that re-reads parquet, so the census sees the search
+    plan but not the cached build."""
     from hadoop_tfidf_spark.extensions import (
         IVF_ITERS,
         IVF_K,
