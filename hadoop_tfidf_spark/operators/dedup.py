@@ -661,18 +661,22 @@ def _span_dedup_sliding(
     the dup-span set is corpus-scale), then one doc_id-keyed aggregation
     that collects only the DUPLICATED span start offsets (integers,
     bounded by dup density, never whole spans) and one doc_id equi-join
-    to the input for the word-coverage filter — a row-local
-    ``filter(words, ¬∃ covering dup start)`` whose cost is
-    O(words · dup_starts) per doc, zero extra shuffle. Worst-case bound:
-    a page that is ENTIRELY duplicated boilerplate has
-    dup_starts ≈ words/stride, making the row-local filter
-    O(words²/stride) — but such pages are exactly what the upstream
-    cheap passes (exact dedup, ``repetition_score``) remove first, and
-    the fully-relational alternative (explode word positions, anti-join
-    covered indices) costs a corpus-sized extra shuffle on EVERY doc to
-    guard a tail the pipeline order already handles; if sliding dedup
-    must run first on adversarial input, raise ``stride`` (the bound is
-    inverse in it) or pre-filter with ``repetition_score``.
+    to the input for the word-coverage filter, zero extra shuffle.
+
+    The coverage filter is INTERVAL-MERGED: the sorted dup starts are
+    first collapsed row-locally into disjoint ``[lo, hi]`` dup REGIONS
+    (a start opens a new region iff its gap to the previous start
+    exceeds ``span_words`` — equal-width sorted intervals, so the union
+    of a run is contiguous; merging the adjacent gap == span_words case
+    is coverage-equivalent), then each word tests membership against
+    the regions. Per-word cost is O(regions), and regions are bounded
+    by the number of clean↔duplicated ALTERNATIONS in the doc — NOT by
+    words/stride — so a page that is entirely duplicated boilerplate is
+    ONE region and the filter is linear in doc length (the former
+    per-start ``exists`` was O(words²/stride) on exactly that page; see
+    tests/test_round8_ops.py for the planted all-duplicate giant page).
+    Region construction itself is two linear indexed-lambda passes over
+    the start array (O(1) ``get`` lookups, no fold-with-array-copy).
     """
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     # words staged to a column so the per-span lambda doesn't re-split the
@@ -710,26 +714,63 @@ def _span_dedup_sliding(
             F.collect_list(F.when(F.col("is_dup") == 1, F.col("s")))
         ).alias("_dup_starts"),
     )
-    dup_starts = F.coalesce(
-        F.col("_dup_starts"), F.array().cast("array<int>")
-    )
-    kept_words = F.filter(
-        words,
-        lambda w, i: ~F.exists(
-            dup_starts,
-            lambda s: (s <= i + 1) & (i + 1 <= s + F.lit(span_words - 1)),
+    base = docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias(
+            "n_dup_spans"
+        ),
+        words.alias("_w"),
+        F.coalesce(F.col("_dup_starts"), F.array().cast("array<int>")).alias(
+            "_ds"
         ),
     )
-    return (
-        docs.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
-            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias(
-                "n_dup_spans"
-            ),
-            F.array_join(kept_words, " ").alias("clean_text"),
-        )
+    # Merge sorted equal-width dup intervals [s, s+span-1] into disjoint
+    # regions: a start opens a region iff gap to the previous start
+    # > span_words (F.get is 0-based and NULL out-of-range, so the
+    # first/last elements fall through coalesce to True). Two linear
+    # passes; no aggregate-fold (appending to an accumulator array
+    # copies it per element — O(starts·regions)).
+    ds = F.col("_ds")
+    region_los = F.filter(
+        ds,
+        lambda s, i: F.coalesce(
+            (s - F.get(ds, i - 1)) > span_words, F.lit(True)
+        ),
+    )
+    region_ends = F.filter(
+        ds,
+        lambda s, i: F.coalesce(
+            (F.get(ds, i + 1) - s) > span_words, F.lit(True)
+        ),
+    )
+    regions = F.zip_with(
+        region_los,
+        region_ends,
+        lambda lo, e: F.struct(
+            lo.alias("lo"), (e + F.lit(span_words - 1)).alias("hi")
+        ),
+    )
+    staged_regions = base.select(
+        "doc_id", "n_spans", "n_dup_spans", "_w", regions.alias("_regions")
+    )
+    kept_words = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(
+            F.col("_regions"),
+            lambda r: (r["lo"] <= i + 1) & ((i + 1) <= r["hi"]),
+        ),
+    )
+    # `_regions` is referenced twice below (size guard + per-word exists)
+    # so CollapseProject keeps the non-cheap alias staged — inlined into
+    # the per-word lambda it would re-build the region array once PER
+    # WORD (the O(words·starts) trap this rewrite removes). The guard is
+    # also the common-case fast path: clean docs skip the scan entirely.
+    clean_text = F.when(
+        F.size("_regions") == 0, F.array_join(F.col("_w"), " ")
+    ).otherwise(F.array_join(kept_words, " "))
+    return staged_regions.select(
+        "doc_id", "n_spans", "n_dup_spans", clean_text.alias("clean_text")
     )
 
 

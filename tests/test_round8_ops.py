@@ -1,0 +1,91 @@
+"""Round-8 scale-tail regression tests: the last latent tail from the
+round-7 verdict — the sliding-span word-coverage filter — plus pins for
+the interval-merge semantics that replaced the per-start ``exists``."""
+
+from __future__ import annotations
+
+import time
+
+
+def test_span_sliding_all_boilerplate_giant_page_is_linear(spark):
+    """The planted outlier from VERDICT r7 "What's wrong #1": a page that
+    is ENTIRELY duplicated boilerplate (two identical 100k-word docs).
+    Under the old per-start ``exists`` filter, dup_starts ≈ words/stride
+    = 50k and every one of the 100k words scanned all of them —
+    O(words²/stride) ≈ 5e9 comparisons pinned on one task row. The
+    interval-merged form collapses the 50k starts into ONE region and
+    the filter is linear; the whole job must finish in seconds."""
+    from hadoop_tfidf_spark.operators.dedup import span_dedup
+
+    # 99,999 words: last start (len-span+1 = 99995) is odd, so the
+    # stride-2 start set reaches it and every word is span-covered
+    giant = " ".join(f"w{i}" for i in range(99_999))
+    docs = spark.createDataFrame(
+        [(1, giant), (2, giant), (3, "small clean doc entirely unique")],
+        "doc_id BIGINT, text STRING",
+    )
+    t0 = time.time()
+    got = {
+        r.doc_id: r
+        for r in span_dedup(docs, span_words=5, stride=2).collect()
+    }
+    assert time.time() - t0 < 60  # old per-start exists: ~hours
+    # every span of docs 1/2 occurs in the other → one region covers all
+    assert got[1].n_spans == got[1].n_dup_spans > 0
+    assert got[1].clean_text == "" and got[2].clean_text == ""
+    assert got[3].n_dup_spans == 0
+    assert got[3].clean_text == "small clean doc entirely unique"
+
+
+def test_span_sliding_disjoint_regions_pin(spark):
+    """Two dup phrases separated by unique words: dup starts [1, 13] with
+    span 5 → gap 12 > 5 → TWO disjoint regions [1,5] and [13,17]; only
+    the unique middle survives. Pins the region-break condition."""
+    from hadoop_tfidf_spark.operators.dedup import span_dedup
+
+    p1 = "alpha beta gamma delta epsilon"            # words 1-5
+    mid = "u1 u2 u3 u4 u5 u6 u7"                     # words 6-12
+    p2 = "zeta eta theta iota kappa"                 # words 13-17
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {mid} {p2}"),
+            (2, f"{p1} j1 j2 j3 j4 j5"),
+            (3, f"{p2} k1 k2 k3 k4 k5"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in span_dedup(docs, span_words=5, stride=2).collect()
+    }
+    # doc1 starts: 1,3,5,7,9,11,13 — dup at 1 (p1, shared with doc2) and
+    # 13 (p2, shared with doc3)
+    assert got[1].n_spans == 7 and got[1].n_dup_spans == 2
+    assert got[1].clean_text == mid
+
+
+def test_span_sliding_adjacent_regions_merge_pin(spark):
+    """Back-to-back dup phrases: dup starts [1, 6] with span 5 → gap
+    exactly == span → merged into ONE region [1,10], coverage identical
+    to the two un-merged intervals. Pins the adjacency-merge case."""
+    from hadoop_tfidf_spark.operators.dedup import span_dedup
+
+    p1 = "alpha beta gamma delta epsilon"            # words 1-5
+    p2 = "zeta eta theta iota kappa"                 # words 6-10
+    tail = "t1 t2 t3"                                # words 11-13
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} {p2} {tail}"),
+            (2, f"{p1} j1 j2 j3 j4 j5"),
+            (3, f"k0 {p2} k1 k2 k3 k4"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r.doc_id: r
+        for r in span_dedup(docs, span_words=5, stride=1).collect()
+    }
+    # doc1: starts 1..9; dup at 1 (p1 = doc2 start 1) and 6 (p2 = doc3
+    # start 2). Merged region [1,10]; only the tail survives.
+    assert got[1].n_dup_spans == 2
+    assert got[1].clean_text == tail
