@@ -791,12 +791,18 @@ def q_streaming_tumbling(spark, sf_dir):
     from hadoop_tfidf_spark.streaming.windows import (
         read_event_stream,
         run_to_completion,
-        staging_dir,
+        staged_source,
         windowed_event_counts,
     )
 
-    path = staging_dir("spark_graft_stream_")
-    load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
+    path = staged_source(
+        ("events", sf_dir, "default"),
+        lambda p: load_events(spark, sf_dir)
+        .drop("ts_ns")
+        .write.mode("overwrite")
+        .parquet(p),
+        prefix="spark_graft_stream_",
+    )
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
     sink = run_to_completion(
@@ -827,11 +833,17 @@ def q_streaming_stateful_totals(spark, sf_dir):
     from hadoop_tfidf_spark.streaming.windows import (
         read_event_stream,
         run_to_completion,
-        staging_dir,
+        staged_source,
     )
 
-    path = staging_dir("spark_graft_stream_")
-    load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
+    path = staged_source(
+        ("events", sf_dir, "default"),
+        lambda p: load_events(spark, sf_dir)
+        .drop("ts_ns")
+        .write.mode("overwrite")
+        .parquet(p),
+        prefix="spark_graft_stream_",
+    )
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
     updates = run_to_completion(
@@ -925,11 +937,17 @@ def q_streaming_session(spark, sf_dir):
         read_event_stream,
         run_to_completion,
         session_windows,
-        staging_dir,
+        staged_source,
     )
 
-    path = staging_dir("spark_graft_stream_")
-    load_events(spark, sf_dir).drop("ts_ns").write.mode("overwrite").parquet(path)
+    path = staged_source(
+        ("events", sf_dir, "default"),
+        lambda p: load_events(spark, sf_dir)
+        .drop("ts_ns")
+        .write.mode("overwrite")
+        .parquet(p),
+        prefix="spark_graft_stream_",
+    )
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
     sink = run_to_completion(
@@ -1065,13 +1083,19 @@ def q_streaming_interval_join(spark, sf_dir):
     from hadoop_tfidf_spark.streaming.windows import (
         read_event_stream,
         run_to_completion,
-        staging_dir,
+        staged_source,
     )
 
-    path = staging_dir("spark_graft_stream_")
-    load_events(spark, sf_dir).drop("ts_ns").orderBy("ts").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    path = staged_source(
+        ("events", sf_dir, "ordered1"),
+        lambda p: load_events(spark, sf_dir)
+        .drop("ts_ns")
+        .orderBy("ts")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(p),
+        prefix="spark_graft_stream_",
+    )
     stream = read_event_stream(spark, path, max_files_per_trigger=4)
     name = f"stream_{uuid.uuid4().hex[:8]}"
     return run_to_completion(
@@ -1139,11 +1163,17 @@ def q_streaming_c4_filter(spark, sf_dir):
     import uuid
 
     from hadoop_tfidf_spark.functions.text import c4_quality_filters
-    from hadoop_tfidf_spark.streaming.windows import run_to_completion, staging_dir
+    from hadoop_tfidf_spark.streaming.windows import (
+        run_to_completion,
+        staged_source,
+    )
 
-    base = staging_dir("spark_graft_c4stream_")
     docs = load_docs(spark, f"{sf_dir}/documents.parquet")
-    docs.repartition(4).write.mode("overwrite").parquet(base)
+    base = staged_source(
+        ("documents", sf_dir, "docs4"),
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_c4stream_",
+    )
     stream = (
         spark.readStream.schema(spark.read.parquet(base).schema)
         .option("maxFilesPerTrigger", 1)
@@ -1183,7 +1213,10 @@ def q_streaming_decontaminate(spark, sf_dir):
     millions of rows — Spark plans broadcast only when it fits)."""
     import uuid
 
-    from hadoop_tfidf_spark.streaming.windows import run_to_completion, staging_dir
+    from hadoop_tfidf_spark.streaming.windows import (
+        run_to_completion,
+        staged_source,
+    )
 
     docs = load_docs(spark, f"{sf_dir}/documents.parquet")
     cand = docs.where(F.col("doc_id") % 10 != 0)
@@ -1191,8 +1224,11 @@ def q_streaming_decontaminate(spark, sf_dir):
     bench_sh = (
         D.shingles(bench, k=3).select("shingle").distinct()
     )
-    base = staging_dir("spark_graft_deconstream_")
-    cand.repartition(4).write.mode("overwrite").parquet(base)
+    base = staged_source(
+        ("documents", sf_dir, "cand4"),
+        lambda p: cand.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_deconstream_",
+    )
     stream = (
         spark.readStream.schema(spark.read.parquet(base).schema)
         .option("maxFilesPerTrigger", 1)
@@ -1321,11 +1357,17 @@ def q_streaming_mixture_weights(spark, sf_dir):
     ingest as at rest."""
     import uuid
 
-    from hadoop_tfidf_spark.streaming.windows import run_to_completion, staging_dir
+    from hadoop_tfidf_spark.streaming.windows import (
+        run_to_completion,
+        staged_source,
+    )
 
-    base = staging_dir("spark_graft_mixstream_")
     docs = _tbl(spark, sf_dir, "documents")
-    docs.repartition(4).write.mode("overwrite").parquet(base)
+    base = staged_source(
+        ("documents", sf_dir, "full4"),
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_mixstream_",
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

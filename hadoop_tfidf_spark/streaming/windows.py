@@ -16,6 +16,7 @@ executors by the shuffle. Output modes: ``update`` for dashboards,
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -60,8 +61,34 @@ def staging_dir(prefix: str = "spark_graft_stream_") -> str:
 
 
 def _cleanup_staging_dirs() -> None:
+    _STAGED_SOURCES.clear()
     while _STAGING_DIRS:
         shutil.rmtree(_STAGING_DIRS.pop(), ignore_errors=True)
+
+
+_STAGED_SOURCES: dict[tuple, str] = {}
+
+
+def staged_source(
+    key: tuple, write, prefix: str = "spark_graft_stage_"
+) -> str:
+    """Session-scoped content-keyed staging cache for READ-ONLY file
+    stream sources: ``write(path)`` materializes the source once per
+    ``key`` (e.g. ``("events", sf_dir, variant)``) per process, and
+    every later query with the same key reuses the directory. A full
+    gate/bench drive runs ~10 streaming queries; without the cache each
+    one rewrote its own corpus copy (10 writes per drive), with it the
+    drive does one write per distinct (table, sf_dir, variant). Dirs
+    still come from :func:`staging_dir`, so atexit cleanup applies
+    unchanged. NOT for per-run working dirs that a query mutates
+    (incremental index builds) — those must stay private per run."""
+    path = _STAGED_SOURCES.get(key)
+    if path is not None and os.path.isdir(path):
+        return path
+    path = staging_dir(prefix)
+    write(path)
+    _STAGED_SOURCES[key] = path
+    return path
 
 
 def read_event_stream(

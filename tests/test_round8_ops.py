@@ -89,3 +89,39 @@ def test_span_sliding_adjacent_regions_merge_pin(spark):
     # start 2). Merged region [1,10]; only the tail survives.
     assert got[1].n_dup_spans == 2
     assert got[1].clean_text == tail
+
+
+def test_staged_source_caches_per_key():
+    """staged_source() materializes once per key per process, reuses the
+    dir on a second call with the same key, rebuilds if the cached dir
+    vanished, and keeps distinct keys separate; cleanup empties both the
+    cache and the dirs."""
+    import os
+    import shutil
+
+    from hadoop_tfidf_spark.streaming.windows import (
+        _STAGED_SOURCES,
+        _cleanup_staging_dirs,
+        staged_source,
+    )
+
+    calls = []
+
+    def writer(p):
+        calls.append(p)
+        with open(os.path.join(p, "part-0"), "w") as f:
+            f.write("x")
+
+    k1 = ("events", "/sf", "default")
+    d1 = staged_source(k1, writer, prefix="spark_graft_test_")
+    d1_again = staged_source(k1, writer, prefix="spark_graft_test_")
+    assert d1 == d1_again and len(calls) == 1  # cached, no rewrite
+    d2 = staged_source(("events", "/sf", "ordered1"), writer,
+                       prefix="spark_graft_test_")
+    assert d2 != d1 and len(calls) == 2  # distinct variant, own dir
+    shutil.rmtree(d1)  # externally removed → rebuilt, not returned stale
+    d1_rebuilt = staged_source(k1, writer, prefix="spark_graft_test_")
+    assert os.path.isdir(d1_rebuilt) and len(calls) == 3
+    _cleanup_staging_dirs()
+    assert not _STAGED_SOURCES
+    assert not os.path.isdir(d1_rebuilt) and not os.path.isdir(d2)
