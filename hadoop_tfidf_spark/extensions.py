@@ -345,19 +345,36 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
+    """Real pixel decode: synthetic multi-frame binary-PPM payloads are
+    PARSED byte-by-byte (magic, header walk, raw RGB triplets) and the
+    per-channel BIGINT pixel sums must match the oracle's analytic
+    replay of the generator formula — the engine side never sees the
+    formula, only the bytes."""
     return media_pipeline(_docs(spark, sf_dir))
 
 
 def q_multimodal_resize(spark, sf_dir):
-    from hadoop_tfidf_spark.operators.multimodal import resize_media
+    """Real nearest-neighbor downsample of frame 0 to ≤8×8 over the
+    parsed pixel bytes, pinned by a position-weighted integer checksum
+    (layout-sensitive, not just a value multiset)."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        resize_media,
+        with_binary_payload,
+    )
 
-    return resize_media(media_pipeline(_docs(spark, sf_dir)))
+    return resize_media(with_binary_payload(_docs(spark, sf_dir)))
 
 
 def q_multimodal_frames(spark, sf_dir):
-    from hadoop_tfidf_spark.operators.multimodal import sample_frames
+    """1:N frame sampling with real per-frame pixel reads: evenly spaced
+    frame indices, each emitted as the exact Σ byte·(pos+1) checksum of
+    that frame's raw bytes."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
 
-    return sample_frames(media_pipeline(_docs(spark, sf_dir)))
+    return sample_frames(with_binary_payload(_docs(spark, sf_dir)))
 
 
 def q_rel_pricing_summary(spark, sf_dir):
@@ -2344,13 +2361,32 @@ SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS fp_min
 FROM fps GROUP BY doc_id
 """,
     "multimodal_decode": """
+WITH d AS (
+  SELECT doc_id, 4 + length(text) % 13 AS w,
+         4 + doc_id % 11 AS h,
+         1 + length(text) % 3 AS nf
+  FROM documents
+),
+fr AS (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f FROM d),
+fy AS (SELECT doc_id, w, h, nf, f, unnest(range(h)) AS y FROM fr),
+fyx AS (SELECT doc_id, w, h, nf, f, y, unnest(range(w)) AS x FROM fy),
+v AS (
+  SELECT doc_id, w, h, nf,
+         ((doc_id % 256)*31 + f*17 + y*7 + x*3) % 256 AS r,
+         ((doc_id % 256)*31 + f*17 + y*7 + x*3 + 11) % 256 AS g,
+         ((doc_id % 256)*31 + f*17 + y*7 + x*3 + 22) % 256 AS b
+  FROM fyx
+)
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       md5(text) AS content_md5,
-       ('0x' || substr(md5(text), 1, 2))::BIGINT AS width,
-       ('0x' || substr(md5(text), 3, 2))::BIGINT AS height,
-       ('0x' || substr(md5(text), 5, 1))::BIGINT AS n_frames
-FROM documents
+       CAST(max(nf) * (9 + length(max(w)::VARCHAR) + length(max(h)::VARCHAR)
+            + max(w)*max(h)*3) AS BIGINT) AS n_bytes,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(max(nf) AS BIGINT) AS n_frames,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM v GROUP BY doc_id
 """,
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -2698,32 +2734,60 @@ SELECT word, count(DISTINCT doc_id) AS df FROM (
     "multimodal_resize": """
 WITH d AS (
   SELECT doc_id,
-         md5(text) AS content_md5,
-         ('0x' || substr(md5(text), 1, 2))::BIGINT AS width,
-         ('0x' || substr(md5(text), 3, 2))::BIGINT AS height
+         4 + length(text) % 13 AS w,
+         4 + doc_id % 11 AS h,
+         least(4 + length(text) % 13, 8) AS ow,
+         least(4 + doc_id % 11, 8) AS oh
   FROM documents
+),
+oy AS (SELECT doc_id, w, h, ow, oh, unnest(range(oh)) AS yo FROM d),
+ox AS (SELECT doc_id, w, h, ow, oh, yo, unnest(range(ow)) AS xo FROM oy),
+px AS (
+  SELECT doc_id, w, h, ow, oh,
+         (yo * h) // oh AS ys, (xo * w) // ow AS xs,
+         (yo * ow + xo) * 3 AS ob
+  FROM ox
+),
+v AS (
+  SELECT doc_id, w, h, ow, oh,
+         (((doc_id % 256)*31 + ys*7 + xs*3) % 256) * (ob + 1)
+       + (((doc_id % 256)*31 + ys*7 + xs*3 + 11) % 256) * (ob + 2)
+       + (((doc_id % 256)*31 + ys*7 + xs*3 + 22) % 256) * (ob + 3) AS contrib
+  FROM px
 )
-SELECT doc_id, width, height,
-       least(width, 64) AS out_width,
-       least(height, 64) AS out_height,
-       md5(content_md5 || ':' || least(width, 64) || 'x' || least(height, 64))
-         AS resized_md5
-FROM d
+SELECT doc_id,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(max(ow) AS BIGINT) AS out_width,
+       CAST(max(oh) AS BIGINT) AS out_height,
+       CAST(sum(contrib) AS BIGINT) AS checksum
+FROM v GROUP BY doc_id
 """,
     "multimodal_frames": """
 WITH d AS (
-  SELECT doc_id, md5(text) AS content_md5,
-         ('0x' || substr(md5(text), 5, 1))::BIGINT AS n_frames
+  SELECT doc_id,
+         4 + length(text) % 13 AS w,
+         4 + doc_id % 11 AS h,
+         1 + length(text) % 3 AS nf
   FROM documents
 ),
-f AS (
-  SELECT DISTINCT doc_id, content_md5, (k.k * n_frames) // 3 AS frame_idx
+fidx AS (
+  SELECT DISTINCT doc_id, w, h, (k.k * nf) // 3 AS frame_idx
   FROM d CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
-  WHERE n_frames > 0
+),
+fy AS (SELECT doc_id, w, h, frame_idx, unnest(range(h)) AS y FROM fidx),
+fyx AS (SELECT doc_id, w, h, frame_idx, y, unnest(range(w)) AS x FROM fy),
+v AS (
+  SELECT doc_id, frame_idx,
+         ((y*w + x)*3 + 1) * (((doc_id % 256)*31 + frame_idx*17 + y*7 + x*3) % 256)
+       + ((y*w + x)*3 + 2) * (((doc_id % 256)*31 + frame_idx*17 + y*7 + x*3 + 11) % 256)
+       + ((y*w + x)*3 + 3) * (((doc_id % 256)*31 + frame_idx*17 + y*7 + x*3 + 22) % 256)
+         AS contrib
+  FROM fyx
 )
-SELECT doc_id, frame_idx,
-       md5(content_md5 || ':' || frame_idx) AS frame_md5
-FROM f
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(sum(contrib) AS BIGINT) AS frame_checksum
+FROM v GROUP BY doc_id, frame_idx
 """,
     "doc_frequency_salted": """
 SELECT word, count(DISTINCT doc_id) AS df FROM (

@@ -1,19 +1,30 @@
-"""Multimodal column plumbing: image/audio/video payloads as opaque
-``binary`` columns with typed metadata, plus Arrow-batched decode /
-feature-extract stages via ``mapInPandas``.
+"""Multimodal column plumbing: image payloads as opaque ``binary``
+columns with typed metadata, plus Arrow-batched decode / resize /
+frame-sample stages via ``mapInPandas``.
 
-The decode step is a STUB (this container has no image/audio libraries):
-it derives deterministic fake features from the payload's md5, clearly
-marked below. Everything Spark-side — schemas, batch iteration, partition
-behavior, output typing — is real and tested, and the fake is reproducible
-in SQL, so even the Pandas-UDF path is covered by the DuckDB oracle.
+The decode step is REAL pixel math on a real container: payloads are
+multi-frame binary PPM (``P6``) streams — concatenated header + raw RGB
+frames, the "MJPEG of PPM" pattern — and every downstream stage parses
+the actual bytes (header walk, channel sums, nearest-neighbor
+downsample, per-frame checksums). No image library is needed: P6 is a
+pure header-plus-raw-triplets format, decodable in a few lines of
+stdlib Python. The synthetic payloads are generated deterministically
+from ``(doc_id, length(text))`` with an integer pixel formula, so the
+DuckDB oracle reproduces every decoded number analytically while the
+engine side derives them ONLY by parsing bytes. Swapping the generator
+for ``spark.read.format("binaryFile")`` over real ``.ppm``/decoded
+frames changes nothing downstream.
 
-Scale design: payloads stay opaque bytes end-to-end (no driver collect);
-``mapInPandas`` streams Arrow record batches through Python with O(batch)
-memory; decode parallelism = input partitions, so a 100 TB media corpus
-just needs sane ``maxPartitionBytes``. Real deployments replace
-``_fake_decode_row`` with PIL/ffmpeg calls — the operator shape, schema
-contract, and partitioning are unchanged.
+Scale design: payloads stay opaque bytes end-to-end (no driver
+collect); ``mapInPandas`` streams Arrow record batches through Python
+with O(batch) memory; decode parallelism = input partitions, so a
+100 TB media corpus just needs sane ``maxPartitionBytes``. Feature
+outputs are exact BIGINT sums/checksums (associative, engine-order
+independent) — the same hash-gate trick the streaming sums use.
+
+Reference parity note: liuhoward/hadoop-tfidf has no media surface at
+all (6 text-only MapReduce classes); this family is north-star depth
+for LLM training-data pipelines, not reference parity.
 """
 
 from __future__ import annotations
@@ -24,6 +35,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -33,37 +45,126 @@ from pyspark.sql.types import (
 if TYPE_CHECKING:
     import pandas as pd
 
-#: Output schema of the decode stage — what a real image decoder would
-#: produce (dims + a compact feature digest) alongside the source id.
+#: Schema of the media relation every stage consumes.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+    ]
+)
+
+#: Output schema of the decode stage — parsed dims/frame count plus
+#: exact per-channel pixel sums over all frames (BIGINT, associative).
 DECODED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("n_bytes", LongType()),
-        StructField("content_md5", StringType()),
         StructField("width", LongType()),
         StructField("height", LongType()),
         StructField("n_frames", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
     ]
 )
 
+PPM_MEDIA_TYPE = "image/x-portable-pixmap"
+
+
+def _parse_ppm_frames(buf: bytes) -> list[tuple[int, int, bytes]]:
+    """Parse a concatenated binary-PPM (``P6``) stream into
+    ``[(width, height, pixel_bytes), ...]`` — real byte walking: magic
+    check, whitespace-separated ``w h maxval`` header, then
+    ``w*h*3`` raw RGB bytes per frame. Raises on malformed input."""
+    frames = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        if buf[pos : pos + 2] != b"P6":
+            raise ValueError(f"bad PPM magic at byte {pos}")
+        pos += 2
+        vals = []
+        while len(vals) < 3:
+            while pos < n and buf[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while pos < n and not buf[pos : pos + 1].isspace():
+                pos += 1
+            if start == pos:
+                raise ValueError(f"truncated PPM header at byte {pos}")
+            vals.append(int(buf[start:pos]))
+        pos += 1  # the single whitespace byte that ends the header
+        w, h, maxval = vals
+        if maxval != 255:
+            raise ValueError(f"unsupported maxval {maxval}")
+        need = w * h * 3
+        if n - pos < need:
+            raise ValueError("truncated PPM pixel data")
+        frames.append((w, h, buf[pos : pos + need]))
+        pos += need
+    return frames
+
 
 def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the opaque media column: ``(doc_id, payload BINARY, media_type)``.
+    """Attach the opaque media column: ``(doc_id, payload BINARY,
+    media_type)`` where payload is a deterministic synthetic multi-frame
+    binary PPM built from ``(doc_id, length(text))``:
 
-    Here the payload is the utf-8 text bytes (the container has no real
-    media); a production ingest reads files via ``spark.read.format
-    ("binaryFile")`` into the identical schema.
-    """
-    return docs.select(
-        "doc_id",
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
-        F.lit("image/fake").alias("media_type"),
+    - ``w = 4 + L % 13``, ``h = 4 + doc_id % 11``, ``frames = 1 + L % 3``
+    - pixel ``(f, y, x, c)`` value =
+      ``((doc_id % 256)*31 + f*17 + y*7 + x*3 + c*11) % 256``
+
+    The formula exists ONLY here and in the DuckDB oracle; every
+    downstream stage recovers dims/values by parsing the bytes. A
+    production ingest replaces this with ``spark.read.format
+    ("binaryFile")`` into the identical :data:`MEDIA_SCHEMA`."""
+
+    def gen_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def build(doc_id: int, text: str) -> bytes:
+            L = len(text if text is not None else "")
+            d = int(doc_id)
+            w, h, nf = 4 + L % 13, 4 + d % 11, 1 + L % 3
+            base = (d % 256) * 31
+            out = bytearray()
+            for f in range(nf):
+                out += b"P6\n%d %d\n255\n" % (w, h)
+                fb = base + f * 17
+                for y in range(h):
+                    fy = fb + y * 7
+                    for x in range(w):
+                        fyx = fy + x * 3
+                        out.append(fyx % 256)
+                        out.append((fyx + 11) % 256)
+                        out.append((fyx + 22) % 256)
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        build(i, t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "media_type": PPM_MEDIA_TYPE,
+                }
+            )
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        gen_batches, schema=MEDIA_SCHEMA
     )
 
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode / feature-extract stage: Arrow-batched ``mapInPandas`` over
-    the binary payload column. Returns :data:`DECODED_SCHEMA` rows.
+    the binary payload column. REAL decoding: parses every frame header,
+    validates magic/maxval, and computes exact per-channel BIGINT pixel
+    sums across all frames via strided slices over the raw bytes.
+    Returns :data:`DECODED_SCHEMA` rows.
 
     The worker function is deliberately self-contained (no references to
     this module's globals) so cloudpickle ships it BY VALUE — Python
@@ -72,24 +173,63 @@ def decode_media(media: DataFrame) -> DataFrame:
     without installing it.
     """
 
-    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import hashlib
-
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        def fake_decode(payload: bytes) -> tuple[int, str, int, int, int]:
-            # STUB decoder — deterministic fake features from the payload
-            # md5. A real decoder (PIL / ffmpeg) is not installed in this
-            # container; the fake keeps the full Arrow plumbing testable
-            # and oracle-checkable (md5-derived, so SQL reproduces it).
-            h = hashlib.md5(payload).hexdigest()
-            return (len(payload), h, int(h[0:2], 16), int(h[2:4], 16), int(h[4:5], 16))
+        def parse(buf: bytes):
+            frames = []
+            pos, n = 0, len(buf)
+            while pos < n:
+                if buf[pos : pos + 2] != b"P6":
+                    raise ValueError(f"bad PPM magic at byte {pos}")
+                pos += 2
+                vals = []
+                while len(vals) < 3:
+                    while pos < n and buf[pos : pos + 1].isspace():
+                        pos += 1
+                    start = pos
+                    while pos < n and not buf[pos : pos + 1].isspace():
+                        pos += 1
+                    if start == pos:
+                        raise ValueError("truncated PPM header")
+                    vals.append(int(buf[start:pos]))
+                pos += 1
+                w, h, maxval = vals
+                if maxval != 255:
+                    raise ValueError(f"unsupported maxval {maxval}")
+                need = w * h * 3
+                if n - pos < need:
+                    raise ValueError("truncated PPM pixel data")
+                frames.append((w, h, buf[pos : pos + need]))
+                pos += need
+            return frames
+
+        def decode(payload: bytes):
+            buf = bytes(payload)
+            frames = parse(buf)
+            w, h = frames[0][0], frames[0][1]
+            sr = sg = sb = 0
+            for fw, fh, data in frames:
+                sr += sum(data[0::3])
+                sg += sum(data[1::3])
+                sb += sum(data[2::3])
+            return (len(buf), w, h, len(frames), sr, sg, sb)
 
         for pdf in batches:
-            feats = [fake_decode(bytes(p)) for p in pdf["payload"]]
+            feats = [decode(p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats,
-                columns=["n_bytes", "content_md5", "width", "height", "n_frames"],
+                columns=[
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                ],
             )
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
@@ -111,45 +251,68 @@ RESIZED_SCHEMA = StructType(
         StructField("height", LongType()),
         StructField("out_width", LongType()),
         StructField("out_height", LongType()),
-        StructField("resized_md5", StringType()),
+        StructField("checksum", LongType()),
     ]
 )
 
 
-def resize_media(decoded: DataFrame, max_dim: int = 64) -> DataFrame:
-    """Resize stage over decoded media: clamp each dimension to
-    ``max_dim`` preserving nothing fancy (STUB — a real implementation
-    calls PIL/opencv per row; the fake derives the "resized" content
-    digest from the source digest + target dims so the DuckDB oracle can
-    reproduce it). Same 1:1 Arrow ``mapInPandas`` shape as decode: O(batch)
-    memory, no shuffle, parallelism = input partitions."""
+def resize_media(media: DataFrame, max_dim: int = 8) -> DataFrame:
+    """Resize stage over the raw media relation: nearest-neighbor
+    downsample of FRAME 0 to ``min(dim, max_dim)`` per axis — real pixel
+    sampling over the parsed bytes (``src = (out_idx * in_dim) //
+    out_dim``), emitted as a position-weighted exact checksum
+    ``Σ value · (pixel_index + 1)`` so layout (not just the value
+    multiset) is pinned and any engine can replay it in integer SQL.
+    Same 1:1 Arrow ``mapInPandas`` shape as decode: O(batch) memory, no
+    shuffle, parallelism = input partitions."""
 
-    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import hashlib
-
+    def resize_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         md = max_dim  # closed-over scalar; no module globals
 
-        for pdf in batches:
-            ow = pdf["width"].clip(upper=md)
-            oh = pdf["height"].clip(upper=md)
-            rh = [
-                hashlib.md5(f"{m}:{w}x{h}".encode()).hexdigest()
-                for m, w, h in zip(pdf["content_md5"], ow, oh)
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "width": pdf["width"].values,
-                    "height": pdf["height"].values,
-                    "out_width": ow.values,
-                    "out_height": oh.values,
-                    "resized_md5": rh,
-                }
-            )
+        def resize(payload: bytes):
+            buf = bytes(payload)
+            if buf[:2] != b"P6":
+                raise ValueError("bad PPM magic")
+            vals, pos, n = [], 2, len(buf)
+            while len(vals) < 3:
+                while pos < n and buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < n and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                vals.append(int(buf[start:pos]))
+            pos += 1
+            w, h, _ = vals
+            data = buf[pos : pos + w * h * 3]
+            ow, oh = min(w, md), min(h, md)
+            checksum = 0
+            for yo in range(oh):
+                ys = (yo * h) // oh
+                for xo in range(ow):
+                    xs = (xo * w) // ow
+                    src = (ys * w + xs) * 3
+                    out_base = (yo * ow + xo) * 3
+                    checksum += (
+                        data[src] * (out_base + 1)
+                        + data[src + 1] * (out_base + 2)
+                        + data[src + 2] * (out_base + 3)
+                    )
+            return (w, h, ow, oh, checksum)
 
-    return decoded.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+        for pdf in batches:
+            feats = [resize(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats,
+                columns=["width", "height", "out_width", "out_height", "checksum"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
 #: Output schema of the frame-sampling stage (1:N fan-out).
@@ -157,44 +320,66 @@ FRAMES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("frame_idx", LongType()),
-        StructField("frame_md5", StringType()),
+        StructField("frame_checksum", LongType()),
     ]
 )
 
 
-def sample_frames(decoded: DataFrame, n_samples: int = 3) -> DataFrame:
-    """Frame-sampling stage: emit up to ``n_samples`` evenly spaced frames
-    per media item — the 1:N fan-out shape (video → frames) the 1:1 decode
-    doesn't exercise. Sampled indices are ``floor(k·n_frames/n_samples)``
-    for k < n_samples, deduped; items with ``n_frames = 0`` emit nothing.
-    STUB frame content: md5 of ``content_md5:frame_idx`` (deterministic,
-    SQL-reproducible). ``mapInPandas`` may yield more rows than its input
-    batch — the fan-out happens inside the Arrow stream, no explode/join.
-    """
+def sample_frames(media: DataFrame, n_samples: int = 3) -> DataFrame:
+    """Frame-sampling stage: emit up to ``n_samples`` evenly spaced
+    frames per media item — the 1:N fan-out shape (video → frames) the
+    1:1 decode doesn't exercise. Sampled indices are
+    ``floor(k·n_frames/n_samples)`` for ``k < n_samples``, deduped; each
+    sampled frame's REAL pixel bytes are read and emitted as the exact
+    position-weighted checksum ``Σ byte_i · (i + 1)`` over that frame.
+    ``mapInPandas`` may yield more rows than its input batch — the
+    fan-out happens inside the Arrow stream, no explode/join."""
 
-    def frame_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import hashlib
-
+    def frame_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         ns = n_samples
 
+        def parse(buf: bytes):
+            frames = []
+            pos, n = 0, len(buf)
+            while pos < n:
+                if buf[pos : pos + 2] != b"P6":
+                    raise ValueError("bad PPM magic")
+                pos += 2
+                vals = []
+                while len(vals) < 3:
+                    while pos < n and buf[pos : pos + 1].isspace():
+                        pos += 1
+                    start = pos
+                    while pos < n and not buf[pos : pos + 1].isspace():
+                        pos += 1
+                    vals.append(int(buf[start:pos]))
+                pos += 1
+                w, h, _ = vals
+                need = w * h * 3
+                frames.append(buf[pos : pos + need])
+                pos += need
+            return frames
+
         for pdf in batches:
-            ids, idxs, digests = [], [], []
-            for doc_id, md5_, n_frames in zip(
-                pdf["doc_id"], pdf["content_md5"], pdf["n_frames"]
-            ):
-                n = int(n_frames)
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = parse(bytes(payload))
+                n = len(frames)
                 if n <= 0:
                     continue
                 for idx in sorted({(k * n) // ns for k in range(ns)}):
+                    data = frames[idx]
                     ids.append(doc_id)
                     idxs.append(idx)
-                    digests.append(
-                        hashlib.md5(f"{md5_}:{idx}".encode()).hexdigest()
+                    sums.append(
+                        sum((i + 1) * b for i, b in enumerate(data))
                     )
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
             )
 
-    return decoded.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
+    return media.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)

@@ -1,14 +1,14 @@
-"""Multimodal plumbing tests: binary payload typing, Arrow batch flow
-through mapInPandas, schema contract, determinism of the stub decode."""
+"""Multimodal tests: binary payload typing, REAL PPM decode (byte-level
+parser vs an independent pure-Python reimplementation), nearest-neighbor
+resize, 1:N frame fan-out, Arrow batch flow, partitioning."""
 
 from __future__ import annotations
-
-import hashlib
 
 from pyspark.sql.types import BinaryType
 
 from hadoop_tfidf_spark.operators.multimodal import (
     DECODED_SCHEMA,
+    _parse_ppm_frames,
     decode_media,
     media_pipeline,
     with_binary_payload,
@@ -22,10 +22,33 @@ def _docs(spark):
     )
 
 
-def test_payload_is_binary_typed(spark):
+def _expected_pixels(doc_id: int, text: str):
+    """Independent replay of the generator formula (mirrors the DuckDB
+    oracle, NOT the engine code path, which parses bytes)."""
+    L = len(text)
+    w, h, nf = 4 + L % 13, 4 + doc_id % 11, 1 + L % 3
+    frames = []
+    for f in range(nf):
+        data = []
+        for y in range(h):
+            for x in range(w):
+                base = (doc_id % 256) * 31 + f * 17 + y * 7 + x * 3
+                data += [base % 256, (base + 11) % 256, (base + 22) % 256]
+        frames.append((w, h, bytes(data)))
+    return frames
+
+
+def test_payload_is_binary_typed_real_ppm(spark):
     media = with_binary_payload(_docs(spark))
     assert isinstance(media.schema["payload"].dataType, BinaryType)
     assert media.columns == ["doc_id", "payload", "media_type"]
+    rows = {r.doc_id: r for r in media.collect()}
+    assert rows[1].media_type == "image/x-portable-pixmap"
+    # payload is a genuine P6 stream: the parser round-trips it to the
+    # independently recomputed frames
+    assert _parse_ppm_frames(bytes(rows[1].payload)) == _expected_pixels(
+        1, "hello world"
+    )
 
 
 def test_decode_schema_contract(spark):
@@ -33,20 +56,27 @@ def test_decode_schema_contract(spark):
     assert out.schema == DECODED_SCHEMA
 
 
-def test_decode_matches_local_hash(spark):
+def test_decode_real_channel_sums(spark):
     rows = {r.doc_id: r for r in media_pipeline(_docs(spark)).collect()}
-    h = hashlib.md5(b"hello world").hexdigest()
-    assert rows[1].content_md5 == h
-    assert rows[1].n_bytes == len(b"hello world")
-    assert rows[1].width == int(h[0:2], 16)
-    assert rows[1].height == int(h[2:4], 16)
-    assert rows[1].n_frames == int(h[4:5], 16)
+    for doc_id, text in [(1, "hello world"), (2, "spark engine"), (3, "")]:
+        frames = _expected_pixels(doc_id, text)
+        w, h, _ = frames[0]
+        r = rows[doc_id]
+        assert (r.width, r.height, r.n_frames) == (w, h, len(frames))
+        assert r.sum_r == sum(d[0::3][i] for _, _, d in frames for i in range(w * h))
+        assert r.sum_g == sum(b for _, _, d in frames for b in d[1::3])
+        assert r.sum_b == sum(b for _, _, d in frames for b in d[2::3])
+        header = len(b"P6\n%d %d\n255\n" % (w, h))
+        assert r.n_bytes == len(frames) * (header + w * h * 3)
 
 
-def test_empty_payload_handled(spark):
-    rows = {r.doc_id: r for r in media_pipeline(_docs(spark)).collect()}
-    assert rows[3].n_bytes == 0
-    assert rows[3].content_md5 == hashlib.md5(b"").hexdigest()
+def test_decode_rejects_malformed_payload():
+    import pytest
+
+    with pytest.raises(ValueError, match="magic"):
+        _parse_ppm_frames(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_ppm_frames(b"P6\n4 4\n255\n\x00\x01")  # pixel data cut short
 
 
 def test_partitioning_preserved(spark):
@@ -56,34 +86,51 @@ def test_partitioning_preserved(spark):
     assert out.rdd.getNumPartitions() == 3
 
 
-def test_resize_clamps_and_hashes(spark):
-    from hadoop_tfidf_spark.operators.multimodal import RESIZED_SCHEMA, resize_media
+def test_resize_nearest_neighbor_checksum(spark):
+    from hadoop_tfidf_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        resize_media,
+    )
 
-    out = resize_media(media_pipeline(_docs(spark)), max_dim=64)
+    out = resize_media(with_binary_payload(_docs(spark)), max_dim=8)
     assert out.schema == RESIZED_SCHEMA
     rows = {r.doc_id: r for r in out.collect()}
-    h = hashlib.md5(b"hello world").hexdigest()
-    w, ht = int(h[0:2], 16), int(h[2:4], 16)
-    ow, oh = min(w, 64), min(ht, 64)
-    assert (rows[1].out_width, rows[1].out_height) == (ow, oh)
-    assert rows[1].resized_md5 == hashlib.md5(f"{h}:{ow}x{oh}".encode()).hexdigest()
+    for doc_id, text in [(1, "hello world"), (2, "spark engine")]:
+        w, h, data = _expected_pixels(doc_id, text)[0]
+        ow, oh = min(w, 8), min(h, 8)
+        want = 0
+        for yo in range(oh):
+            for xo in range(ow):
+                src = ((yo * h) // oh * w + (xo * w) // ow) * 3
+                ob = (yo * ow + xo) * 3
+                want += (
+                    data[src] * (ob + 1)
+                    + data[src + 1] * (ob + 2)
+                    + data[src + 2] * (ob + 3)
+                )
+        r = rows[doc_id]
+        assert (r.width, r.height, r.out_width, r.out_height) == (w, h, ow, oh)
+        assert r.checksum == want
 
 
-def test_sample_frames_fanout(spark):
-    """1:N fan-out inside the Arrow stream: up to 3 evenly spaced frames,
-    deduped; zero-frame items emit nothing."""
-    from hadoop_tfidf_spark.operators.multimodal import FRAMES_SCHEMA, sample_frames
+def test_sample_frames_real_pixel_fanout(spark):
+    """1:N fan-out inside the Arrow stream: evenly spaced frame indices,
+    each checksummed from its REAL parsed bytes."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        FRAMES_SCHEMA,
+        sample_frames,
+    )
 
-    out = sample_frames(media_pipeline(_docs(spark)), n_samples=3)
+    out = sample_frames(with_binary_payload(_docs(spark)), n_samples=3)
     assert out.schema == FRAMES_SCHEMA
     got = {}
     for r in out.collect():
-        got.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_md5))
-    for doc_id, text in [(1, b"hello world"), (2, b"spark engine"), (3, b"")]:
-        h = hashlib.md5(text).hexdigest()
-        n = int(h[4:5], 16)
-        want = sorted({(k * n) // 3 for k in range(3)}) if n > 0 else []
-        idxs = sorted(i for i, _ in got.get(doc_id, []))
-        assert idxs == want, (doc_id, n)
-        for idx, fh in got.get(doc_id, []):
-            assert fh == hashlib.md5(f"{h}:{idx}".encode()).hexdigest()
+        got.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_checksum))
+    for doc_id, text in [(1, "hello world"), (2, "spark engine"), (3, "")]:
+        frames = _expected_pixels(doc_id, text)
+        n = len(frames)
+        want_idx = sorted({(k * n) // 3 for k in range(3)})
+        assert sorted(i for i, _ in got[doc_id]) == want_idx
+        for idx, cs in got[doc_id]:
+            data = frames[idx][2]
+            assert cs == sum((i + 1) * b for i, b in enumerate(data))
