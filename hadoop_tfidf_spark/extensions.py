@@ -1313,6 +1313,85 @@ def q_sim_topk_ivfpq_res(spark, sf_dir):
     return out
 
 
+def q_sim_recall_audit(spark, sf_dir):
+    """ANN recall telemetry — the dashboard number a production ANN
+    index ships with (semantics source: tests/test_round7_ops.py
+    ``test_ivfpq_recall_vs_brute``): per query, recall@k of the
+    residual-IVFADC result set vs the exact brute-force cosine top-k,
+    plus the exact integer ADC-vs-true-L2 distance sums and their
+    ratio. ``n_hits``/``recall_pct`` answer "did the probe budget find
+    the true neighbors"; ``adc_exact_ratio`` answers "how tight is the
+    8-byte code's distance estimate" — the two knobs (nprobe, PQ bits)
+    a 100 TB deployment tunes. All join sides here are tiny (k rows per
+    query); the heavy lifting is the index build + one probe pass +
+    one brute pass, both already oracle-replayable, so the audit is
+    hash-gated end-to-end (sums exact BIGINT; the one ratio is a
+    deterministic round of a BIGINT/BIGINT double division)."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned, cents, codes, books = S.ivfpq_build_residual(
+        emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
+    )
+    approx = S.ivfpq_topk(
+        assigned, cents, codes, books, SIM_QUERY_IDS,
+        k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
+        embeddings=emb, residual=True,
+    )
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    brute = S.brute_force_topk(emb, queries, k=SIM_K).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    u = S.quantized_units(F.col("embedding"), IVF_UNITS)
+    qu = (
+        emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), u.alias("_qu"))
+    )
+    vu = emb.select("vec_id", u.alias("_vu"))
+    exact_d2 = F.aggregate(
+        F.zip_with("_qu", "_vu", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    joined = (
+        approx.join(F.broadcast(qu), "query_id")
+        .join(vu, "vec_id")
+        .join(F.broadcast(brute), ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            "adc_d2",
+            exact_d2.alias("_exact_d2"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("_hit"),
+        )
+    )
+    per_q = joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_returned"),
+        F.sum("_hit").cast("bigint").alias("n_hits"),
+        F.sum("adc_d2").cast("bigint").alias("sum_adc_d2"),
+        F.sum("_exact_d2").cast("bigint").alias("sum_exact_d2"),
+    )
+    out = per_q.select(
+        "query_id",
+        "n_returned",
+        "n_hits",
+        F.expr(f"CAST((100 * n_hits) DIV {SIM_K} AS BIGINT)").alias(
+            "recall_pct"
+        ),
+        "sum_adc_d2",
+        "sum_exact_d2",
+        F.when(F.col("sum_exact_d2") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("sum_adc_d2").cast("double") / F.col("sum_exact_d2"), 6
+            )
+        )
+        .alias("adc_exact_ratio"),
+    )
+    emb.unpersist()  # build collects done — see q_sim_topk_ivfpq
+    return out
+
+
 def q_dedup_span_sliding(spark, sf_dir):
     """SLIDING-span exact dedup (Lee et al. arbitrary-boundary
     approximation): 5-word spans starting every 2 words; a word is
@@ -1454,6 +1533,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_cooccurrence_capped": q_text_cooccurrence_capped,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
     "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
+    "sim_recall_audit": q_sim_recall_audit,
     "streaming_decontaminate": q_streaming_decontaminate,
     "sim_topk_pq": q_sim_topk_pq,
     "text_pack_sequences": q_text_pack_sequences,
@@ -2002,6 +2082,62 @@ def _ivfpq_sql(dim: int = 64, residual: bool = False) -> str:
         + f"\nSELECT query_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn"
         f" FROM ranked WHERE rn <= {SIM_K}"
     )
+
+
+def _recall_audit_sql() -> str:
+    """Recall-audit replay: the full residual-IVFADC oracle runs as a
+    subquery (its WITH chain shadows the outer CTEs — legal SQL), the
+    brute side is the exact rounded-cosine top-k, and the true integer
+    L2 comes straight from the quantized vectors; per-query aggregation
+    mirrors q_sim_recall_audit column-for-column."""
+    ids = ", ".join(map(str, SIM_QUERY_IDS))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+),
+approx AS (
+  SELECT * FROM (
+{_ivfpq_sql(residual=True)}
+  )
+),
+brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(e.vec, q.q_vec), 6) DESC,
+                      e.vec_id) AS rn
+    FROM e CROSS JOIN (
+      SELECT vec_id AS query_id, vec AS q_vec FROM e
+      WHERE vec_id IN ({ids})
+    ) q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {SIM_K}
+),
+pairs AS (
+  SELECT a.query_id, a.vec_id, a.adc_d2,
+         {_int_d2_sql("qe.u", "ve.u")} AS exact_d2,
+         CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM approx a
+  JOIN e qe ON qe.vec_id = a.query_id
+  JOIN e ve ON ve.vec_id = a.vec_id
+  LEFT JOIN brute b
+    ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_returned,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST((100 * sum(hit)) // {SIM_K} AS BIGINT) AS recall_pct,
+       CAST(sum(adc_d2) AS BIGINT) AS sum_adc_d2,
+       CAST(sum(exact_d2) AS BIGINT) AS sum_exact_d2,
+       CASE WHEN sum(exact_d2) = 0 THEN NULL
+            ELSE round(CAST(sum(adc_d2) AS DOUBLE) / sum(exact_d2), 6)
+       END AS adc_exact_ratio
+FROM pairs GROUP BY query_id
+"""
 
 
 _STOPWORD_LIST_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
@@ -2835,6 +2971,7 @@ FROM events GROUP BY user_id
     "sim_topk_pq": _pq_sql(),
     "sim_topk_ivfpq": _ivfpq_sql(),
     "sim_topk_ivfpq_res": _ivfpq_sql(residual=True),
+    "sim_recall_audit": _recall_audit_sql(),
     # Envelope oracles: exact values recomputed independently; the
     # in-bounds flags are asserted literally — the Spark side must deliver
     # sketch/BLAS results inside their error contracts to hash-match.

@@ -125,3 +125,23 @@ def test_staged_source_caches_per_key():
     _cleanup_staging_dirs()
     assert not _STAGED_SOURCES
     assert not os.path.isdir(d1_rebuilt) and not os.path.isdir(d2)
+
+
+def test_sim_recall_audit_contract(spark):
+    """Recall-audit declared query: per-query row, full k returned,
+    hits bounded by k, recall_pct consistent with n_hits, distance sums
+    positive, ratio finite. Exactness vs DuckDB is pinned by the hash
+    gate; this pins the shape and internal consistency. (On the random
+    synthetic embeddings recall at nprobe=2/16 is legitimately low —
+    that's the telemetry working, not a bug; the clustered-data recall
+    semantics are pinned in test_round7_ops.test_ivfpq_recall_vs_brute.)"""
+    from hadoop_tfidf_spark.extensions import SIM_K, SIM_QUERY_IDS, q_sim_recall_audit
+
+    rows = q_sim_recall_audit(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r.query_id for r in rows) == sorted(SIM_QUERY_IDS)
+    for r in rows:
+        assert r.n_returned == SIM_K
+        assert 0 <= r.n_hits <= SIM_K
+        assert r.recall_pct == (100 * r.n_hits) // SIM_K
+        assert r.sum_adc_d2 > 0 and r.sum_exact_d2 > 0
+        assert r.adc_exact_ratio is not None and 0 < r.adc_exact_ratio < 2
