@@ -285,6 +285,21 @@ def q_dedup_embedding(spark, sf_dir):
     return S.embedding_near_dup(_emb(spark, sf_dir), threshold=GATE_NEAR_DUP_COS)
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: integer-Lloyd IVF cells as
+    blocking, within-cell rounded-cosine neighbor test, lowest-id
+    representative survives. Gate threshold is
+    :data:`GATE_NEAR_DUP_COS` (the synthetic embeddings are random —
+    0.95-cosine semantic twins don't exist at sf0.01; the planted
+    paraphrase fixtures in tests/test_round8_ops.py exercise the
+    production operating point)."""
+    return S.semantic_dedup(
+        _emb(spark, sf_dir),
+        k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS,
+        threshold=GATE_NEAR_DUP_COS,
+    )
+
+
 def q_sim_topk_brute(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
@@ -1534,6 +1549,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
     "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
     "sim_recall_audit": q_sim_recall_audit,
+    "dedup_semantic": q_dedup_semantic,
     "streaming_decontaminate": q_streaming_decontaminate,
     "sim_topk_pq": q_sim_topk_pq,
     "text_pack_sequences": q_text_pack_sequences,
@@ -2138,6 +2154,73 @@ SELECT query_id,
        END AS adc_exact_ratio
 FROM pairs GROUP BY query_id
 """
+
+
+def _semantic_dedup_sql() -> str:
+    """SemDeDup replay: the coarse integer-Lloyd chain (verbatim
+    structure from ``_ivf_sql``) down to the final assignment, then the
+    within-cell rounded-cosine pair test and the lowest-id-wins keep
+    rule — mirrors ``similarity.semantic_dedup`` column-for-column."""
+    ctes = [
+        f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+)""",
+        f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u
+  FROM e ORDER BY vec_id LIMIT {IVF_K}
+)""",
+    ]
+    for it in range(IVF_ITERS + 1):
+        ctes.append(f"""assign{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster, {_int_d2_sql("e.u", "c.u")} AS d2
+    FROM e CROSS JOIN cent{it} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+)""")
+        if it < IVF_ITERS:
+            ctes.append(f"""mean{it + 1} AS (
+  SELECT cluster, list(m ORDER BY d) AS u FROM (
+    SELECT cluster, d, CAST(round(sum(x) / count(*)) AS BIGINT) AS m
+    FROM (
+      SELECT a.cluster, generate_subscripts(e.u, 1) AS d, unnest(e.u) AS x
+      FROM e JOIN assign{it} a ON a.vec_id = e.vec_id
+    ) GROUP BY cluster, d
+  ) GROUP BY cluster
+)""")
+            ctes.append(f"""cent{it + 1} AS (
+  SELECT c.cluster, coalesce(m.u, c.u) AS u
+  FROM cent{it} c LEFT JOIN mean{it + 1} m ON m.cluster = c.cluster
+)""")
+    final = IVF_ITERS
+    ctes.append(f"""av AS (
+  SELECT e.vec_id, e.vec, a.cluster
+  FROM e JOIN assign{final} a ON a.vec_id = e.vec_id
+)""")
+    ctes.append(f"""dup AS (
+  SELECT hi.vec_id,
+         count(*) AS n_sem_dups,
+         sum(CASE WHEN lo.vec_id < hi.vec_id THEN 1 ELSE 0 END) AS n_lower
+  FROM av hi JOIN av lo
+    ON lo.cluster = hi.cluster AND lo.vec_id <> hi.vec_id
+  WHERE round(list_cosine_similarity(hi.vec, lo.vec), 6)
+        >= {GATE_NEAR_DUP_COS}
+  GROUP BY hi.vec_id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT av.vec_id,
+       CAST(av.cluster AS INTEGER) AS cluster,
+       CAST(coalesce(d.n_sem_dups, 0) AS BIGINT) AS n_sem_dups,
+       CAST(CASE WHEN coalesce(d.n_lower, 0) = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS keep
+FROM av LEFT JOIN dup d ON d.vec_id = av.vec_id
+"""
+    )
 
 
 _STOPWORD_LIST_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
@@ -2972,6 +3055,7 @@ FROM events GROUP BY user_id
     "sim_topk_ivfpq": _ivfpq_sql(),
     "sim_topk_ivfpq_res": _ivfpq_sql(residual=True),
     "sim_recall_audit": _recall_audit_sql(),
+    "dedup_semantic": _semantic_dedup_sql(),
     # Envelope oracles: exact values recomputed independently; the
     # in-bounds flags are asserted literally — the Spark side must deliver
     # sketch/BLAS results inside their error contracts to hash-match.

@@ -489,6 +489,98 @@ def embedding_near_dup(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    units: int = 1_000_000,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic deduplication — the third dedup modality next to exact
+    (hash) and lexical (MinHash/SimHash/span). Cluster the corpus with
+    the deterministic integer-Lloyd :func:`ivf_build` coarse quantizer,
+    then WITHIN each cell mark every vector that has a cosine-``
+    threshold`` neighbor; the lowest-id member of each within-cell
+    similarity neighborhood survives (greedy first-occurrence-wins, the
+    same rule the exact-dedup canonicalization uses — deterministic, no
+    transitive closure needed). Output one row per vector:
+    ``(vec_id, cluster, n_sem_dups, keep)`` where ``n_sem_dups`` counts
+    the vector's within-cell semantic duplicates (both directions) and
+    ``keep = 1`` iff no LOWER-id within-cell neighbor clears the
+    threshold.
+
+    Scale shape — why this survives 100 TB: the clustering is the
+    blocking. Pair comparison is confined to cells, so the quadratic
+    term is Σ s_c² with s_c ≈ corpus/k; SemDeDup's operating point
+    scales k with the corpus (the paper runs 50k cells over 5B items)
+    to hold cell size roughly constant, making the within-cell
+    self-join a cluster-keyed equi-join of bounded fan-out — never
+    all-pairs. Cross-CELL near-duplicates are deliberately outside the
+    contract (the paper's approximation); raise k-means quality, not
+    the join, to tighten it. Cosines are rounded to 6 decimals before
+    the threshold test (both engines compute the identical IEEE double
+    from the same inputs), and the cluster assignment is exact integer
+    arithmetic, so the whole relation is hash-gateable.
+    """
+    assigned, _ = ivf_build(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        units=units,
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+        "cluster",
+    )
+    hi = b.select(
+        "cluster", F.col("id").alias("vec_id"),
+        F.col("vec").alias("vec_h"), F.col("nrm").alias("nrm_h"),
+    )
+    lo = b.select(
+        "cluster", F.col("id").alias("nbr_id"),
+        F.col("vec").alias("vec_l"), F.col("nrm").alias("nrm_l"),
+    )
+    pairs = (
+        hi.join(lo, "cluster")
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .where(
+            F.round(
+                _cos_from_parts(
+                    dot(F.col("vec_h"), F.col("vec_l")),
+                    F.col("nrm_h"),
+                    F.col("nrm_l"),
+                ),
+                6,
+            )
+            >= threshold
+        )
+    )
+    per = pairs.groupBy("vec_id").agg(
+        F.count("*").alias("n_sem_dups"),
+        F.sum(
+            F.when(F.col("nbr_id") < F.col("vec_id"), 1).otherwise(0)
+        ).alias("_n_lower"),
+    )
+    return (
+        assigned.select(F.col(id_col).alias("vec_id"), "cluster")
+        .join(per, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(F.col("n_sem_dups"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sem_dups"),
+            F.when(F.coalesce(F.col("_n_lower"), F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     units: int = 1_000_000,

@@ -256,3 +256,12 @@ def test_cooccurrence_capped_is_still_equi_join(stats_of):
     s = stats_of("text_cooccurrence_capped")
     assert s.cartesian_products == 0
     assert s.shuffle_exchanges <= 2
+
+
+def test_semantic_dedup_blocked_never_all_pairs(stats_of):
+    """SemDeDup: the within-cell pair test is a cluster-keyed equi-join
+    (the k-means blocking IS the candidate generation) — no cartesian,
+    no nested-loop sweep of the corpus."""
+    s = stats_of("dedup_semantic")
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0

@@ -145,3 +145,52 @@ def test_sim_recall_audit_contract(spark):
         assert r.recall_pct == (100 * r.n_hits) // SIM_K
         assert r.sum_adc_d2 > 0 and r.sum_exact_d2 > 0
         assert r.adc_exact_ratio is not None and 0 < r.adc_exact_ratio < 2
+
+
+def test_semantic_dedup_planted_paraphrases(spark):
+    """SemDeDup operating point: 4 well-separated clusters of 20 vectors
+    each, with planted near-identical 'paraphrase' copies of three
+    members. At threshold 0.99999 only the planted twins clear the bar
+    (the tightest ordinary same-cluster neighbor in this fixture sits at
+    cos 0.999743); the lowest-id member of each twin pair survives, the
+    copy is dropped, and everything else keeps."""
+    import random
+
+    from hadoop_tfidf_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(4):
+        base = [10.0 * (1 if (c >> d) & 1 else -1) for d in range(8)]
+        for i in range(20):
+            rows.append(
+                (c * 20 + i, [base[d] + rng.uniform(-1, 1) for d in range(8)])
+            )
+    # planted paraphrases: near-identical copies with new (higher) ids
+    originals = [0, 21, 45]
+    for j, orig in enumerate(originals):
+        rows.append(
+            (
+                100 + j,
+                [x + rng.uniform(-0.01, 0.01) for x in rows[orig][1]],
+            )
+        )
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            emb, k=4, iters=2, units=1_000_000, threshold=0.99999
+        ).collect()
+    }
+    assert len(got) == 83
+    for j, orig in enumerate(originals):
+        copy = 100 + j
+        # twin pair lands in the same cell and is mutually flagged
+        assert got[copy].cluster == got[orig].cluster
+        assert got[orig].n_sem_dups >= 1 and got[copy].n_sem_dups >= 1
+        # lowest id survives, the paraphrase copy is dropped
+        assert got[orig].keep == 1
+        assert got[copy].keep == 0
+    # nothing else was deduped
+    dropped = {v for v, r in got.items() if r.keep == 0}
+    assert dropped == {100, 101, 102}
