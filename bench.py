@@ -57,9 +57,15 @@ HEADLINE = [
     "dedup_simhash", "dedup_embedding", "dedup_span_exact",
     "dedup_span_sliding",
     # similarity search (+ the integer-centroid label audit and the
-    # composed IVFADC index — the realistic 100 TB ANN shape)
+    # composed IVFADC index — the realistic 100 TB ANN shape; both PQ
+    # index forms stay visible so the raw/residual build-cost delta is
+    # tracked round-over-round, and the recall audit times the full
+    # index-quality dashboard: residual build + probe + brute + join)
     "sim_topk_brute", "sim_topk_lsh", "sim_label_centroids",
-    "sim_topk_ivfpq",
+    "sim_topk_pq", "sim_topk_ivfpq", "sim_topk_ivfpq_res",
+    "sim_recall_audit",
+    # semantic dedup rides the same IVF build (third dedup modality)
+    "dedup_semantic",
     # text analysis (lm_score = the corpus-bigram perplexity filter;
     # c4_filters = the rule gate; pack_sequences = training-pack prep;
     # cooccurrence_capped = the engaged single-key-tail valve)
