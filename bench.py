@@ -38,6 +38,16 @@ REGRESSION_FACTOR = 1.5
 REGRESSION_FLOOR_S = 0.25
 REGRESSION_LOOKBACK = 2
 
+#: Queries whose SEMANTICS changed in a given round: timings from rounds
+#: BEFORE the marker measure a different computation, so the tripwire
+#: skips those baselines (comparisons resume the round after the change
+#: lands its own recorded row — nothing is permanently exempted).
+#: multimodal_decode r8: payload generation moved from a JVM text-encode
+#: fake to Python-synthesized real multi-frame PPM (a second Arrow
+#: stage) and decode now parses real pixel bytes — the r6/r7 rows timed
+#: the md5 stub.
+BASELINE_RESET = {"multimodal_decode": 8}
+
 #: The headline set: the full core TF-IDF pipeline plus one representative
 #: query per extension family. The remaining declared queries still run in
 #: the correctness gate (they're all in queries()); keeping the bench set
@@ -166,7 +176,16 @@ def _regressions(timings: dict[str, float], sf: float | None) -> list[dict]:
         return []
     out = []
     for name, now in timings.items():
-        prevs = [(q[name], f) for f, q in records if name in q]
+        reset = BASELINE_RESET.get(name)
+        prevs = [
+            (q[name], f)
+            for f, q in records
+            if name in q
+            and (
+                reset is None
+                or int(re.search(r"BENCH_r(\d+)", f).group(1)) >= reset
+            )
+        ]
         if not prevs:
             continue
         old, old_file = max(prevs)

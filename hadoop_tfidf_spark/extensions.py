@@ -1519,110 +1519,60 @@ def q_sim_label_centroids(spark, sf_dir):
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
-# oracle-backed query's newest driver row stays fresh. Round-7 composition:
-#   1) the FIVE brand-new round-7 queries (sliding-span dedup, the
-#      engaged cooccurrence vocab cap, IVFADC + its residual form,
-#      streaming decontamination)
-#      plus every query whose SEMANTICS or code changed this round
-#      (bit-packed PQ, hash-bucketed packing ×3, zero-word C4 verdicts ×2,
-#      linearized self-dedup, thresholded fuzzy),
-#   2) the queries riding the shingle/span STAGING linearization (results
-#      identical, plan changed — fresh driver rows prove it): the span/
-#      chunk/fingerprint/repetition family, the LSH+Jaccard+LM family,
-#      both flagship pipelines, incremental dedup, and the
-#      incremental-dedup anchor (streaming_search ceded its slot to the
-#      residual IVFADC, riding its r6 row),
-#   3) the TWELVE entries the r6 verdict listed as riding r01–r05 rows
-#      (rel_event_pivot … rel_price_bands) — all rotated back in-window,
-#   4) three more whose newest rows date from r04 or earlier
-#      (rel_percentiles, events_interval_join, asof_next_event) plus the
-#      brand-new lm-score histogram telemetry query.
-# Stable round-6 newcomers (corpus diff, mixture weights, label
-# centroids, the error-envelope twins, sim_topk_ivf, uncapped
-# cooccurrence) ceded their slots and sit past the cap on their r6 rows +
-# LOCAL_CHECK_r07.md. The 2 structurally no-oracle entries (HLL/GK
-# sketches, BLAS ulp) close the registry.
+# oracle-backed query's newest driver row stays fresh. Round-8 composition:
+#   1) the two brand-new round-8 queries (ANN recall audit, SemDeDup
+#      semantic dedup) plus the two round-7 newcomers that were added
+#      past-cap and have never held a driver row (dedup_cluster_sizes,
+#      streaming_mixture_weights),
+#   2) every query whose code or semantics changed this round: the
+#      interval-merged sliding-span dedup, the three multimodal queries
+#      (now REAL binary-PPM pixel math — new schemas/oracles), and the
+#      full streaming cohort (their file-stream feeds moved to the
+#      session-scoped staged_source cache — results proven unchanged,
+#      fresh rows say so under the driver too),
+#   3) the r6-row cohort the round-7 verdict asked back in (sim_topk_ivf,
+#      approx-distinct + BLAS error envelopes, uncapped cooccurrence,
+#      corpus diff, mixture weights, label centroids, range frames),
+#   4) sixteen entries whose newest rows date from r05 (asof 30d window
+#      ... simhash pairs) — the stale-est cohort.
+# Stable round-7 cohort members (span_exact, the PQ/IVFADC family,
+# packing, C4, LM score, both pipelines, the relational r7 block) ceded
+# their slots and ride CORRECTNESS_r07 rows + LOCAL_CHECK_r08.md; eight
+# r5-row entries that did not fit (dedup_components ... revenue_by_region)
+# are the FIRST rotation priority for round 9. The 2 structurally
+# no-oracle entries (HLL/GK sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- round-7 fresh signal: brand-new or semantics-touched --
-    "dedup_span_sliding": q_dedup_span_sliding,
-    "text_cooccurrence_capped": q_text_cooccurrence_capped,
-    "sim_topk_ivfpq": q_sim_topk_ivfpq,
-    "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
+    # -- round-8 brand-new --
     "sim_recall_audit": q_sim_recall_audit,
     "dedup_semantic": q_dedup_semantic,
+    # -- round-7 newcomers, never driver-rowed until now --
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "streaming_mixture_weights": q_streaming_mixture_weights,
+    # -- round-8 code/semantics-touched --
+    "dedup_span_sliding": q_dedup_span_sliding,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    # -- streaming staging-cache cohort --
     "streaming_decontaminate": q_streaming_decontaminate,
-    "sim_topk_pq": q_sim_topk_pq,
-    "text_pack_sequences": q_text_pack_sequences,
-    "text_pack_shuffled": q_text_pack_shuffled,
-    "pipeline_curate_pack": q_pipeline_curate_pack,
-    "text_c4_filters": q_text_c4_filters,
     "streaming_c4_filter": q_streaming_c4_filter,
-    "text_self_dedup": q_text_self_dedup,
-    "dedup_fuzzy": q_dedup_fuzzy,
-    # -- staging-linearization cohort (plan changed, results identical) --
-    "dedup_span_exact": q_dedup_span_exact,
-    "text_chunk": q_text_chunk,
-    "text_repetition": q_text_repetition,
-    "text_fingerprint": q_text_fingerprint,
-    "text_lm_score": q_text_lm_score,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "text_contamination": q_text_contamination,
-    "text_decontaminate": q_text_decontaminate,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_capped": q_dedup_minhash_capped,
-    "pipeline_curate": q_pipeline_curate,
     "streaming_incremental_dedup": q_streaming_incremental_dedup,
-    # -- rotation: the 12 entries riding r01–r05 rows (r6 verdict list) --
-    "rel_event_pivot": q_rel_event_pivot,
-    "rel_region_year_cube": q_rel_region_year_cube,
-    "rel_repeat_customers": q_rel_repeat_customers,
-    "rel_acctbal_rollup": q_rel_acctbal_rollup,
-    "events_json_props": q_events_json_props,
-    "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
-    "events_click_purchase": q_events_click_purchase,
-    "rel_order_calendar": q_rel_order_calendar,
-    "rel_grouping_sets": q_rel_grouping_sets,
-    "rel_order_gaps": q_rel_order_gaps,
-    "rel_lapsed_customers": q_rel_lapsed_customers,
-    "rel_price_bands": q_rel_price_bands,
-    # -- rotation: newest rows r04 or earlier --
-    "rel_percentiles": q_rel_percentiles,
-    "events_interval_join": q_events_interval_join,
-    "asof_next_event": q_asof_next_event,
-    "text_lm_histogram": q_text_lm_histogram,
-    # ---------------- past the driver's 50-entry cap ----------------
-    # (rotated out this round; green rows in CORRECTNESS_r06 for the r6
-    # newcomers, r05 or earlier for the long-stable remainder — and the
-    # local checker runs ALL registered queries every round:
-    # LOCAL_CHECK_r07.md)
-    "events_range_frame": q_events_range_frame,
     "streaming_search": q_streaming_search,
+    "streaming_incremental_df": q_streaming_incremental_df,
+    "streaming_interval_join": q_streaming_interval_join,
+    "streaming_tumbling": q_streaming_tumbling,
+    "streaming_session": q_streaming_session,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
+    # -- r6-row cohort rotated back in (r7 verdict ask #2) --
     "sim_topk_ivf": q_sim_topk_ivf,
     "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
     "sim_topk_pandas_bounds": q_sim_topk_pandas_bounds,
-    "streaming_incremental_df": q_streaming_incremental_df,
-    "streaming_interval_join": q_streaming_interval_join,
     "text_cooccurrence": q_text_cooccurrence,
     "dedup_corpus_diff": q_dedup_corpus_diff,
     "text_mixture_weights": q_text_mixture_weights,
     "sim_label_centroids": q_sim_label_centroids,
-    "search_bm25": q_search_bm25,
-    "text_stratified_sample": q_text_stratified_sample,
-    "dedup_near_canonical": q_dedup_near_canonical,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    "streaming_mixture_weights": q_streaming_mixture_weights,
-    "text_ngram_freq": q_text_ngram_freq,
-    "dedup_exact_apply": q_dedup_exact_apply,
-    "dedup_simhash": q_dedup_simhash,
-    "text_quality": q_text_quality,
-    "multimodal_decode": q_multimodal_decode,
-    "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_top_customers": q_rel_top_customers,
-    "events_tumbling": q_events_tumbling,
-    "events_sessionize": q_events_sessionize,
-    "events_moving_avg": q_events_moving_avg,
-    "events_hopping": q_events_hopping,
-    "asof_last_purchase": q_asof_last_purchase,
+    "events_range_frame": q_events_range_frame,
+    # -- stale-est r5 rows refreshed --
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "events_user_extremes": q_events_user_extremes,
     "events_time_rollup": q_events_time_rollup,
@@ -1637,13 +1587,63 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
     "sql_tfidf_top100": q_sql_tfidf_top100,
     "doc_frequency_salted": q_doc_frequency_salted,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_frames": q_multimodal_frames,
-    "streaming_tumbling": q_streaming_tumbling,
-    "streaming_session": q_streaming_session,
-    "streaming_stateful_totals": q_streaming_stateful_totals,
     "dedup_exact": q_dedup_exact,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    # ---- past the 50-slot cap from here down ----
+    # r7-green cohort ceding slots
+    "text_cooccurrence_capped": q_text_cooccurrence_capped,
+    "sim_topk_ivfpq": q_sim_topk_ivfpq,
+    "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
+    "sim_topk_pq": q_sim_topk_pq,
+    "text_pack_sequences": q_text_pack_sequences,
+    "text_pack_shuffled": q_text_pack_shuffled,
+    "pipeline_curate_pack": q_pipeline_curate_pack,
+    "text_c4_filters": q_text_c4_filters,
+    "text_self_dedup": q_text_self_dedup,
+    "dedup_fuzzy": q_dedup_fuzzy,
+    "dedup_span_exact": q_dedup_span_exact,
+    "text_chunk": q_text_chunk,
+    "text_repetition": q_text_repetition,
+    "text_fingerprint": q_text_fingerprint,
+    "text_lm_score": q_text_lm_score,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_contamination": q_text_contamination,
+    "text_decontaminate": q_text_decontaminate,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_capped": q_dedup_minhash_capped,
+    "pipeline_curate": q_pipeline_curate,
+    "rel_event_pivot": q_rel_event_pivot,
+    "rel_region_year_cube": q_rel_region_year_cube,
+    "rel_repeat_customers": q_rel_repeat_customers,
+    "rel_acctbal_rollup": q_rel_acctbal_rollup,
+    "events_json_props": q_events_json_props,
+    "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
+    "events_click_purchase": q_events_click_purchase,
+    "rel_order_calendar": q_rel_order_calendar,
+    "rel_grouping_sets": q_rel_grouping_sets,
+    "rel_order_gaps": q_rel_order_gaps,
+    "rel_lapsed_customers": q_rel_lapsed_customers,
+    "rel_price_bands": q_rel_price_bands,
+    "rel_percentiles": q_rel_percentiles,
+    "events_interval_join": q_events_interval_join,
+    "asof_next_event": q_asof_next_event,
+    "text_lm_histogram": q_text_lm_histogram,
+    # r6 rows
+    "search_bm25": q_search_bm25,
+    "text_stratified_sample": q_text_stratified_sample,
+    "dedup_near_canonical": q_dedup_near_canonical,
+    "text_ngram_freq": q_text_ngram_freq,
+    "dedup_exact_apply": q_dedup_exact_apply,
+    "dedup_simhash": q_dedup_simhash,
+    "text_quality": q_text_quality,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers": q_rel_top_customers,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "events_moving_avg": q_events_moving_avg,
+    "events_hopping": q_events_hopping,
+    "asof_last_purchase": q_asof_last_purchase,
+    # r5 rows that missed the window (round-9 rotation priority)
     "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "sim_topk_brute": q_sim_topk_brute,
@@ -1652,8 +1652,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "rel_customers_without_orders": q_rel_customers_without_orders,
     "rel_revenue_by_region": q_rel_revenue_by_region,
-    # -- rows-only / no-oracle by nature (HLL/GK sketches, BLAS ulp) —
-    #    the only 2 declared queries without an oracle --
+    # structurally no-oracle closers (rows-only checks)
     "rel_approx_distinct": q_rel_approx_distinct,
     "sim_topk_pandas": q_sim_topk_pandas,
 }

@@ -122,6 +122,7 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def gen_batches(
         batches: Iterator["pd.DataFrame"],
     ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         def build(doc_id: int, text: str) -> bytes:
@@ -129,17 +130,17 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
             d = int(doc_id)
             w, h, nf = 4 + L % 13, 4 + d % 11, 1 + L % 3
             base = (d % 256) * 31
+            # vectorized pixel plane: v[y, x, c] = base + f*17 + y*7 +
+            # x*3 + c*11 (mod 256) — broadcasting, no per-pixel loop
+            plane = (
+                7 * np.arange(h, dtype=np.int64)[:, None, None]
+                + 3 * np.arange(w, dtype=np.int64)[None, :, None]
+                + 11 * np.arange(3, dtype=np.int64)[None, None, :]
+            )
             out = bytearray()
             for f in range(nf):
                 out += b"P6\n%d %d\n255\n" % (w, h)
-                fb = base + f * 17
-                for y in range(h):
-                    fy = fb + y * 7
-                    for x in range(w):
-                        fyx = fy + x * 3
-                        out.append(fyx % 256)
-                        out.append((fyx + 11) % 256)
-                        out.append((fyx + 22) % 256)
+                out += ((base + f * 17 + plane) % 256).astype(np.uint8).tobytes()
             return bytes(out)
 
         for pdf in batches:
@@ -207,14 +208,17 @@ def decode_media(media: DataFrame) -> DataFrame:
             return frames
 
         def decode(payload: bytes):
+            import numpy as np
+
             buf = bytes(payload)
             frames = parse(buf)
             w, h = frames[0][0], frames[0][1]
             sr = sg = sb = 0
             for fw, fh, data in frames:
-                sr += sum(data[0::3])
-                sg += sum(data[1::3])
-                sb += sum(data[2::3])
+                a = np.frombuffer(data, dtype=np.uint8)  # zero-copy view
+                sr += int(a[0::3].sum(dtype=np.int64))
+                sg += int(a[1::3].sum(dtype=np.int64))
+                sb += int(a[2::3].sum(dtype=np.int64))
             return (len(buf), w, h, len(frames), sr, sg, sb)
 
         for pdf in batches:
@@ -287,20 +291,22 @@ def resize_media(media: DataFrame, max_dim: int = 8) -> DataFrame:
                 vals.append(int(buf[start:pos]))
             pos += 1
             w, h, _ = vals
-            data = buf[pos : pos + w * h * 3]
+            import numpy as np
+
+            a = np.frombuffer(
+                buf, dtype=np.uint8, count=w * h * 3, offset=pos
+            ).astype(np.int64)
             ow, oh = min(w, md), min(h, md)
-            checksum = 0
-            for yo in range(oh):
-                ys = (yo * h) // oh
-                for xo in range(ow):
-                    xs = (xo * w) // ow
-                    src = (ys * w + xs) * 3
-                    out_base = (yo * ow + xo) * 3
-                    checksum += (
-                        data[src] * (out_base + 1)
-                        + data[src + 1] * (out_base + 2)
-                        + data[src + 2] * (out_base + 3)
-                    )
+            # vectorized nearest-neighbor gather + position weights
+            ys = (np.arange(oh, dtype=np.int64) * h) // oh
+            xs = (np.arange(ow, dtype=np.int64) * w) // ow
+            src = ((ys[:, None] * w + xs[None, :]) * 3).ravel()
+            ob = 3 * np.arange(oh * ow, dtype=np.int64)
+            checksum = int(
+                (a[src] * (ob + 1)).sum()
+                + (a[src + 1] * (ob + 2)).sum()
+                + (a[src + 2] * (ob + 3)).sum()
+            )
             return (w, h, ow, oh, checksum)
 
         for pdf in batches:
@@ -338,6 +344,7 @@ def sample_frames(media: DataFrame, n_samples: int = 3) -> DataFrame:
     def frame_batches(
         batches: Iterator["pd.DataFrame"],
     ) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         ns = n_samples
@@ -373,10 +380,11 @@ def sample_frames(media: DataFrame, n_samples: int = 3) -> DataFrame:
                     continue
                 for idx in sorted({(k * n) // ns for k in range(ns)}):
                     data = frames[idx]
+                    a = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
                     ids.append(doc_id)
                     idxs.append(idx)
                     sums.append(
-                        sum((i + 1) * b for i, b in enumerate(data))
+                        int((a * np.arange(1, a.size + 1)).sum())
                     )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
