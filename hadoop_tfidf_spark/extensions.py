@@ -1407,6 +1407,81 @@ def q_sim_recall_audit(spark, sf_dir):
     return out
 
 
+#: The nprobe operating points the recall curve sweeps (of IVF_K cells).
+RECALL_CURVE_NPROBES = (1, 2, 4)
+
+
+def q_sim_recall_curve(spark, sf_dir):
+    """Recall-vs-nprobe curve — the ANN tuning chart itself: ONE
+    residual-IVFADC index, searched at each nprobe in
+    :data:`RECALL_CURVE_NPROBES`, scored per query against the exact
+    brute-force top-k. Recall must be non-decreasing in nprobe by
+    construction (more probed cells ⊇ fewer); a production deployment
+    reads the knee of this curve to pick its probe budget. The builds
+    run once (persist released after the collects); each extra probe
+    point costs only a (queries × nprobe)-row broadcast join + the ADC
+    projection — exactly how cheap sweeping the knob is at 100 TB.
+    All-integer, hash-gated: the oracle replays the full index three
+    times at the three probe budgets (the Lloyd chains are
+    deterministic, so the three replays share every centroid).
+
+    On the gate's RANDOM synthetic embeddings the curve is flat (the
+    nearest cell's 125 members saturate the ADC top-10 — distance
+    concentration makes ADC ranks near-noise beyond cell 1, verified:
+    the result set is bit-identical at nprobe 1/2/4/8) — that flatness
+    IS the telemetry correctly reporting "more probes buy nothing
+    here". The rising-curve behavior on structured data, where true
+    neighbors straddle cells, is pinned by
+    tests/test_round8_ops.py::test_recall_curve_rises_on_straddling_queries.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned, cents, codes, books = S.ivfpq_build_residual(
+        emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
+    )
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    brute = S.brute_force_topk(emb, queries, k=SIM_K).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    parts = []
+    for np_ in RECALL_CURVE_NPROBES:
+        parts.append(
+            S.ivfpq_topk(
+                assigned, cents, codes, books, SIM_QUERY_IDS,
+                k=SIM_K, nprobe=np_, units=IVF_UNITS,
+                embeddings=emb, residual=True,
+            )
+            .select("query_id", "vec_id")
+            .withColumn("nprobe", F.lit(np_).cast("int"))
+        )
+    approx = parts[0]
+    for p in parts[1:]:
+        approx = approx.unionByName(p)
+    out = (
+        approx.join(F.broadcast(brute), ["query_id", "vec_id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_returned"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "nprobe",
+            "query_id",
+            "n_returned",
+            "n_hits",
+            F.expr(f"CAST((100 * n_hits) DIV {SIM_K} AS BIGINT)").alias(
+                "recall_pct"
+            ),
+        )
+    )
+    emb.unpersist()  # build collects done — see q_sim_topk_ivfpq
+    return out
+
+
 def q_dedup_span_sliding(spark, sf_dir):
     """SLIDING-span exact dedup (Lee et al. arbitrary-boundary
     approximation): 5-word spans starting every 2 words; a word is
@@ -1544,6 +1619,7 @@ def q_sim_label_centroids(spark, sf_dir):
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-8 brand-new --
     "sim_recall_audit": q_sim_recall_audit,
+    "sim_recall_curve": q_sim_recall_curve,
     "dedup_semantic": q_dedup_semantic,
     # -- round-7 newcomers, never driver-rowed until now --
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -1588,8 +1664,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_tfidf_top100": q_sql_tfidf_top100,
     "doc_frequency_salted": q_doc_frequency_salted,
     "dedup_exact": q_dedup_exact,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     # ---- past the 50-slot cap from here down ----
+    # r5-row entry displaced by sim_recall_curve (round-9 priority)
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     # r7-green cohort ceding slots
     "text_cooccurrence_capped": q_text_cooccurrence_capped,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
@@ -1936,7 +2013,9 @@ def _pq_sql(dim: int = 64) -> str:
     )
 
 
-def _ivfpq_sql(dim: int = 64, residual: bool = False) -> str:
+def _ivfpq_sql(
+    dim: int = 64, residual: bool = False, nprobe: int = IVF_NPROBE
+) -> str:
     """Unrolled replay of IVFADC (mirrors similarity.ivfpq_topk): the
     coarse integer Lloyd of the IVF oracle (same CTE chain), the
     per-subspace integer Lloyd of the PQ oracle, the integer probe of
@@ -1997,7 +2076,7 @@ def _ivfpq_sql(dim: int = 64, residual: bool = False) -> str:
     SELECT q.query_id, c.cluster, {_int_d2_sql("q.q_u", "c.u")} AS d2
     FROM qv q CROSS JOIN cent{final} c
   ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2, cluster)
-    <= {IVF_NPROBE}
+    <= {nprobe}
 )""")
     if residual:
         ctes.append(f"""res AS (
@@ -2152,6 +2231,52 @@ SELECT query_id,
             ELSE round(CAST(sum(adc_d2) AS DOUBLE) / sum(exact_d2), 6)
        END AS adc_exact_ratio
 FROM pairs GROUP BY query_id
+"""
+
+
+def _recall_curve_sql() -> str:
+    """Recall-curve replay: one full residual-IVFADC oracle per nprobe
+    operating point (each nested as a subquery — the deterministic
+    Lloyd chains replay to identical centroids, so only the probe width
+    differs), unioned with the nprobe tag, scored against the exact
+    rounded-cosine brute top-k; mirrors q_sim_recall_curve
+    column-for-column."""
+    ids = ", ".join(map(str, SIM_QUERY_IDS))
+    branches = "\n    UNION ALL\n    ".join(
+        f"SELECT {np_} AS nprobe, query_id, vec_id FROM (\n"
+        f"{_ivfpq_sql(residual=True, nprobe=np_)}\n)"
+        for np_ in RECALL_CURVE_NPROBES
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+),
+brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(e.vec, q.q_vec), 6) DESC,
+                      e.vec_id) AS rn
+    FROM e CROSS JOIN (
+      SELECT vec_id AS query_id, vec AS q_vec FROM e
+      WHERE vec_id IN ({ids})
+    ) q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {SIM_K}
+),
+approx AS (
+    {branches}
+)
+SELECT a.nprobe, a.query_id,
+       CAST(count(*) AS BIGINT) AS n_returned,
+       CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST((100 * sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+            // {SIM_K} AS BIGINT) AS recall_pct
+FROM approx a
+LEFT JOIN brute b ON b.query_id = a.query_id AND b.vec_id = a.vec_id
+GROUP BY a.nprobe, a.query_id
 """
 
 
@@ -3054,6 +3179,7 @@ FROM events GROUP BY user_id
     "sim_topk_ivfpq": _ivfpq_sql(),
     "sim_topk_ivfpq_res": _ivfpq_sql(residual=True),
     "sim_recall_audit": _recall_audit_sql(),
+    "sim_recall_curve": _recall_curve_sql(),
     "dedup_semantic": _semantic_dedup_sql(),
     # Envelope oracles: exact values recomputed independently; the
     # in-bounds flags are asserted literally — the Spark side must deliver

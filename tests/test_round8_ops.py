@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import time
 
+from pyspark.sql import functions as F
+
 
 def test_span_sliding_all_boilerplate_giant_page_is_linear(spark):
     """The planted outlier from VERDICT r7 "What's wrong #1": a page that
@@ -194,3 +196,68 @@ def test_semantic_dedup_planted_paraphrases(spark):
     # nothing else was deduped
     dropped = {v for v, r in got.items() if r.keep == 0}
     assert dropped == {100, 101, 102}
+
+
+def test_recall_curve_rises_on_straddling_queries(spark):
+    """The recall-vs-nprobe curve rises when true neighbors straddle
+    coarse cells: the query sits midway between two well-separated
+    cluster centers (nudged toward A so the probe order is
+    deterministic), so its exact-L2 top-20 mixes members of BOTH
+    clusters. nprobe=1 probes only A's cell and structurally cannot
+    return B's members; nprobe=2 probes both, so recall against the
+    exact-L2 truth must strictly improve. Truth is computed in plain
+    Python (deterministic fixture, fixed seed) — ADC approximates L2,
+    so L2 is the right reference for the probe sweep."""
+    import random
+
+    from hadoop_tfidf_spark.operators.similarity import (
+        ivfpq_build_residual,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(3)
+    centers = {
+        c: [12.0 * (1 if (c >> d) & 1 else -1) for d in range(8)]
+        for c in range(4)
+    }
+    rows = []
+    # ids INTERLEAVED across clusters so the deterministic seeds (first
+    # coarse_k vectors by id) span all four natural clusters and Lloyd
+    # converges onto them
+    for i in range(24):
+        for c in range(4):
+            rows.append(
+                (i * 4 + c,
+                 [centers[c][d] + rng.uniform(-1, 1) for d in range(8)])
+            )
+    # query 900: midpoint of clusters 0 and 1, nudged 2% toward 0
+    mid = [0.51 * centers[0][d] + 0.49 * centers[1][d] for d in range(8)]
+    rows.append((900, mid))
+    k = 20
+    truth = sorted(
+        (r for r in rows if r[0] != 900),
+        key=lambda r: sum((a - b) ** 2 for a, b in zip(r[1], mid)),
+    )[:k]
+    truth_ids = {r[0] for r in truth}
+    truth_clusters = {i % 4 for i in truth_ids}
+    assert truth_clusters == {0, 1}  # the straddle is real, by geometry
+
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    assigned, cents, codes, books = ivfpq_build_residual(
+        emb, coarse_k=4, coarse_iters=2, m=4, k=8, iters=1,
+        units=1000, pack=True,
+    )
+    recalls, got_sets = {}, {}
+    for np_ in (1, 2):
+        got_sets[np_] = {
+            r.vec_id
+            for r in ivfpq_topk(
+                assigned, cents, codes, books, [900], k=k, nprobe=np_,
+                units=1000, embeddings=emb, residual=True,
+            ).collect()
+        }
+        recalls[np_] = len(got_sets[np_] & truth_ids) / k
+    # one cell structurally cannot see cluster 1's true neighbors
+    assert all(v % 4 == 0 for v in got_sets[1])
+    assert recalls[1] < 1.0
+    assert recalls[2] > recalls[1]
