@@ -292,12 +292,21 @@ def q_dedup_semantic(spark, sf_dir):
     :data:`GATE_NEAR_DUP_COS` (the synthetic embeddings are random —
     0.95-cosine semantic twins don't exist at sf0.01; the planted
     paraphrase fixtures in tests/test_round8_ops.py exercise the
-    production operating point)."""
-    return S.semantic_dedup(
-        _emb(spark, sf_dir),
+    production operating point). The embeddings persist across the
+    Lloyd build collects (the q_sim_topk_ivfpq pattern — released
+    before the lazy pair plan returns); remaining wall at sf0.1 is
+    Lloyd driver-job count + codegen of the centroid literal matrix,
+    not data volume."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    out = S.semantic_dedup(
+        emb,
         k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS,
         threshold=GATE_NEAR_DUP_COS,
     )
+    emb.unpersist()  # build collects done — see q_sim_topk_ivfpq
+    return out
 
 
 def q_sim_topk_brute(spark, sf_dir):

@@ -195,7 +195,6 @@ def ivf_build(
     ~1e-6 per element, far below any meaningful cluster boundary; the
     returned centroids are then lists of ints (micro-units).
     """
-    dim_count = len(embeddings.select(vec_col).first()[0])
     if units is not None:
         emb = embeddings.withColumn("_u", quantized_units(F.col(vec_col), units))
         work_col = "_u"
@@ -212,6 +211,12 @@ def ivf_build(
             for r in emb.orderBy(id_col).select(vec_col).limit(k).collect()
         ]
         zero, lit_of = F.lit(0.0), lambda x: F.lit(float(x))
+    if not cents:
+        raise ValueError("ivf_build: embeddings table is empty")
+    # dimension comes free with the seed collect — a separate first()
+    # would cost one more Spark job per build (Lloyd cost here is job
+    # count + centroid-literal codegen, not data volume)
+    dim_count = len(cents[0])
 
     def assign(df: DataFrame, centroids: list[list]) -> DataFrame:
         cent_arr = F.array(
@@ -714,12 +719,11 @@ def pq_build(
     with a shift-and-mask projection at search time; same results either
     way.
     """
-    dim = len(embeddings.select(vec_col).first()[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
     if pack and (m > 8 or k > 256):
         raise ValueError(f"pack=True needs m<=8 and k<=256, got m={m} k={k}")
-    sub = dim // m
+    # dim (and the dim % m validation) come from the seed collect inside
+    # _pq_train_units — a separate first() here would cost one more
+    # Spark job per build (job count, not data, is the build's cost)
     # FUSED per-subspace Lloyd: all m subspaces train in the SAME Spark
     # jobs (one seed collect, one means aggregation per round) instead of
     # m independent ivf_build calls (m× seed jobs + m× means jobs per
@@ -732,9 +736,7 @@ def pq_build(
     # build sets where per-job overhead dominates, same passes at scale).
     u = quantized_units(F.col(vec_col), units)
     base = embeddings.select(id_col, u.alias("_u"))
-    codebooks = _pq_train_units(
-        base, m=m, k=k, iters=iters, id_col=id_col, dim=dim
-    )
+    codebooks = _pq_train_units(base, m=m, k=k, iters=iters, id_col=id_col)
     codes = _pq_encode_units(base, codebooks, id_col=id_col, pack=pack)
     return codes, codebooks
 
@@ -748,12 +750,18 @@ def _pq_train_units(
     :func:`pq_build`, coarse-cell residuals for
     :func:`ivfpq_build_residual`). Seeds = the first ``k`` rows by id
     sliced per subspace; one means aggregation per round covers all
-    ``m`` subspaces. ``dim`` skips the probe job when the caller already
-    knows it."""
-    if dim is None:
-        dim = len(base.select("_u").first()[0])
-    sub = dim // m
+    ``m`` subspaces. ``dim`` is derived from the seed collect when the
+    caller doesn't pass it (never a separate probe job), and the
+    ``dim % m`` contract is validated here so both callers fail before
+    any training work."""
     seed_rows = base.orderBy(id_col).limit(k).collect()
+    if not seed_rows:
+        raise ValueError("pq build: embeddings table is empty")
+    if dim is None:
+        dim = len(seed_rows[0]["_u"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
     codebooks: list[list[list[int]]] = [
         [
             [int(x) for x in r["_u"][s * sub : (s + 1) * sub]]
