@@ -24,7 +24,7 @@ Usage::
     python -m hadoop_tfidf_spark.cli tfidfrank     IN OUT [--limit K]
     python -m hadoop_tfidf_spark.cli curate        IN OUT [--pack-budget N]
                   [--splits train=90,valid=5,test=5] [--max-bucket-size N]
-                  [--decontaminate BENCH]
+                  [--decontaminate BENCH] [--semantic-dedup EMB]
 
 ``curate`` is engine surface beyond the reference (the north-star
 training-data pipeline): lang-id → quality filter → exact dedup → LSH
@@ -97,6 +97,13 @@ def main(argv: list[str] | None = None) -> None:
                    help="curate: drop docs whose 3-gram overlap with the "
                         "benchmark corpus at BENCH (text dir or parquet) "
                         "exceeds 0.1, before curation")
+    p.add_argument("--semantic-dedup", default=None, metavar="EMB",
+                   help="curate: parquet of (vec_id, embedding) aligned "
+                        "with doc_id; adds the SemDeDup stage (IVF-cell "
+                        "blocking, within-cell cosine, lowest id "
+                        "survives) after the LSH near-dup drop")
+    p.add_argument("--semantic-threshold", type=float, default=0.95,
+                   help="curate: cosine ceiling for --semantic-dedup")
     args = p.parse_args(argv)
 
     from hadoop_tfidf_spark.corpus import tokenize
@@ -182,6 +189,12 @@ def main(argv: list[str] | None = None) -> None:
             splits=splits,
             max_bucket_size=args.max_bucket_size,
             keep_text=args.pack is not None,
+            embeddings=(
+                spark.read.parquet(args.semantic_dedup)
+                if args.semantic_dedup is not None
+                else None
+            ),
+            semantic_threshold=args.semantic_threshold,
         )
         out = (
             pack_sequences(

@@ -76,6 +76,27 @@ def q_pipeline_curate(spark, sf_dir):
     return curate_corpus(_docs(spark, sf_dir, rebalance=True))
 
 
+def q_pipeline_curate_semantic(spark, sf_dir):
+    """Flagship curation with ALL THREE dedup modalities composed:
+    exact (md5) → lexical (MinHash-LSH) → semantic (SemDeDup over the
+    embeddings table, doc_id ≡ vec_id) → split. The semantic keep set
+    is one extra doc_id-keyed semi-join on the curated relation; its
+    cost is the IVF build, which a real pipeline amortizes across the
+    recall dashboards that share the index. Gate threshold
+    :data:`GATE_NEAR_DUP_COS` (random embeddings — see
+    q_dedup_semantic)."""
+    from hadoop_tfidf_spark.pipeline import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir, rebalance=True),
+        embeddings=_emb(spark, sf_dir),
+        semantic_threshold=GATE_NEAR_DUP_COS,
+        semantic_k=IVF_K,
+        semantic_iters=IVF_ITERS,
+        semantic_units=IVF_UNITS,
+    )
+
+
 def q_pipeline_curate_pack(spark, sf_dir):
     """Flagship extended to the training-ready layout: the full curation
     pipeline (lang-id → quality → exact dedup → LSH near-dup → split)
@@ -1630,6 +1651,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_recall_audit": q_sim_recall_audit,
     "sim_recall_curve": q_sim_recall_curve,
     "dedup_semantic": q_dedup_semantic,
+    "pipeline_curate_semantic": q_pipeline_curate_semantic,
     # -- round-7 newcomers, never driver-rowed until now --
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "streaming_mixture_weights": q_streaming_mixture_weights,
@@ -1670,12 +1692,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hash_sample": q_text_hash_sample,
     "sim_quantize_int8": q_sim_quantize_int8,
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
-    "sql_tfidf_top100": q_sql_tfidf_top100,
     "doc_frequency_salted": q_doc_frequency_salted,
     "dedup_exact": q_dedup_exact,
     # ---- past the 50-slot cap from here down ----
-    # r5-row entry displaced by sim_recall_curve (round-9 priority)
+    # r5-row entries displaced by sim_recall_curve / pipeline_curate_semantic
+    # (round-9 priority)
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "sql_tfidf_top100": q_sql_tfidf_top100,
     # r7-green cohort ceding slots
     "text_cooccurrence_capped": q_text_cooccurrence_capped,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
@@ -3740,6 +3763,27 @@ FROM best WHERE rn = 1
 GROUP BY 1, 2
 """,
 }
+
+# Composed post-hoc from the pipeline_curate oracle: insert the SemDeDup
+# keep set (the full integer-Lloyd semantic-dedup replay nested as a
+# subquery) between the near-dup drop (kept2) and the split labeling —
+# mirroring curate_corpus(embeddings=...) stage order exactly.
+EXTENSION_ORACLE_SQL["pipeline_curate_semantic"] = (
+    EXTENSION_ORACLE_SQL["pipeline_curate"]
+    .replace(
+        "curated AS (",
+        f"""sem AS (
+  SELECT vec_id FROM (
+{_semantic_dedup_sql()}
+  ) WHERE keep = 1
+),
+kept3 AS (
+  SELECT k.* FROM kept2 k JOIN sem s ON s.vec_id = k.doc_id
+),
+curated AS (""",
+    )
+    .replace("FROM kept2\n  )", "FROM kept3\n  )")
+)
 
 EXTENSION_ORACLE_SQL["text_self_dedup"] = """
 WITH w AS (

@@ -2,7 +2,8 @@
 from the engine's operator families as ONE lazy Spark plan:
 
     annotate (lang-id, quality)  →  filter  →  exact dedup  →
-    near-dup drop (MinHash-LSH)  →  deterministic train/valid/test split
+    near-dup drop (MinHash-LSH)  →  [semantic dedup (SemDeDup), when an
+    embeddings table is supplied]  →  deterministic train/valid/test split
 
 This is the flagship composition the extension surface exists for (the
 reference repo's 4-job TF-IDF chain is the same idea at 1/10 the operator
@@ -56,6 +57,11 @@ def curate_corpus(
     persist_intermediate: bool = False,
     storage_level=None,
     keep_text: bool = False,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_k: int = 16,
+    semantic_iters: int = 2,
+    semantic_units: int = 1_000_000,
 ) -> DataFrame:
     """Curate ``(doc_id, text)`` into ``(doc_id, pred_lang, quality,
     split)`` — language filter, quality filter, exact dedup, near-dup
@@ -137,6 +143,27 @@ def curate_corpus(
             .distinct()
         )
     kept = kept.join(near_drop, "doc_id", "left_anti")
+    if embeddings is not None:
+        # Third dedup modality (SemDeDup): docs whose embedding loses its
+        # within-cell cosine neighborhood (lowest id survives) drop via
+        # one doc_id-keyed semi-join. The keep set is computed over the
+        # FULL embeddings table — clustering needs the whole space, and
+        # a doc filtered upstream can still disqualify its semantic twin
+        # (same conservatism as the exact/lexical stages' min-id rules).
+        from hadoop_tfidf_spark.operators.similarity import semantic_dedup
+
+        sem_keep = (
+            semantic_dedup(
+                embeddings,
+                k=semantic_k,
+                iters=semantic_iters,
+                units=semantic_units,
+                threshold=semantic_threshold,
+            )
+            .where(F.col("keep") == 1)
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        kept = kept.join(sem_keep, "doc_id", "left_semi")
     labeled = hash_split(kept, "doc_id", splits or dict(DEFAULT_SPLITS), seed)
     cols = ["doc_id", "pred_lang", "quality", "split"]
     if keep_text:

@@ -234,3 +234,39 @@ def test_curate_splits_and_bucket_cap_flags(tmp_path):
     assert cols == {
         "doc_id", "split", "bucket", "pack_id", "n_tokens", "offset_in_pack"
     }
+
+
+def test_curate_semantic_dedup_flag(tmp_path):
+    """--semantic-dedup EMB adds the SemDeDup stage: the doc whose
+    embedding near-duplicates a lower-id doc's drops, texts being
+    lexically distinct; without the flag everything survives."""
+    import random
+
+    rng = random.Random(5)
+    src = str(tmp_path / "docs.parquet")
+    emb = str(tmp_path / "emb.parquet")
+    rows, vecs = [], []
+    # 24 docs: the CLI's default semantic_k=16 seeds on ids 0-15, so the
+    # twin pair (17, 23) are both non-seeds and land in one cell
+    for i in range(24):
+        words = []
+        for j in range(6):
+            words += ["the", f"a{i}x{j}", "and", f"b{i}x{j}", "of", f"c{i}x{j}"]
+        rows.append((i, " ".join(words)))
+        vecs.append((i, [rng.uniform(-1, 1) * 8 for _ in range(8)]))
+    vecs[23] = (23, [x + rng.uniform(-0.001, 0.001) for x in vecs[17][1]])
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)) TO '" + src + "' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v}::DOUBLE[])" for i, v in vecs)
+        + ") t(vec_id, embedding)) TO '" + emb + "' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "curated")
+    _run("curate", src, out, "--min-quality", "0",
+         "--semantic-dedup", emb, "--semantic-threshold", "0.9999")
+    ids = {r[0] for r in duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()}
+    assert ids == set(range(23))  # 23 (the semantic twin of 17) dropped
