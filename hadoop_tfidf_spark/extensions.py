@@ -330,6 +330,27 @@ def q_dedup_semantic(spark, sf_dir):
     return out
 
 
+#: Megacell cap for the gate's capped semantic-dedup row: cells at
+#: sf0.01 run 21-38 members (k=16 over 500 vectors), so 34 engages on
+#: the real top-4 cells — the valve is exercised, not decorative (the
+#: dedup_minhash_capped precedent).
+GATE_SEM_CELL_CAP = 34
+
+
+def q_dedup_semantic_capped(spark, sf_dir):
+    """Semantic dedup with the megacell valve ENGAGED: cells larger
+    than :data:`GATE_SEM_CELL_CAP` skip the pair test and flag
+    ``cell_capped = 1`` (keep-all — dedup's conservative failure mode);
+    the flagged fraction is the re-cluster-with-larger-k alarm. Oracle
+    replays the cap over the same Lloyd chain."""
+    return S.semantic_dedup(
+        _emb(spark, sf_dir),
+        k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS,
+        threshold=GATE_NEAR_DUP_COS,
+        max_cell_size=GATE_SEM_CELL_CAP,
+    )
+
+
 def q_sim_topk_brute(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
@@ -1651,6 +1672,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_recall_audit": q_sim_recall_audit,
     "sim_recall_curve": q_sim_recall_curve,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_capped": q_dedup_semantic_capped,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
     # -- round-7 newcomers, never driver-rowed until now --
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -1691,7 +1713,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_redact": q_text_pii_redact,
     "text_hash_sample": q_text_hash_sample,
     "sim_quantize_int8": q_sim_quantize_int8,
-    "doc_similarity_tfidf": q_doc_similarity_tfidf,
     "doc_frequency_salted": q_doc_frequency_salted,
     "dedup_exact": q_dedup_exact,
     # ---- past the 50-slot cap from here down ----
@@ -1699,6 +1720,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (round-9 priority)
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sql_tfidf_top100": q_sql_tfidf_top100,
+    "doc_similarity_tfidf": q_doc_similarity_tfidf,
     # r7-green cohort ceding slots
     "text_cooccurrence_capped": q_text_cooccurrence_capped,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
@@ -2312,11 +2334,13 @@ GROUP BY a.nprobe, a.query_id
 """
 
 
-def _semantic_dedup_sql() -> str:
+def _semantic_dedup_sql(max_cell_size: int | None = None) -> str:
     """SemDeDup replay: the coarse integer-Lloyd chain (verbatim
     structure from ``_ivf_sql``) down to the final assignment, then the
     within-cell rounded-cosine pair test and the lowest-id-wins keep
-    rule — mirrors ``similarity.semantic_dedup`` column-for-column."""
+    rule — mirrors ``similarity.semantic_dedup`` column-for-column.
+    ``max_cell_size`` replays the megacell valve: oversized cells skip
+    the pair test and flag ``cell_capped = 1``."""
     ctes = [
         f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec,
@@ -2351,16 +2375,30 @@ def _semantic_dedup_sql() -> str:
   FROM cent{it} c LEFT JOIN mean{it + 1} m ON m.cluster = c.cluster
 )""")
     final = IVF_ITERS
+    ctes.append(f"""csize AS (
+  SELECT cluster, count(*) AS csize FROM assign{final} GROUP BY cluster
+)""")
+    cap_pred = (
+        f"\n    AND hi.csize <= {max_cell_size}"
+        if max_cell_size is not None
+        else ""
+    )
+    capped_expr = (
+        f"CASE WHEN av.csize > {max_cell_size} THEN 1 ELSE 0 END"
+        if max_cell_size is not None
+        else "0"
+    )
     ctes.append(f"""av AS (
-  SELECT e.vec_id, e.vec, a.cluster
+  SELECT e.vec_id, e.vec, a.cluster, c.csize
   FROM e JOIN assign{final} a ON a.vec_id = e.vec_id
+  JOIN csize c ON c.cluster = a.cluster
 )""")
     ctes.append(f"""dup AS (
   SELECT hi.vec_id,
          count(*) AS n_sem_dups,
          sum(CASE WHEN lo.vec_id < hi.vec_id THEN 1 ELSE 0 END) AS n_lower
   FROM av hi JOIN av lo
-    ON lo.cluster = hi.cluster AND lo.vec_id <> hi.vec_id
+    ON lo.cluster = hi.cluster AND lo.vec_id <> hi.vec_id{cap_pred}
   WHERE round(list_cosine_similarity(hi.vec, lo.vec), 6)
         >= {GATE_NEAR_DUP_COS}
   GROUP BY hi.vec_id
@@ -2368,12 +2406,13 @@ def _semantic_dedup_sql() -> str:
     return (
         "WITH "
         + ",\n".join(ctes)
-        + """
+        + f"""
 SELECT av.vec_id,
        CAST(av.cluster AS INTEGER) AS cluster,
        CAST(coalesce(d.n_sem_dups, 0) AS BIGINT) AS n_sem_dups,
        CAST(CASE WHEN coalesce(d.n_lower, 0) = 0 THEN 1 ELSE 0 END
-            AS INTEGER) AS keep
+            AS INTEGER) AS keep,
+       CAST({capped_expr} AS INTEGER) AS cell_capped
 FROM av LEFT JOIN dup d ON d.vec_id = av.vec_id
 """
     )
@@ -3213,6 +3252,7 @@ FROM events GROUP BY user_id
     "sim_recall_audit": _recall_audit_sql(),
     "sim_recall_curve": _recall_curve_sql(),
     "dedup_semantic": _semantic_dedup_sql(),
+    "dedup_semantic_capped": _semantic_dedup_sql(GATE_SEM_CELL_CAP),
     # Envelope oracles: exact values recomputed independently; the
     # in-bounds flags are asserted literally — the Spark side must deliver
     # sketch/BLAS results inside their error contracts to hash-match.

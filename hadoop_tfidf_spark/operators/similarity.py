@@ -502,6 +502,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     semantic deduplication — the third dedup modality next to exact
@@ -512,10 +513,20 @@ def semantic_dedup(
     similarity neighborhood survives (greedy first-occurrence-wins, the
     same rule the exact-dedup canonicalization uses — deterministic, no
     transitive closure needed). Output one row per vector:
-    ``(vec_id, cluster, n_sem_dups, keep)`` where ``n_sem_dups`` counts
-    the vector's within-cell semantic duplicates (both directions) and
-    ``keep = 1`` iff no LOWER-id within-cell neighbor clears the
-    threshold.
+    ``(vec_id, cluster, n_sem_dups, keep, cell_capped)`` where
+    ``n_sem_dups`` counts the vector's within-cell semantic duplicates
+    (both directions) and ``keep = 1`` iff no LOWER-id within-cell
+    neighbor clears the threshold.
+
+    ``max_cell_size`` is the megacell safety valve (the same 100 TB
+    design as MinHash's ``max_bucket_size``): a degenerate k-means cell
+    holding a large corpus fraction turns the within-cell pair join
+    into the quadratic blowup the blocking exists to prevent, so cells
+    LARGER than the cap skip the pair test entirely — their members
+    come back ``keep = 1, n_sem_dups = 0, cell_capped = 1`` (keep-all
+    is the conservative failure mode for dedup; the flag feeds the
+    audit that decides whether to re-cluster with larger k). The sizes
+    relation is k rows — the eligibility join broadcasts.
 
     Scale shape — why this survives 100 TB: the clustering is the
     blocking. Pair comparison is confined to cells, so the quadratic
@@ -540,6 +551,15 @@ def semantic_dedup(
         norm(F.col(vec_col)).alias("nrm"),
         "cluster",
     )
+    capped_cells = None
+    if max_cell_size is not None:
+        sizes = assigned.groupBy("cluster").agg(
+            F.count("*").alias("_csize")
+        )
+        capped_cells = sizes.where(
+            F.col("_csize") > max_cell_size
+        ).select("cluster")
+        b = b.join(F.broadcast(capped_cells), "cluster", "left_anti")
     hi = b.select(
         "cluster", F.col("id").alias("vec_id"),
         F.col("vec").alias("vec_h"), F.col("nrm").alias("nrm_h"),
@@ -569,20 +589,29 @@ def semantic_dedup(
             F.when(F.col("nbr_id") < F.col("vec_id"), 1).otherwise(0)
         ).alias("_n_lower"),
     )
-    return (
-        assigned.select(F.col(id_col).alias("vec_id"), "cluster")
-        .join(per, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.col("cluster").cast("int").alias("cluster"),
-            F.coalesce(F.col("n_sem_dups"), F.lit(0))
-            .cast("bigint")
-            .alias("n_sem_dups"),
-            F.when(F.coalesce(F.col("_n_lower"), F.lit(0)) == 0, 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("keep"),
+    out = assigned.select(F.col(id_col).alias("vec_id"), "cluster").join(
+        per, "vec_id", "left"
+    )
+    if capped_cells is None:
+        capped_flag = F.lit(0)
+    else:
+        out = out.join(
+            F.broadcast(capped_cells.withColumn("_capped", F.lit(1))),
+            "cluster",
+            "left",
         )
+        capped_flag = F.coalesce(F.col("_capped"), F.lit(0))
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.coalesce(F.col("n_sem_dups"), F.lit(0))
+        .cast("bigint")
+        .alias("n_sem_dups"),
+        F.when(F.coalesce(F.col("_n_lower"), F.lit(0)) == 0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+        capped_flag.cast("int").alias("cell_capped"),
     )
 
 

@@ -307,3 +307,50 @@ def test_curate_semantic_stage_drops_planted_twin(spark):
     }
     assert plain == set(range(12))  # lexical stages keep all
     assert sem == plain - {11}      # only the semantic twin drops
+
+
+def test_semantic_dedup_megacell_cap(spark):
+    """The megacell valve: one degenerate cell holds most of the corpus
+    (every vector near one center, k seeds from it). With the cap
+    engaged the oversized cell skips the pair test — its members come
+    back keep=1 / n_sem_dups=0 / cell_capped=1 (conservative keep-all)
+    — while a small healthy cell still dedups; uncapped, the same twins
+    are caught. The flagged fraction is the re-cluster alarm."""
+    import random
+
+    from hadoop_tfidf_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(9)
+    rows = []
+    # 30 vectors piled near one center (the megacell) + 4 outliers far
+    # away (their own cell), with a planted twin in EACH group
+    for i in range(30):
+        rows.append((i, [5.0 + rng.uniform(-0.5, 0.5) for _ in range(8)]))
+    rows[29] = (29, [x + rng.uniform(-1e-4, 1e-4) for x in rows[3][1]])
+    for j in range(4):
+        rows.append((100 + j, [-40.0 + rng.uniform(-0.5, 0.5)
+                               for _ in range(8)]))
+    rows[33] = (103, [x + rng.uniform(-1e-4, 1e-4) for x in rows[30][1]])
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    def run(cap):
+        return {
+            r.vec_id: r
+            for r in semantic_dedup(
+                emb, k=2, iters=2, units=1_000_000,
+                threshold=0.999999, max_cell_size=cap,
+            ).collect()
+        }
+
+    uncapped = run(None)
+    assert all(r.cell_capped == 0 for r in uncapped.values())
+    assert uncapped[29].keep == 0      # twin of 3 caught
+    assert uncapped[103].keep == 0     # twin of 100 caught
+
+    capped = run(10)  # megacell (~30) > 10 > outlier cell (4)
+    big = [r for r in capped.values() if r.cell_capped == 1]
+    assert len(big) >= 25              # the pile is flagged wholesale
+    assert all(r.keep == 1 and r.n_sem_dups == 0 for r in big)
+    assert capped[29].cell_capped == 1 and capped[29].keep == 1
+    assert capped[103].keep == 0       # healthy small cell still dedups
+    assert capped[103].cell_capped == 0
