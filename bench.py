@@ -58,7 +58,7 @@ HEADLINE = [
     "tfidf", "search", "rank", "tfidf_rank",
     # end-to-end corpus curation (lang→quality→dedup→near-dup→split)
     # and its training-ready extension (+ split-aware sequence packing)
-    "pipeline_curate", "pipeline_curate_pack",
+    "pipeline_curate", "pipeline_curate_pack", "pipeline_curate_semantic",
     # modern ranking (Okapi BM25 over the same corpus + query literals)
     "search_bm25",
     # dedup family (minhash twice: free-running + megabucket cap engaged,
