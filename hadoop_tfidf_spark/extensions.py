@@ -689,6 +689,16 @@ def q_rel_lapsed_customers(spark, sf_dir):
     return R.lapsed_customers(_tbl(spark, sf_dir, "orders"), 1996, 1997)
 
 
+def q_text_bpe_pairs(spark, sf_dir):
+    """Tokenizer-training statistics: first-round BPE pair counts over
+    the word-frequency table (chars as initial symbols) — the relation
+    whose argmax is the first merge; vocabulary-sized work after one
+    corpus aggregation."""
+    from hadoop_tfidf_spark.functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top=100)
+
+
 def q_text_ngram_freq(spark, sf_dir):
     from hadoop_tfidf_spark.functions.text import ngram_freq
 
@@ -1674,6 +1684,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_capped": q_dedup_semantic_capped,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
+    "text_bpe_pairs": q_text_bpe_pairs,
     # -- round-7 newcomers, never driver-rowed until now --
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "streaming_mixture_weights": q_streaming_mixture_weights,
@@ -1713,7 +1724,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_redact": q_text_pii_redact,
     "text_hash_sample": q_text_hash_sample,
     "sim_quantize_int8": q_sim_quantize_int8,
-    "doc_frequency_salted": q_doc_frequency_salted,
     "dedup_exact": q_dedup_exact,
     # ---- past the 50-slot cap from here down ----
     # r5-row entries displaced by sim_recall_curve / pipeline_curate_semantic
@@ -1721,6 +1731,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sql_tfidf_top100": q_sql_tfidf_top100,
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
+    "doc_frequency_salted": q_doc_frequency_salted,
     # r7-green cohort ceding slots
     "text_cooccurrence_capped": q_text_cooccurrence_capped,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
@@ -3253,6 +3264,26 @@ FROM events GROUP BY user_id
     "sim_recall_curve": _recall_curve_sql(),
     "dedup_semantic": _semantic_dedup_sql(),
     "dedup_semantic_capped": _semantic_dedup_sql(GATE_SEM_CELL_CAP),
+    "text_bpe_pairs": """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word
+),
+ch AS (
+  SELECT word, n, string_split(word, '') AS cs FROM wc
+  WHERE length(word) >= 2
+),
+idx AS (
+  SELECT n, cs, unnest(range(1, len(cs))) AS i FROM ch
+)
+SELECT cs[i] AS left_sym, cs[i + 1] AS right_sym,
+       CAST(sum(n) AS BIGINT) AS pair_count
+FROM idx GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 100
+""",
     # Envelope oracles: exact values recomputed independently; the
     # in-bounds flags are asserted literally — the Spark side must deliver
     # sketch/BLAS results inside their error contracts to hash-match.

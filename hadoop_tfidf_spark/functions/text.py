@@ -701,3 +701,120 @@ def decontaminate(
         .select("doc_id")
     )
     return docs.join(dropped, "doc_id", "left_anti")
+
+
+def bpe_pair_counts(docs: DataFrame, top: int = 100) -> DataFrame:
+    """First-round BPE merge statistics (Sennrich et al. 2016, the GPT-2
+    tokenizer-training recipe): adjacent symbol-pair frequencies over
+    the word-frequency table with characters as the initial symbols —
+    the relation whose argmax IS the first merge a tokenizer trainer
+    picks. Output top-``top`` rows
+    ``(left_sym, right_sym, pair_count)``, totally ordered by
+    (count desc, left, right) so the cut is deterministic on any engine.
+
+    Scale shape: the corpus is touched ONCE by the word-count
+    aggregation (uniform md5-friendly key, map-side partial); the char
+    explode and pair counting then run over the DISTINCT VOCABULARY
+    weighted by word counts — vocabulary-sized work regardless of
+    corpus size, exactly how production BPE trainers operate on a word
+    histogram, never the raw text. The char array is staged through a
+    projection so the indexed pair lambda doesn't re-split the word per
+    element (the O(len²) HOF trap)."""
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    vocab = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    staged = vocab.select("word", "n", F.split("word", "").alias("_c"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_c") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("_c"), i).alias("left_sym"),
+            F.element_at(F.col("_c"), i + 1).alias("right_sym"),
+        ),
+    )
+    return (
+        staged.where(F.size("_c") >= 2)
+        .select("n", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.left_sym").alias("left_sym"),
+            F.col("p.right_sym").alias("right_sym"),
+        )
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(top)
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 10
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Reference BPE trainer loop over the word-frequency table: start
+    from character symbols, then ``n_merges`` times pick the most
+    frequent adjacent pair (count desc, then lexicographic — fully
+    deterministic) and merge it everywhere. Returns the ordered merge
+    list and the final symbolized vocabulary ``(word, symbols, n)``.
+
+    Scale shape: every iteration is ONE vocabulary-sized aggregation
+    (pair counts ride the same partial-agg shape as
+    :func:`bpe_pair_counts`) plus a 1-row collect of the winning pair —
+    the only driver data is the merge itself. The per-word merge rewrite
+    is a row-local ``aggregate`` fold (words are tens of symbols, so
+    the append-copies-accumulator cost is negligible); the vocab
+    persists each round and the previous generation unpersists, the
+    connected-components lineage pattern. Production trainers sample
+    the corpus for the histogram — at 100 TB pass ``docs.sample()``."""
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    vocab = (
+        docs.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .select("word", "n", F.split("word", "").alias("symbols"))
+        .persist()
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("symbols") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("symbols"), i).alias("l"),
+                F.element_at(F.col("symbols"), i + 1).alias("r"),
+            ),
+        )
+        best = (
+            vocab.where(F.size("symbols") >= 2)
+            .select("n", F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["l"], best[0]["r"]
+        merges.append((left, right))
+        merged = F.concat(F.lit(left), F.lit(right))
+        # row-local merge: left-to-right fold, non-overlapping (a merged
+        # token can't re-merge with the next raw symbol this round —
+        # standard BPE application order)
+        # Whole-element equality keeps rounds honest: a token produced
+        # by THIS round's merge is the full `left+right` string, which
+        # can never equal `left` again, so merges don't overlap
+        # ("aaaa" + merge(a,a) → [aa, aa], not [aa, aaa]).
+        new_syms = F.aggregate(
+            F.col("symbols"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = vocab.select("word", "n", new_syms.alias("symbols")).persist()
+        nxt.count()  # materialize before dropping the parent generation
+        vocab.unpersist()
+        vocab = nxt
+    return merges, vocab

@@ -354,3 +354,49 @@ def test_semantic_dedup_megacell_cap(spark):
     assert capped[29].cell_capped == 1 and capped[29].keep == 1
     assert capped[103].keep == 0       # healthy small cell still dedups
     assert capped[103].cell_capped == 0
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    """Pair counts over the word-frequency table, hand-pinned: corpus
+    'low low low lower lowest' → pair (l,o) count 5, (o,w) 5,
+    (w,e) 2, etc. Ordering is (count desc, left, right)."""
+    from hadoop_tfidf_spark.functions.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lowest")],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        (r.left_sym, r.right_sym): r.pair_count
+        for r in bpe_pair_counts(docs, top=100).collect()
+    }
+    assert got[("l", "o")] == 5 and got[("o", "w")] == 5
+    assert got[("w", "e")] == 2
+    assert got[("e", "r")] == 1 and got[("s", "t")] == 1
+
+
+def test_bpe_train_merge_sequence(spark):
+    """The trainer's merges on the classic corpus, hand-computed:
+    (l,o)x5 ties (o,w)x5 → lexicographic picks (l,o); ('lo','w')x5
+    dominates round 2; then ('low','e')x2 beats the x1 suffix pairs and
+    ('lowe','r') closes. Also pins the non-overlap rule on
+    'aaaa' → [aa, aa]."""
+    from hadoop_tfidf_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lowest")],
+        "doc_id BIGINT, text STRING",
+    )
+    merges, vocab = bpe_train(docs, n_merges=4)
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")]
+    syms = {r.word: list(r.symbols) for r in vocab.collect()}
+    assert syms["low"] == ["low"]
+    assert syms["lower"] == ["lower"]
+    assert syms["lowest"] == ["lowe", "s", "t"]
+    vocab.unpersist()
+
+    rep = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id BIGINT, text STRING")
+    merges2, vocab2 = bpe_train(rep, n_merges=1)
+    assert merges2 == [("a", "a")]
+    assert [list(r.symbols) for r in vocab2.collect()] == [["aa", "aa"]]
+    vocab2.unpersist()
