@@ -81,6 +81,7 @@ HEADLINE = [
     # cooccurrence_capped = the engaged single-key-tail valve)
     "text_quality", "text_fingerprint", "text_lm_score",
     "text_c4_filters", "text_pack_sequences", "text_cooccurrence_capped",
+    "text_bpe_pairs",
     # multimodal (Arrow mapInPandas path)
     "multimodal_decode",
     # relational / events
