@@ -699,6 +699,36 @@ def q_text_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(_docs(spark, sf_dir), top=100)
 
 
+#: Merge rounds for the gated BPE-vocabulary replay (each round is one
+#: vocab aggregation + a 1-row collect Spark-side, and one CTE stage in
+#: the oracle).
+BPE_GATE_MERGES = 4
+
+
+def q_text_bpe_vocab(spark, sf_dir):
+    """The BPE TRAINER itself under the hash gate: run
+    :func:`bpe_train` for :data:`BPE_GATE_MERGES` deterministic merges
+    and emit the symbolized vocabulary — the oracle replays every round
+    (pair counts → argmax by (count desc, pair) → non-overlapping
+    left-to-right fold rewrite via ``list_reduce``), so the merge
+    CHOICES and their application both hash-match, not just the
+    first-round statistics."""
+    from hadoop_tfidf_spark.functions.text import bpe_train
+
+    merges, vocab = bpe_train(_docs(spark, sf_dir), n_merges=BPE_GATE_MERGES)
+    out = vocab.select(
+        "word",
+        F.col("n").cast("bigint").alias("n"),
+        F.size("symbols").cast("int").alias("n_symbols"),
+        F.array_join("symbols", " ").alias("symbols_str"),
+    )
+    # release the trainer's cache — the returned lazy plan re-derives
+    # the fold chain from the collected merge literals (the
+    # q_sim_topk_ivfpq pattern)
+    vocab.unpersist()
+    return out
+
+
 def q_text_ngram_freq(spark, sf_dir):
     from hadoop_tfidf_spark.functions.text import ngram_freq
 
@@ -1685,6 +1715,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic_capped": q_dedup_semantic_capped,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
     "text_bpe_pairs": q_text_bpe_pairs,
+    "text_bpe_vocab": q_text_bpe_vocab,
     # -- round-7 newcomers, never driver-rowed until now --
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "streaming_mixture_weights": q_streaming_mixture_weights,
@@ -1723,7 +1754,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rel_parts_with_shipments": q_rel_parts_with_shipments,
     "text_pii_redact": q_text_pii_redact,
     "text_hash_sample": q_text_hash_sample,
-    "sim_quantize_int8": q_sim_quantize_int8,
     "dedup_exact": q_dedup_exact,
     # ---- past the 50-slot cap from here down ----
     # r5-row entries displaced by sim_recall_curve / pipeline_curate_semantic
@@ -1732,6 +1762,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_tfidf_top100": q_sql_tfidf_top100,
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
     "doc_frequency_salted": q_doc_frequency_salted,
+    "sim_quantize_int8": q_sim_quantize_int8,
     # r7-green cohort ceding slots
     "text_cooccurrence_capped": q_text_cooccurrence_capped,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
@@ -2343,6 +2374,53 @@ FROM approx a
 LEFT JOIN brute b ON b.query_id = a.query_id AND b.vec_id = a.vec_id
 GROUP BY a.nprobe, a.query_id
 """
+
+
+def _bpe_vocab_sql(n_merges: int) -> str:
+    """BPE trainer replay: ``n_merges`` chained CTE rounds, each = pair
+    counts over the current symbolized vocab → deterministic argmax
+    (count desc, then lexicographic pair) → non-overlapping
+    left-to-right merge rewrite as a ``list_reduce`` fold (the empty
+    accumulator rides via ``list_prepend``; whole-element equality
+    reproduces the aaaa → [aa, aa] rule) — mirrors
+    ``functions.text.bpe_train`` round-for-round."""
+    ctes = [
+        """v0 AS (
+  SELECT word, count(*) AS n, string_split(word, '') AS syms FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+)"""
+    ]
+    for i in range(n_merges):
+        ctes.append(f"""p{i} AS (
+  SELECT cs[j] AS l, cs[j + 1] AS r, sum(n) AS c FROM (
+    SELECT n, syms AS cs, unnest(range(1, len(syms))) AS j
+    FROM v{i} WHERE len(syms) >= 2
+  ) GROUP BY 1, 2
+)""")
+        ctes.append(f"""b{i} AS (
+  SELECT l, r FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+)""")
+        ctes.append(f"""v{i + 1} AS (
+  SELECT word, n,
+    list_reduce(
+      list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+      (a, x) -> CASE WHEN len(a) > 0 AND a[len(a)] = b.l AND x[1] = b.r
+                THEN list_concat(list_slice(a, 1, len(a) - 1), [b.l || b.r])
+                ELSE list_concat(a, x) END
+    ) AS syms
+  FROM v{i}, b{i} b
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT word, CAST(n AS BIGINT) AS n,
+       CAST(len(syms) AS INTEGER) AS n_symbols,
+       array_to_string(syms, ' ') AS symbols_str
+FROM v{n_merges}
+"""
+    )
 
 
 def _semantic_dedup_sql(max_cell_size: int | None = None) -> str:
@@ -3264,6 +3342,7 @@ FROM events GROUP BY user_id
     "sim_recall_curve": _recall_curve_sql(),
     "dedup_semantic": _semantic_dedup_sql(),
     "dedup_semantic_capped": _semantic_dedup_sql(GATE_SEM_CELL_CAP),
+    "text_bpe_vocab": _bpe_vocab_sql(BPE_GATE_MERGES),
     "text_bpe_pairs": """
 WITH w AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents
