@@ -264,3 +264,151 @@ def test_lm_histogram_conserves_scored_docs(spark, texts):
     assert sum(r.n_docs for r in hist) == n_scored
     if n_scored:
         assert abs(sum(r.doc_share for r in hist) - 1.0) < 1e-5
+
+
+def _ref_bpe_train(word_counts: dict[str, int], n_merges: int):
+    """Independent pure-Python BPE trainer (Sennrich et al.): char-symbol
+    start, per round argmax pair by (count desc, pair lexicographic),
+    non-overlapping left-to-right merge. Mirrors NOTHING of the Spark
+    implementation — dict/loop arithmetic only."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            n = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        left, right = best
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges, vocab
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_bpe_train_matches_pure_python_reference(spark, words, n_merges):
+    """bpe_train == the independent dict/loop reference on ANY corpus:
+    same merge sequence, same final symbolization (the Spark side's
+    fold, argmax tie-breaks, and per-round application all pinned at
+    once)."""
+    from hadoop_tfidf_spark.functions.text import bpe_train
+
+    docs = _docs(spark, [" ".join(words)])
+    wc: dict[str, int] = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    want_merges, want_vocab = _ref_bpe_train(wc, n_merges)
+    merges, vocab = bpe_train(docs, n_merges=n_merges)
+    got_vocab = {r.word: list(r.symbols) for r in vocab.collect()}
+    vocab.unpersist()
+    assert merges == want_merges
+    assert got_vocab == want_vocab
+
+
+def _ref_semantic_dedup(vecs, k, iters, units, threshold):
+    """Independent integer-Lloyd + within-cell cosine reference
+    (plain Python floats/ints, no Spark/DuckDB constructs)."""
+    import math as m
+
+    def rnd(v):
+        # half-AWAY-from-zero, the Spark/DuckDB round contract (Python's
+        # built-in round is banker's and would flake on exact .5 means)
+        return int(m.floor(v + 0.5)) if v >= 0 else int(m.ceil(v - 0.5))
+
+    ids = sorted(vecs)
+    u = {i: [rnd(x * units) for x in vecs[i]] for i in ids}
+    cents = [u[i] for i in ids[:k]]
+
+    def assign():
+        out = {}
+        for i in ids:
+            d2s = [
+                (sum((a - b) ** 2 for a, b in zip(u[i], c)), ci)
+                for ci, c in enumerate(cents)
+            ]
+            out[i] = min(d2s)[1]
+        return out
+
+    a = assign()
+    for _ in range(iters):
+        for ci in range(len(cents)):
+            members = [i for i in ids if a[i] == ci]
+            if members:
+                cents[ci] = [
+                    rnd(sum(u[i][d] for i in members) / len(members))
+                    for d in range(len(cents[ci]))
+                ]
+        a = assign()
+
+    def cos(x, y):
+        dt = sum(p * q for p, q in zip(x, y))
+        nx = m.sqrt(sum(p * p for p in x))
+        ny = m.sqrt(sum(p * p for p in y))
+        return round(dt / (nx * ny), 6)
+
+    out = {}
+    for i in ids:
+        nbrs = [
+            j for j in ids
+            if j != i and a[j] == a[i] and cos(vecs[i], vecs[j]) >= threshold
+        ]
+        lower = [j for j in nbrs if j < i]
+        out[i] = (a[i], len(nbrs), 0 if lower else 1)
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-50, max_value=50).map(lambda v: v / 10.0),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=10,
+        unique_by=tuple,
+    )
+)
+@SETTINGS
+def test_semantic_dedup_matches_pure_python_reference(spark, vec_list):
+    """semantic_dedup == the independent Lloyd+cosine reference on ANY
+    vector set: same cells, same neighbor counts, same keep bits (the
+    argmin/argmax tie-breaks and rounded-cosine threshold pinned on
+    arbitrary inputs, not just the gate fixture)."""
+    import pytest as _pt
+
+    from hadoop_tfidf_spark.operators.similarity import semantic_dedup
+
+    if any(all(abs(x) < 1e-9 for x in v) for v in vec_list):
+        _pt.skip("zero vector has no cosine")
+    vecs = {i: v for i, v in enumerate(vec_list)}
+    want = _ref_semantic_dedup(vecs, k=2, iters=1, units=1000, threshold=0.8)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.n_sem_dups, r.keep)
+        for r in semantic_dedup(
+            emb, k=2, iters=1, units=1000, threshold=0.8
+        ).collect()
+    }
+    assert got == want
