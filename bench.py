@@ -82,6 +82,11 @@ HEADLINE = [
     "text_quality", "text_fingerprint", "text_lm_score",
     "text_c4_filters", "text_pack_sequences", "text_cooccurrence_capped",
     "text_bpe_pairs",
+    # data selection (DSIR hashed-bigram importance against a target slice)
+    "text_dsir",
+    # dimensionality reduction (JL Rademacher projection, corpus-wide;
+    # PCA = the full integer eigensolve + trained projection)
+    "sim_rp_project", "sim_pca_project",
     # multimodal (Arrow mapInPandas path)
     "multimodal_decode",
     # relational / events

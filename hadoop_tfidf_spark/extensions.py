@@ -715,7 +715,7 @@ def q_text_bpe_vocab(spark, sf_dir):
     first-round statistics."""
     from hadoop_tfidf_spark.functions.text import bpe_train
 
-    merges, vocab = bpe_train(_docs(spark, sf_dir), n_merges=BPE_GATE_MERGES)
+    _, vocab = bpe_train(_docs(spark, sf_dir), n_merges=BPE_GATE_MERGES)
     out = vocab.select(
         "word",
         F.col("n").cast("bigint").alias("n"),
@@ -727,6 +727,167 @@ def q_text_bpe_vocab(spark, sf_dir):
     # q_sim_topk_ivfpq pattern)
     vocab.unpersist()
     return out
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    """Per-doc token counts under the 4-merge trained BPE tokenizer —
+    the packing/mixture budget unit; trainer runs once, the count is a
+    word-keyed join + doc aggregation (merges never re-applied per
+    doc). Oracle shares the trainer replay chain with
+    text_bpe_vocab."""
+    from hadoop_tfidf_spark.functions.text import bpe_token_counts, bpe_train
+
+    _, vocab = bpe_train(_docs(spark, sf_dir), n_merges=BPE_GATE_MERGES)
+    out = bpe_token_counts(_docs(spark, sf_dir), vocab)
+    vocab.unpersist()  # lazy count plan re-derives the fold chain
+    return out
+
+
+#: Hash-feature buckets / smoothing for the gated DSIR replay — small
+#: enough that the oracle's window totals stay trivial, large enough
+#: that bucket collisions don't flatten the signal at sf0.01.
+DSIR_GATE_BUCKETS = 256
+DSIR_GATE_TARGET = "src0"
+
+
+def q_text_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): every doc scored by
+    hashed-bigram log-likelihood ratio against the ``source = 'src0'``
+    target slice — the data-selection signal for "find more docs like
+    the trusted domain". Integer micro-log units make the per-doc sum
+    engine-exact (the lm_score pattern)."""
+    from hadoop_tfidf_spark.operators.sampling import dsir_importance
+
+    return dsir_importance(
+        _tbl(spark, sf_dir, "documents"),
+        F.col("source") == DSIR_GATE_TARGET,
+        n_buckets=DSIR_GATE_BUCKETS,
+    )
+
+
+def q_text_dsir_select(spark, sf_dir):
+    """The DSIR selection cut: top-100 NON-target docs by importance
+    weight (logratio desc, doc_id tiebreak) — the materialized "more
+    data like the target" slice a pretraining recipe feeds back into
+    the mixture. TakeOrderedAndProject, never a global sort."""
+    from hadoop_tfidf_spark.operators.sampling import (
+        dsir_importance,
+        dsir_select,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    imp = dsir_importance(
+        docs, F.col("source") == DSIR_GATE_TARGET, n_buckets=DSIR_GATE_BUCKETS
+    )
+    raw_only = imp.join(
+        docs.where(F.col("source") == DSIR_GATE_TARGET).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    return dsir_select(raw_only, top_n=100)
+
+
+#: JL random-projection gate parameters: 64 -> 16 dims, micro-unit
+#: quantization, and a ~1/50 content-keyed id sample for the all-pairs
+#: distortion audit (~40 ids => ~800 pairs at sf0.01).
+RP_GATE_OUT_DIM = 16
+RP_GATE_IN_DIM = 64
+RP_GATE_UNITS = 1_000_000
+RP_SAMPLE_MOD = 50
+
+
+def q_sim_rp_project(spark, sf_dir):
+    """Johnson-Lindenstrauss Rademacher projection 64 -> 16, exploded to
+    ``(vec_id, j, v_u)`` scalar rows for the gate compare. The seeded
+    +/-1 matrix re-derives from md5 parity on both engines; every
+    component is an exact BIGINT micro-unit sum. Zero shuffles, zero
+    joins, zero Python — the 100 TB pre-step before ANN/clustering when
+    the raw dimension is wide."""
+    from hadoop_tfidf_spark.operators.similarity import random_projection
+
+    out = random_projection(
+        _emb(spark, sf_dir),
+        out_dim=RP_GATE_OUT_DIM,
+        in_dim=RP_GATE_IN_DIM,
+        units=RP_GATE_UNITS,
+    )
+    return out.select(
+        "vec_id", F.posexplode("rp").alias("j", "v_u")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), "v_u")
+
+
+def q_sim_rp_distortion(spark, sf_dir):
+    """The JL fidelity dashboard: pairwise ``d2_proj / (16 * d2_orig)``
+    over a deterministic ~40-id hash sample — the ratio the lemma says
+    concentrates at 1, and the number that says whether 16 dims suffice
+    BEFORE ANN recall quietly degrades. All-pairs only within the
+    sample (broadcast), distances exact BIGINT, d2=0 guarded to NULL."""
+    from hadoop_tfidf_spark.operators.similarity import rp_distortion
+
+    return rp_distortion(
+        _emb(spark, sf_dir),
+        out_dim=RP_GATE_OUT_DIM,
+        in_dim=RP_GATE_IN_DIM,
+        units=RP_GATE_UNITS,
+        sample_mod=RP_SAMPLE_MOD,
+    )
+
+
+#: Integer power-iteration PCA gate parameters: top-4 components, 8
+#: matvec+requantize rounds each, inputs at 1e-4 quantization (keeps the
+#: exact-integer covariance numerator far inside 2^53 at gate scale).
+PCA_GATE_K = 4
+PCA_GATE_ITERS = 8
+PCA_GATE_UNITS = 10_000
+
+
+def q_sim_pca_components(spark, sf_dir):
+    """Top-4 principal components by integer power iteration with
+    deflation: the covariance numerator ``n*S - s*s^T`` is an exact
+    BIGINT matrix (computed distributed via Arrow int64 gemm partials),
+    and every iteration step requantizes through half-away rounding —
+    so the DuckDB oracle replays the ENTIRE eigensolve (rescale, 8
+    matvec rounds x 4 components, Rayleigh quotients, deflation)
+    bit-for-bit. Output ``(component, d, v_u, lambda_q)``; the tiny
+    k x dim result materializes driver-side by construction (the
+    corpus-sized work all ran in executors)."""
+    from hadoop_tfidf_spark.operators.similarity import pca_power_build
+
+    comps, lams, _ = pca_power_build(
+        _emb(spark, sf_dir),
+        k=PCA_GATE_K,
+        iters=PCA_GATE_ITERS,
+        units=PCA_GATE_UNITS,
+    )
+    rows = [
+        (c, d, int(v), float(lams[c]))
+        for c, comp in enumerate(comps)
+        for d, v in enumerate(comp)
+    ]
+    out = spark.createDataFrame(
+        rows, "component INT, d INT, v_u BIGINT, lambda_q DOUBLE"
+    )
+    return out.select(
+        "component", "d", "v_u", F.round("lambda_q", 6).alias("lambda_q")
+    )
+
+
+def q_sim_pca_project(spark, sf_dir):
+    """The trained counterpart of the JL projection: corpus projected
+    onto its own top-4 variance directions — exact BIGINT dot products
+    against the power-iteration components, one narrow zero-shuffle
+    pass (components ride into codegen as array literals). The oracle
+    replays the full build AND the projection."""
+    from hadoop_tfidf_spark.operators.similarity import (
+        pca_power_build,
+        pca_project,
+    )
+
+    emb = _emb(spark, sf_dir)
+    comps, _, _ = pca_power_build(
+        emb, k=PCA_GATE_K, iters=PCA_GATE_ITERS, units=PCA_GATE_UNITS
+    )
+    return pca_project(emb, comps, units=PCA_GATE_UNITS)
 
 
 def q_text_ngram_freq(spark, sf_dir):
@@ -1686,9 +1847,15 @@ def q_sim_label_centroids(spark, sf_dir):
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
 # oracle-backed query's newest driver row stays fresh. Round-8 composition:
-#   1) the two brand-new round-8 queries (ANN recall audit, SemDeDup
-#      semantic dedup) plus the two round-7 newcomers that were added
-#      past-cap and have never held a driver row (dedup_cluster_sizes,
+#   1) the fourteen brand-new round-8 queries (ANN recall audit + curve,
+#      SemDeDup semantic dedup ×2, the semantic curate pipeline, the
+#      BPE trio: pair stats, the hash-gated trainer, per-doc token
+#      counts — the DSIR pair: importance weights + the selection cut —
+#      the JL pair: Rademacher random projection + the pairwise
+#      distortion audit — and the PCA pair: the integer power-iteration
+#      eigensolve and the trained projection) plus the two round-7
+#      newcomers that were added past-cap
+#      and have never held a driver row (dedup_cluster_sizes,
 #      streaming_mixture_weights),
 #   2) every query whose code or semantics changed this round: the
 #      interval-merged sliding-span dedup, the three multimodal queries
@@ -1699,13 +1866,16 @@ def q_sim_label_centroids(spark, sf_dir):
 #   3) the r6-row cohort the round-7 verdict asked back in (sim_topk_ivf,
 #      approx-distinct + BLAS error envelopes, uncapped cooccurrence,
 #      corpus diff, mixture weights, label centroids, range frames),
-#   4) sixteen entries whose newest rows date from r05 (asof 30d window
-#      ... simhash pairs) — the stale-est cohort.
+#   4) four entries whose newest rows date from r05 (asof 30d window
+#      ... rel_market_share) — the stale-est cohort that still fit.
 # Stable round-7 cohort members (span_exact, the PQ/IVFADC family,
 # packing, C4, LM score, both pipelines, the relational r7 block) ceded
-# their slots and ride CORRECTNESS_r07 rows + LOCAL_CHECK_r08.md; eight
-# r5-row entries that did not fit (dedup_components ... revenue_by_region)
-# are the FIRST rotation priority for round 9. The 2 structurally
+# their slots and ride CORRECTNESS_r07 rows + LOCAL_CHECK_r08.md;
+# twenty r5-row entries that did not fit (simhash pairs, sql top-100,
+# doc-sim, salted df, int8, pii_redact, hash_sample, dedup_exact,
+# orders_above_avg, parts_with_shipments, status_priority,
+# returned_top, dedup_components ... revenue_by_region) are the FIRST
+# rotation priority for round 9. The 2 structurally
 # no-oracle entries (HLL/GK sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-8 brand-new --
@@ -1716,6 +1886,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
     "text_bpe_pairs": q_text_bpe_pairs,
     "text_bpe_vocab": q_text_bpe_vocab,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "text_dsir": q_text_dsir,
+    "text_dsir_select": q_text_dsir_select,
+    "sim_rp_project": q_sim_rp_project,
+    "sim_rp_distortion": q_sim_rp_distortion,
+    "sim_pca_components": q_sim_pca_components,
+    "sim_pca_project": q_sim_pca_project,
     # -- round-7 newcomers, never driver-rowed until now --
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "streaming_mixture_weights": q_streaming_mixture_weights,
@@ -1748,14 +1925,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_extremes": q_events_user_extremes,
     "events_time_rollup": q_events_time_rollup,
     "rel_market_share": q_rel_market_share,
+    # ---- past the 50-slot cap from here down ----
     "rel_status_priority": q_rel_status_priority,
     "rel_returned_top": q_rel_returned_top,
     "rel_orders_above_avg": q_rel_orders_above_avg,
     "rel_parts_with_shipments": q_rel_parts_with_shipments,
-    "text_pii_redact": q_text_pii_redact,
     "text_hash_sample": q_text_hash_sample,
     "dedup_exact": q_dedup_exact,
-    # ---- past the 50-slot cap from here down ----
     # r5-row entries displaced by sim_recall_curve / pipeline_curate_semantic
     # (round-9 priority)
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1763,6 +1939,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
     "doc_frequency_salted": q_doc_frequency_salted,
     "sim_quantize_int8": q_sim_quantize_int8,
+    "text_pii_redact": q_text_pii_redact,
     # r7-green cohort ceding slots
     "text_cooccurrence_capped": q_text_cooccurrence_capped,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
@@ -2376,14 +2553,15 @@ GROUP BY a.nprobe, a.query_id
 """
 
 
-def _bpe_vocab_sql(n_merges: int) -> str:
-    """BPE trainer replay: ``n_merges`` chained CTE rounds, each = pair
-    counts over the current symbolized vocab → deterministic argmax
-    (count desc, then lexicographic pair) → non-overlapping
+def _bpe_chain_ctes(n_merges: int) -> list:
+    """The BPE trainer replay CTE chain: ``n_merges`` rounds, each =
+    pair counts over the current symbolized vocab → deterministic
+    argmax (count desc, then lexicographic pair) → non-overlapping
     left-to-right merge rewrite as a ``list_reduce`` fold (the empty
     accumulator rides via ``list_prepend``; whole-element equality
     reproduces the aaaa → [aa, aa] rule) — mirrors
-    ``functions.text.bpe_train`` round-for-round."""
+    ``functions.text.bpe_train`` round-for-round. Shared by the vocab
+    and per-doc token-count oracles."""
     ctes = [
         """v0 AS (
   SELECT word, count(*) AS n, string_split(word, '') AS syms FROM (
@@ -2411,9 +2589,13 @@ def _bpe_vocab_sql(n_merges: int) -> str:
     ) AS syms
   FROM v{i}, b{i} b
 )""")
+    return ctes
+
+
+def _bpe_vocab_sql(n_merges: int) -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_bpe_chain_ctes(n_merges))
         + f"""
 SELECT word, CAST(n AS BIGINT) AS n,
        CAST(len(syms) AS INTEGER) AS n_symbols,
@@ -2421,6 +2603,237 @@ SELECT word, CAST(n AS BIGINT) AS n,
 FROM v{n_merges}
 """
     )
+
+
+def _bpe_tokens_sql(n_merges: int) -> str:
+    """Per-doc token counts under the trained tokenizer: every corpus
+    word's post-merge symbolization already lives in the final vocab
+    CTE, so the per-doc count is a word-keyed join + sum — no per-doc
+    merge re-application, same trick the Spark side uses."""
+    return (
+        "WITH "
+        + ",\n".join(_bpe_chain_ctes(n_merges))
+        + f""",
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+FROM tok t JOIN v{n_merges} v USING (word)
+WHERE t.word <> ''
+GROUP BY t.doc_id
+"""
+    )
+
+
+def _dsir_sql(select_top: int | None = None) -> str:
+    """DSIR replay: hashed-bigram buckets (the md5 bucket idiom),
+    ONE bucket aggregation with window totals, per-bucket micro-log
+    ratios, per-doc BIGINT sum. ``select_top`` switches to the
+    selection cut (non-target docs, logratio desc / doc_id)."""
+    b, k, kb = DSIR_GATE_BUCKETS, 0.5, 0.5 * DSIR_GATE_BUCKETS
+    base = f"""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+feats AS (
+  SELECT doc_id, (source = '{DSIR_GATE_TARGET}') AS t,
+         ('0x' || substr(md5('dsir:' || array_to_string(w[i:i+1], ' ')),
+                         1, 15))::BIGINT % {b} AS bucket
+  FROM (
+    SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 1)) AS i
+    FROM words WHERE len(w) >= 2
+  )
+),
+pb AS (
+  SELECT bucket, count(*) AS n_raw,
+         sum(CASE WHEN t THEN 1 ELSE 0 END) AS n_t
+  FROM feats GROUP BY bucket
+),
+ratios AS (
+  SELECT bucket,
+         CAST(round((log10((n_t + {k}) / (sum(n_t) OVER () + {kb}))
+                   - log10((n_raw + {k}) / (sum(n_raw) OVER () + {kb})))
+                    * 1000000) AS BIGINT) AS lr_u
+  FROM pb
+),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_feats,
+         round(sum(r.lr_u) / 1000000.0, 6) AS dsir_logratio
+  FROM feats f JOIN ratios r USING (bucket)
+  GROUP BY f.doc_id
+)"""
+    if select_top is None:
+        return base + """
+SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       s.dsir_logratio
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+    return base + f"""
+SELECT s.doc_id, CAST(s.n_feats AS BIGINT) AS n_feats, s.dsir_logratio
+FROM scored s JOIN documents d USING (doc_id)
+WHERE d.source <> '{DSIR_GATE_TARGET}' AND s.dsir_logratio IS NOT NULL
+ORDER BY s.dsir_logratio DESC, s.doc_id
+LIMIT {select_top}
+"""
+
+
+def _pca_sql(project: bool = False) -> str:
+    """Full replay of the integer power-iteration PCA build
+    (``pca_power_build``): exact-integer covariance numerator, one
+    rescale to +/-1e6, then per component 8 unrolled
+    matvec -> /1e6 requantize -> unit-normalize rounds, a Rayleigh
+    quotient, and integer deflation — every intermediate BIGINT, every
+    float step a single shared IEEE expression. ``project`` appends the
+    corpus projection instead of emitting the components."""
+    k, iters, u = PCA_GATE_K, PCA_GATE_ITERS, PCA_GATE_UNITS
+    ctes = [
+        f"""eu AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+                                x -> CAST(round(x * {u}) AS BIGINT)) AS u
+  FROM embeddings
+)""",
+        """xx AS (
+  SELECT vec_id, generate_subscripts(u, 1) - 1 AS d, unnest(u) AS xv FROM eu
+)""",
+        "nn AS (SELECT count(*) AS n FROM eu)",
+        "sv AS (SELECT d, sum(xv) AS s FROM xx GROUP BY d)",
+        """ss AS (
+  SELECT a.d AS i, b.d AS j, sum(a.xv * b.xv) AS ssum
+  FROM xx a JOIN xx b USING (vec_id) GROUP BY a.d, b.d
+)""",
+        """cm AS (
+  SELECT ss.i, ss.j, (SELECT n FROM nn) * ss.ssum - si.s * sj.s AS m
+  FROM ss JOIN sv si ON si.d = ss.i JOIN sv sj ON sj.d = ss.j
+)""",
+        "mm AS (SELECT max(abs(m)) AS mm FROM cm)",
+        """mat0 AS (
+  SELECT i, j, CAST(round(m * 1000000.0 / (SELECT mm FROM mm)) AS BIGINT) AS mv
+  FROM cm
+)""",
+    ]
+    for c in range(k):
+        ctes.append(f"""v{c}_0 AS (
+  SELECT d.d,
+         CASE WHEN ('0x' || substr(md5('pca:{c}:' || d.d), 1, 15))::BIGINT % 2 = 0
+              THEN 1000000 ELSE -1000000 END AS v
+  FROM (SELECT unnest(generate_series(0, 63)) AS d) d
+)""")
+        for t in range(1, iters + 1):
+            ctes.append(f"""ws{c}_{t} AS (
+  SELECT m.i AS d, CAST(round(sum(m.mv * v.v) / 1000000.0) AS BIGINT) AS ws
+  FROM mat{c} m JOIN v{c}_{t - 1} v ON v.d = m.j GROUP BY m.i
+)""")
+            ctes.append(
+                f"n2{c}_{t} AS (SELECT sum(ws * ws) AS n2 FROM ws{c}_{t})"
+            )
+            ctes.append(f"""v{c}_{t} AS (
+  SELECT d, CAST(round(ws * 1000000 /
+                       sqrt(CAST((SELECT n2 FROM n2{c}_{t}) AS DOUBLE)))
+            AS BIGINT) AS v
+  FROM ws{c}_{t}
+)""")
+        ctes.append(f"""wf{c} AS (
+  SELECT m.i AS d, CAST(round(sum(m.mv * v.v) / 1000000.0) AS BIGINT) AS ws
+  FROM mat{c} m JOIN v{c}_{iters} v ON v.d = m.j GROUP BY m.i
+)""")
+        ctes.append(f"""lam{c} AS (
+  SELECT (SELECT sum(v.v * w.ws) FROM v{c}_{iters} v JOIN wf{c} w USING (d))
+         * 1000000.0
+         / (SELECT sum(v * v) FROM v{c}_{iters}) AS lam
+)""")
+        ctes.append(f"""mat{c + 1} AS (
+  SELECT m.i, m.j,
+         m.mv - CAST(round((SELECT lam FROM lam{c}) * vi.v * vj.v
+                           / 1000000000000.0) AS BIGINT) AS mv
+  FROM mat{c} m
+  JOIN v{c}_{iters} vi ON vi.d = m.i
+  JOIN v{c}_{iters} vj ON vj.d = m.j
+)""")
+    comp_sel = "\nUNION ALL\n".join(
+        f"SELECT {c} AS component, d, v, (SELECT lam FROM lam{c}) AS lam "
+        f"FROM v{c}_{iters}"
+        for c in range(k)
+    )
+    ctes.append(f"comp AS (\n{comp_sel}\n)")
+    # AS MATERIALIZED: the deep mat{c} -> ws -> v chains reference each
+    # other many times; DuckDB would otherwise inline them exponentially
+    # (observed: thousands of parquet scans -> fd exhaustion). Each CTE
+    # evaluates exactly once, like the Spark side.
+    ctes = [cte.replace(" AS (", " AS MATERIALIZED (", 1) for cte in ctes]
+    body = "WITH " + ",\n".join(ctes)
+    if not project:
+        return body + """
+SELECT CAST(component AS INTEGER) AS component, CAST(d AS INTEGER) AS d,
+       CAST(v AS BIGINT) AS v_u, round(lam, 6) AS lambda_q
+FROM comp
+"""
+    return body + """
+SELECT x.vec_id, CAST(c.component AS INTEGER) AS component,
+       CAST(sum(x.xv * c.v) AS BIGINT) AS score_u
+FROM xx x JOIN comp c ON c.d = x.d
+GROUP BY x.vec_id, c.component
+"""
+
+
+def _rp_sql(distortion: bool = False) -> str:
+    """JL projection replay: the +/-1 matrix from md5 parity over
+    (seed, j, d), inputs quantized to BIGINT micro-units (the IVF
+    idiom), projection = one integer sum per (vec_id, j). The
+    distortion form restricts to the hash-sampled ids, rebuilds the
+    projected lists, and compares exact pairwise squared distances."""
+    od, idim = RP_GATE_OUT_DIM, RP_GATE_IN_DIM
+    u, mod = RP_GATE_UNITS, RP_SAMPLE_MOD
+    sample = (
+        "\n  WHERE ('0x' || substr(md5('rpsample:' || vec_id), 1, 15))"
+        f"::BIGINT % {mod} = 0"
+        if distortion
+        else ""
+    )
+    base = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {u}) AS BIGINT)) AS u
+  FROM embeddings{sample}
+),
+s AS (
+  SELECT j.j, d.d,
+         CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || d.d), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT unnest(generate_series(0, {od - 1})) AS j) j
+  CROSS JOIN (SELECT unnest(generate_series(0, {idim - 1})) AS d) d
+),
+proj AS (
+  SELECT x.vec_id, s.j, CAST(sum(s.sgn * x.xu) AS BIGINT) AS v_u
+  FROM (SELECT vec_id, generate_subscripts(u, 1) - 1 AS d, unnest(u) AS xu
+        FROM e) x
+  JOIN s ON s.d = x.d
+  GROUP BY x.vec_id, s.j
+)"""
+    if not distortion:
+        return base + """
+SELECT vec_id, CAST(j AS INTEGER) AS j, v_u FROM proj
+"""
+    return base + f""",
+y AS (
+  SELECT vec_id, list(v_u ORDER BY j) AS y FROM proj GROUP BY vec_id
+),
+sides AS (
+  SELECT e.vec_id, e.u, y.y FROM e JOIN y USING (vec_id)
+)
+SELECT id_a, id_b, d2_orig_u, d2_proj_u,
+       CASE WHEN d2_orig_u > 0
+            THEN round(d2_proj_u / ({od} * d2_orig_u), 6)
+       END AS rp_ratio
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST({_int_d2_sql("a.u", "b.u")} AS BIGINT) AS d2_orig_u,
+         CAST({_int_d2_sql("a.y", "b.y")} AS BIGINT) AS d2_proj_u
+  FROM sides a JOIN sides b ON a.vec_id < b.vec_id
+)
+"""
 
 
 def _semantic_dedup_sql(max_cell_size: int | None = None) -> str:
@@ -3343,6 +3756,13 @@ FROM events GROUP BY user_id
     "dedup_semantic": _semantic_dedup_sql(),
     "dedup_semantic_capped": _semantic_dedup_sql(GATE_SEM_CELL_CAP),
     "text_bpe_vocab": _bpe_vocab_sql(BPE_GATE_MERGES),
+    "text_bpe_tokens": _bpe_tokens_sql(BPE_GATE_MERGES),
+    "text_dsir": _dsir_sql(),
+    "text_dsir_select": _dsir_sql(select_top=100),
+    "sim_rp_project": _rp_sql(),
+    "sim_rp_distortion": _rp_sql(distortion=True),
+    "sim_pca_components": _pca_sql(),
+    "sim_pca_project": _pca_sql(project=True),
     "text_bpe_pairs": """
 WITH w AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents

@@ -818,3 +818,33 @@ def bpe_train(
         vocab.unpersist()
         vocab = nxt
     return merges, vocab
+
+
+def bpe_token_counts(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-document token counts under a TRAINED BPE tokenizer — the
+    budget unit that actually matters for sequence packing and mixture
+    accounting (whitespace words over-count rare words, under-count
+    merged subwords). ``vocab`` is :func:`bpe_train`'s symbolized
+    vocabulary ``(word, n, symbols)``; since every corpus word's
+    post-merge form is already there, the per-doc count is one
+    word-keyed equi-join + sum — merges are NEVER re-applied per
+    document. Output ``(doc_id, n_words, n_bpe_tokens)``.
+
+    Scale: tokens explode once (the same relation the TF-IDF core
+    shuffles), the vocab side joins on the uniform word key, one
+    doc_id-keyed aggregation. For docs OUTSIDE the training corpus an
+    unseen word has no vocab row — inner-join semantics by design here
+    (train-corpus accounting); byte-fallback encoding is a tokenizer
+    concern, not a counting one."""
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tok = docs.select("doc_id", F.explode(words).alias("word"))
+    return (
+        tok.join(
+            vocab.select("word", F.size("symbols").alias("_ns")), "word"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("_ns").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -210,3 +210,116 @@ def pack_sequences(
             (F.col("cum_before") % budget).cast("bigint").alias("offset_in_pack"),
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    k_smooth: float = 0.5,
+    seed: int | str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    NeurIPS — the DSIR recipe): score every raw document by how much it
+    looks like a TARGET distribution, using hashed word-bigram features.
+    ``target`` is a boolean Column marking the in-corpus target slice
+    (e.g. a trusted source); the weight of doc *d* is
+
+        log w(d) = Σ_{f ∈ features(d)} [log10 p̂_target(f) − log10 p̂_raw(f)]
+
+    with each distribution an add-``k_smooth``-smoothed multinomial over
+    ``n_buckets`` hash buckets. High weight ⇒ the doc's n-gram profile
+    matches the target domain; feed the ranking to a top-p cut or a
+    Gumbel resample to materialize the selected corpus.
+
+    Cross-engine exactness rides the :func:`~hadoop_tfidf_spark.functions
+    .text.lm_score` pattern: per-bucket log-ratios are quantized to
+    BIGINT micro-log units, so the per-doc aggregation is an
+    order-insensitive integer sum; the final ``/1e6`` is one identical
+    IEEE division on identical integers everywhere.
+
+    Plan shape (two corpus scans, zero materialization): bigrams come
+    from the zero-shuffle staged-array shingle expression with the
+    target flag carried along — no join back to ``docs``; the feature
+    subtree feeds (a) the bucket statistics — ONE hash aggregation over
+    ``n_buckets`` keys (hash-uniform ⇒ no skew, partial aggs carry it) —
+    and (b) the per-doc scoring join, so Spark recomputes it once per
+    side (the :func:`~hadoop_tfidf_spark.functions.text.lm_score`
+    tradeoff: re-scanning parquet beats shuffling or caching a
+    corpus-sized explode). Totals ride an unpartitioned window over the
+    bucket-sized output (NOT a crossJoin diamond); the scoring join
+    broadcasts the ``n_buckets``-row ratio table. Output ``(doc_id,
+    n_feats, dsir_logratio)``; docs with < 2 words carry NULL score.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col("text"), " ")
+    staged = docs.select(
+        "doc_id", target.cast("boolean").alias("_t"), words.alias("_w")
+    ).where(F.size("_w") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+    )
+    feats = staged.select(
+        "doc_id",
+        "_t",
+        F.explode(grams).alias("bg"),
+    ).select(
+        "doc_id",
+        "_t",
+        hash_bucket_col(F.col("bg"), n_buckets, seed).alias("bucket"),
+    )
+    per_bucket = feats.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum(F.col("_t").cast("long")).cast("bigint").alias("n_t"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    n_raw_tot = F.sum("n_raw").over(w)
+    n_t_tot = F.sum("n_t").over(w)
+    kb = F.lit(float(k_smooth) * n_buckets)
+    lr_u = F.round(
+        (
+            F.log10((F.col("n_t") + F.lit(k_smooth)) / (n_t_tot + kb))
+            - F.log10((F.col("n_raw") + F.lit(k_smooth)) / (n_raw_tot + kb))
+        )
+        * F.lit(1_000_000)
+    ).cast("bigint")
+    ratios = per_bucket.select("bucket", lr_u.alias("lr_u"))
+    scored = (
+        feats.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.round(F.sum("lr_u") / F.lit(1_000_000.0), 6).alias(
+                "dsir_logratio"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias(
+                "n_feats"
+            ),
+            "dsir_logratio",
+        )
+    )
+
+
+def dsir_select(
+    imp: DataFrame, top_n: int, exclude_target: Column | None = None
+) -> DataFrame:
+    """The selection step on top of :func:`dsir_importance`: keep the
+    ``top_n`` raw documents whose n-gram profile best matches the target
+    (logratio desc, doc_id tiebreak ⇒ fully deterministic cut). DSIR
+    proper perturbs with Gumbel noise before the cut — a seeded hash
+    column does that reproducibly if diversity matters more than purity.
+    ``TakeOrderedAndProject`` — per-partition top-``top_n`` heaps, never
+    a global sort."""
+    out = imp.where(F.col("dsir_logratio").isNotNull())
+    if exclude_target is not None:
+        out = out.where(~exclude_target)
+    return out.orderBy(F.desc("dsir_logratio"), "doc_id").limit(top_n)

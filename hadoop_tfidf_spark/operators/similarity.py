@@ -1148,3 +1148,323 @@ def ivfpq_topk(
         .where(F.col("rn") <= k)
         .select("query_id", id_col, "adc_d2", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def _rp_signs(seed: str, out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic Rademacher (±1) projection matrix: entry ``(j, d)``
+    is the parity of ``md5("{seed}:{j}:{d}")`` — the same content-keyed
+    idiom as ``hash_bucket_col``, so the DuckDB oracle re-derives the
+    matrix from the seed alone (no side-channel). Achlioptas 2003 shows
+    ±1 entries satisfy the JL lemma with the same guarantees as
+    Gaussians."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:15], 16)
+            % 2
+            == 0
+            else -1
+            for d in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def _int_d2(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two ``array<bigint>`` columns —
+    integer products and sums, order-independent."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    units: int = 1_000_000,
+    seed: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: reduce ``in_dim``
+    embeddings to ``out_dim`` via a seeded Rademacher matrix —
+    ``y_j = Σ_d sign(j,d) · x_d`` (unnormalized; pairwise squared
+    distances scale by ``out_dim`` in expectation, which downstream
+    consumers divide out — see :func:`rp_distortion`). The standard
+    100 TB pre-step before ANN indexing or clustering when the raw
+    dimension is wide: O(out_dim·in_dim) per row, no training, and the
+    matrix regenerates anywhere from the seed.
+
+    Cross-engine exactness: inputs quantize once to BIGINT micro-units
+    (:func:`quantized_units`), the ±1 matrix is integer, so every output
+    component is an exact integer sum — order-free, hash-gate-able.
+
+    Plan shape: ONE narrow projection — zero shuffles, zero joins, zero
+    Python; the sign matrix rides into codegen as ``out_dim`` array
+    literals (the staged ``_u`` column is multi-referenced, so
+    CollapseProject keeps the quantization computed once per row).
+    Output ``(id_col, rp: array<bigint>)`` in micro-units.
+    """
+    signs = _rp_signs(seed, out_dim, in_dim)
+    staged = emb.select(
+        id_col, quantized_units(F.col(vec_col), units).alias("_u")
+    )
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_u"),
+                F.array(*[F.lit(s).cast("bigint") for s in signs[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ]
+    return staged.select(id_col, F.array(*comps).alias("rp"))
+
+
+def rp_distortion(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    units: int = 1_000_000,
+    seed: str = "rp",
+    sample_mod: int = 50,
+    sample_seed: str = "rpsample",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The JL fidelity audit: on a deterministic ~1/``sample_mod`` hash
+    sample of ids, every pair's projected-vs-original squared-distance
+    ratio ``d²_proj / (out_dim · d²_orig)`` — the number the JL lemma
+    says concentrates at 1, and the dashboard check a production
+    projection ships with (out_dim too small ⇒ the ratio spread blows
+    up before ANN recall visibly degrades).
+
+    Scale: the all-pairs comparison is restricted to the content-keyed
+    sample (~40 ids at sf0.01) — a broadcast nested-loop over
+    sample²/2 pairs by design; the corpus-wide relation is never
+    self-joined. Both distance columns are exact BIGINT sums in
+    micro-units; the ratio is one identical IEEE division. Identical
+    vectors (d²=0) yield a NULL ratio rather than engine-dependent
+    Inf/NaN.
+    """
+    from hadoop_tfidf_spark.operators.sampling import hash_bucket_col
+
+    signs = _rp_signs(seed, out_dim, in_dim)
+    base = emb.where(
+        hash_bucket_col(F.col(id_col), sample_mod, sample_seed) == 0
+    ).select(id_col, quantized_units(F.col(vec_col), units).alias("_u"))
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_u"),
+                F.array(*[F.lit(s).cast("bigint") for s in signs[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ]
+    proj = base.select(id_col, "_u", F.array(*comps).alias("_y"))
+    a = proj.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_u").alias("_ua"),
+        F.col("_y").alias("_ya"),
+    )
+    b = proj.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_u").alias("_ub"),
+        F.col("_y").alias("_yb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    d2 = pairs.select(
+        "id_a",
+        "id_b",
+        _int_d2(F.col("_ua"), F.col("_ub")).alias("d2_orig_u"),
+        _int_d2(F.col("_ya"), F.col("_yb")).alias("d2_proj_u"),
+    )
+    return d2.select(
+        "id_a",
+        "id_b",
+        "d2_orig_u",
+        "d2_proj_u",
+        F.when(
+            F.col("d2_orig_u") > 0,
+            F.round(
+                F.col("d2_proj_u") / (F.lit(out_dim) * F.col("d2_orig_u")), 6
+            ),
+        ).alias("rp_ratio"),
+    )
+
+
+def _rhalf(x: float) -> int:
+    """Round half-away-from-zero on the EXACT binary double — the same
+    contract as Spark's ``F.round(_, 0)`` (BigDecimal HALF_UP on the
+    exact value) and DuckDB's ``round`` on DOUBLE, so driver-side
+    Python arithmetic can sit in the middle of a hash-gated chain.
+    ``decimal.Decimal(float)`` converts exactly; ROUND_HALF_UP ties go
+    away from zero."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def pca_power_build(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 8,
+    units: int = 10_000,
+    in_dim: int = 64,
+    seed: str = "pca",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], list[float], int]:
+    """Top-``k`` principal components by INTEGER power iteration with
+    deflation — the trained counterpart of :func:`random_projection`
+    (project onto the data's own top-variance directions before ANN /
+    clustering instead of random ones).
+
+    Distributed part (the only corpus-sized work): second-moment
+    statistics via ``mapInPandas`` — vectors quantize to BIGINT
+    micro-units IN SPARK (engine-exact rounding), each Arrow batch
+    contributes one int64 gemm (``XᵀX``) and one column sum, and the
+    per-batch partials (1 row each) are collected and summed in exact
+    Python ints. One pass, no shuffle, partials are batch-count-sized.
+
+    Driver part (dim²-sized, the legitimate collect kind): the
+    covariance NUMERATOR ``M = n·S − s·sᵀ`` is an exact integer matrix
+    (no float mean-centering); it is rescaled once to ±1e6 and each
+    power-iteration step requantizes through :func:`_rhalf`, so every
+    intermediate is an exact BIGINT and the whole chain — rescale,
+    ``iters`` matvec+normalize rounds per component, Rayleigh quotient,
+    deflation — replays verbatim in the DuckDB oracle (the Lloyd/PQ
+    pattern, now for an iterative eigensolver). Start vectors are
+    md5-parity ±1 (generically non-orthogonal to the eigenvectors).
+
+    Integer-range contract (documented, asserted): ``|M| < 2^53``
+    requires ``n²·units²·max|x|² ≲ 9e15`` — with ``units=1e4`` and
+    ``|x| ≤ 1`` that bounds the TRAIN SAMPLE at ~a hundred thousand
+    rows; at 100 TB you train on such a sample (the standard recipe)
+    and project the full corpus with :func:`pca_project`. Returns
+    ``(components, lambdas, n)``: ``k`` vectors in 1e6-units, their
+    Rayleigh eigenvalues (rescaled-matrix units), and the row count.
+    """
+    import math
+
+    staged = emb.select(quantized_units(F.col(vec_col), units).alias("_u"))
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["_u"]])
+            yield pd.DataFrame(
+                {
+                    "n": [int(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = staged.mapInPandas(
+        partials, schema="n BIGINT, s ARRAY<BIGINT>, ss ARRAY<BIGINT>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_power_build: empty input")
+    d = in_dim
+    n = sum(p["n"] for p in parts)
+    s = [0] * d
+    S = [[0] * d for _ in range(d)]
+    for p in parts:
+        for i, v in enumerate(p["s"]):
+            s[i] += int(v)
+        flat = p["ss"]
+        for i in range(d):
+            row = S[i]
+            base = i * d
+            for j in range(d):
+                row[j] += int(flat[base + j])
+    M = [[n * S[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+    mmax = max(abs(M[i][j]) for i in range(d) for j in range(d))
+    if mmax == 0 or mmax >= 1 << 53:
+        raise ValueError(f"pca_power_build: covariance out of range ({mmax})")
+    Mq = [
+        [_rhalf(M[i][j] * 1000000.0 / mmax) for j in range(d)] for i in range(d)
+    ]
+    signs = _rp_signs(seed, k, d)
+
+    def matvec(A, v):
+        return [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+
+    comps: list[list[int]] = []
+    lams: list[float] = []
+    for c in range(k):
+        v = [sg * 1_000_000 for sg in signs[c]]
+        for _ in range(iters):
+            ws = [_rhalf(wi / 1000000.0) for wi in matvec(Mq, v)]
+            nrm2 = sum(x * x for x in ws)
+            if nrm2 == 0:
+                raise ValueError("pca_power_build: degenerate iterate")
+            v = [_rhalf(x * 1000000 / math.sqrt(nrm2)) for x in ws]
+        ws = [_rhalf(wi / 1000000.0) for wi in matvec(Mq, v)]
+        ray_num = sum(v[i] * ws[i] for i in range(d))
+        vv = sum(x * x for x in v)
+        lam = ray_num * 1000000.0 / vv
+        comps.append(v)
+        lams.append(lam)
+        Mq = [
+            [
+                Mq[i][j] - _rhalf(lam * v[i] * v[j] / 1000000000000.0)
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+    return comps, lams, n
+
+
+def pca_project(
+    emb: DataFrame,
+    components: list[list[int]],
+    units: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project the (full) corpus onto trained principal components:
+    ``score_u[c] = Σ_d x_u[d] · v_c[d]`` — exact BIGINT dot products
+    (inputs in ``units``, components in 1e6-units). The components ride
+    into codegen as array literals exactly like the JL sign rows: one
+    narrow zero-shuffle projection over the corpus, no Python. Output
+    ``(id_col, component, score_u)`` scalar rows."""
+    staged = emb.select(
+        id_col, quantized_units(F.col(vec_col), units).alias("_u")
+    )
+    cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_u"),
+                F.array(*[F.lit(int(x)).cast("bigint") for x in comp]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for comp in components
+    ]
+    return staged.select(
+        id_col, F.posexplode(F.array(*cols)).alias("component", "score_u")
+    ).select(
+        id_col,
+        F.col("component").cast("int").alias("component"),
+        "score_u",
+    )
