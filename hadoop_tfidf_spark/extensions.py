@@ -743,6 +743,43 @@ def q_text_bpe_tokens(spark, sf_dir):
     return out
 
 
+def q_text_pack_bpe(spark, sf_dir):
+    """Sequence packing budgeted in TRAINED-TOKENIZER tokens instead of
+    whitespace words — the unit the training loader actually bills
+    (whitespace over-counts rare words, under-counts merged subwords).
+    Composition: the 4-merge BPE trainer -> per-doc counts -> the
+    hash-bucketed packing window with ``tokens=n_bpe_tokens``; the
+    oracle nests the full trainer replay under the pack replay."""
+    from hadoop_tfidf_spark.functions.text import bpe_token_counts, bpe_train
+    from hadoop_tfidf_spark.operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    _, vocab = bpe_train(docs, n_merges=BPE_GATE_MERGES)
+    out = pack_sequences(
+        bpe_token_counts(docs, vocab), tokens=F.col("n_bpe_tokens")
+    )
+    vocab.unpersist()  # lazy pack plan re-derives the fold chain
+    return out
+
+
+def q_text_mixture_bpe(spark, sf_dir):
+    """Mixture-weight accounting in BPE tokens: per-(source, lang) token
+    shares and uniform-resample weights where the token is the trained
+    tokenizer's — the number a pretraining recipe's mixture table
+    actually uses. One doc_id equi-join (counts to strata columns), one
+    strata-keyed aggregation."""
+    from hadoop_tfidf_spark.functions.text import bpe_token_counts, bpe_train
+    from hadoop_tfidf_spark.operators.sampling import mixture_weights
+
+    docs = _docs(spark, sf_dir)
+    _, vocab = bpe_train(docs, n_merges=BPE_GATE_MERGES)
+    strata = _tbl(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    joined = strata.join(bpe_token_counts(docs, vocab), "doc_id")
+    out = mixture_weights(joined, tokens=F.col("n_bpe_tokens"))
+    vocab.unpersist()
+    return out
+
+
 #: Hash-feature buckets / smoothing for the gated DSIR replay — small
 #: enough that the oracle's window totals stay trivial, large enough
 #: that bucket collisions don't flatten the signal at sf0.01.
@@ -1847,14 +1884,16 @@ def q_sim_label_centroids(spark, sf_dir):
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
 # oracle-backed query's newest driver row stays fresh. Round-8 composition:
-#   1) the fourteen brand-new round-8 queries (ANN recall audit + curve,
+#   1) the sixteen brand-new round-8 queries (ANN recall audit + curve,
 #      SemDeDup semantic dedup ×2, the semantic curate pipeline, the
 #      BPE trio: pair stats, the hash-gated trainer, per-doc token
 #      counts — the DSIR pair: importance weights + the selection cut —
 #      the JL pair: Rademacher random projection + the pairwise
-#      distortion audit — and the PCA pair: the integer power-iteration
-#      eigensolve and the trained projection) plus the two round-7
-#      newcomers that were added past-cap
+#      distortion audit — the PCA pair: the integer power-iteration
+#      eigensolve and the trained projection — and the BPE-budget
+#      compositions: packing + mixture weights measured in trained
+#      tokenizer tokens) plus the two round-7 newcomers that were added
+#      past-cap
 #      and have never held a driver row (dedup_cluster_sizes,
 #      streaming_mixture_weights),
 #   2) every query whose code or semantics changed this round: the
@@ -1866,16 +1905,16 @@ def q_sim_label_centroids(spark, sf_dir):
 #   3) the r6-row cohort the round-7 verdict asked back in (sim_topk_ivf,
 #      approx-distinct + BLAS error envelopes, uncapped cooccurrence,
 #      corpus diff, mixture weights, label centroids, range frames),
-#   4) four entries whose newest rows date from r05 (asof 30d window
-#      ... rel_market_share) — the stale-est cohort that still fit.
+#   4) two entries whose newest rows date from r05 (the asof 30d window
+#      + events_user_extremes) — the stale-est cohort that still fit.
 # Stable round-7 cohort members (span_exact, the PQ/IVFADC family,
 # packing, C4, LM score, both pipelines, the relational r7 block) ceded
 # their slots and ride CORRECTNESS_r07 rows + LOCAL_CHECK_r08.md;
-# twenty r5-row entries that did not fit (simhash pairs, sql top-100,
-# doc-sim, salted df, int8, pii_redact, hash_sample, dedup_exact,
-# orders_above_avg, parts_with_shipments, status_priority,
-# returned_top, dedup_components ... revenue_by_region) are the FIRST
-# rotation priority for round 9. The 2 structurally
+# twenty-two r5-row entries that did not fit (simhash pairs, sql
+# top-100, doc-sim, salted df, int8, pii_redact, hash_sample,
+# dedup_exact, orders_above_avg, parts_with_shipments, status_priority,
+# returned_top, time_rollup, market_share, dedup_components ...
+# revenue_by_region) are the FIRST rotation priority for round 9. The 2 structurally
 # no-oracle entries (HLL/GK sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-8 brand-new --
@@ -1893,6 +1932,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_rp_distortion": q_sim_rp_distortion,
     "sim_pca_components": q_sim_pca_components,
     "sim_pca_project": q_sim_pca_project,
+    "text_pack_bpe": q_text_pack_bpe,
+    "text_mixture_bpe": q_text_mixture_bpe,
     # -- round-7 newcomers, never driver-rowed until now --
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "streaming_mixture_weights": q_streaming_mixture_weights,
@@ -1923,9 +1964,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- stale-est r5 rows refreshed --
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "events_user_extremes": q_events_user_extremes,
+    # ---- past the 50-slot cap from here down ----
     "events_time_rollup": q_events_time_rollup,
     "rel_market_share": q_rel_market_share,
-    # ---- past the 50-slot cap from here down ----
     "rel_status_priority": q_rel_status_priority,
     "rel_returned_top": q_rel_returned_top,
     "rel_orders_above_avg": q_rel_orders_above_avg,
@@ -2625,6 +2666,57 @@ WHERE t.word <> ''
 GROUP BY t.doc_id
 """
     )
+
+
+def _pack_bpe_sql() -> str:
+    """Pack replay over the nested BPE trainer chain: the per-doc count
+    subquery (itself a full 4-merge replay) feeds the same md5 bucket +
+    running-sum window as the whitespace pack oracle."""
+    return f"""
+WITH bt AS ({_bpe_tokens_sql(BPE_GATE_MERGES)}),
+t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('0:' || doc_id), 1, 15))::BIGINT % 8 AS bucket,
+         n_bpe_tokens AS n_tokens
+  FROM bt
+),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(cum_before // 512 AS BIGINT) AS pack_id,
+       n_tokens,
+       CAST(cum_before % 512 AS BIGINT) AS offset_in_pack
+FROM c
+"""
+
+
+def _mixture_bpe_sql() -> str:
+    """Mixture replay in BPE tokens: trainer chain nested as the count
+    source, then the strata aggregation + totals of the whitespace
+    mixture oracle."""
+    return f"""
+WITH bt AS ({_bpe_tokens_sql(BPE_GATE_MERGES)}),
+g AS (
+  SELECT d.source, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(bt.n_bpe_tokens) AS BIGINT) AS n_tokens
+  FROM documents d JOIN bt USING (doc_id) GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+         CAST(count(*) AS BIGINT) AS ng
+  FROM g
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
+       round(CAST(tt AS DOUBLE) / (ng * n_tokens), 6) AS uniform_weight
+FROM g, tot
+"""
 
 
 def _dsir_sql(select_top: int | None = None) -> str:
@@ -3757,6 +3849,8 @@ FROM events GROUP BY user_id
     "dedup_semantic_capped": _semantic_dedup_sql(GATE_SEM_CELL_CAP),
     "text_bpe_vocab": _bpe_vocab_sql(BPE_GATE_MERGES),
     "text_bpe_tokens": _bpe_tokens_sql(BPE_GATE_MERGES),
+    "text_pack_bpe": _pack_bpe_sql(),
+    "text_mixture_bpe": _mixture_bpe_sql(),
     "text_dsir": _dsir_sql(),
     "text_dsir_select": _dsir_sql(select_top=100),
     "sim_rp_project": _rp_sql(),

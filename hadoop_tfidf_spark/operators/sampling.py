@@ -88,7 +88,11 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
-def mixture_weights(docs: DataFrame, strata: list[str] | None = None) -> DataFrame:
+def mixture_weights(
+    docs: DataFrame,
+    strata: list[str] | None = None,
+    tokens: Column | None = None,
+) -> DataFrame:
     """Data-mixture accounting for pretraining: per stratum (default
     ``(source, lang)``) document and token counts, the stratum's share of
     all corpus tokens, and the resampling weight that would flatten the
@@ -106,11 +110,20 @@ def mixture_weights(docs: DataFrame, strata: list[str] | None = None) -> DataFra
     is a plan diamond and Spark recomputes diamonds, so the
     crossJoin(totals) form scanned the corpus twice. Output is
     strata-sized (tiny) regardless of corpus size; one corpus pass.
+    ``tokens`` switches the budget unit from whitespace words to a
+    precomputed count column (e.g. ``F.col("n_bpe_tokens")`` after a
+    join with :func:`~hadoop_tfidf_spark.functions.text.bpe_token_counts`
+    output) — mixture shares measured in the unit the training loader
+    actually bills.
     """
     from pyspark.sql import Window
 
     strata = strata or ["source", "lang"]
-    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    n_tokens = (
+        tokens
+        if tokens is not None
+        else F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    )
     groups = (
         docs.groupBy(*strata)
         .agg(
@@ -138,6 +151,7 @@ def pack_sequences(
     n_buckets: int = 8,
     partition_by: list[str] | None = None,
     shuffle_seed: int | str | None = None,
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing: assign each document to a training
     pack of ~``budget`` tokens. Docs are sharded into ``n_buckets`` by
@@ -167,8 +181,17 @@ def pack_sequences(
     ``md5("{seed}:{doc_id}")`` instead of ``doc_id`` — the deterministic
     global shuffle a training loader wants (every engine/partitioning/
     rerun packs the same order; change the seed to re-deal).
+    ``tokens`` overrides the budget unit: by default docs are measured in
+    whitespace words off ``text``, but a training pipeline budgets in
+    TOKENIZER tokens — pass e.g. ``F.col("n_bpe_tokens")`` over
+    :func:`~hadoop_tfidf_spark.functions.text.bpe_token_counts` output
+    (then ``text`` need not be present at all).
     """
-    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    n_tokens = (
+        tokens
+        if tokens is not None
+        else F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    )
     from pyspark.sql import Window
 
     extra = list(partition_by or [])

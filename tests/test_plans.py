@@ -265,3 +265,31 @@ def test_semantic_dedup_blocked_never_all_pairs(stats_of):
     s = stats_of("dedup_semantic")
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
+
+
+def test_rp_project_zero_shuffle_zero_join(stats_of):
+    """JL projection is a pure codegen pass: the sign matrix rides as
+    array literals — no exchange, no join of any kind."""
+    s = stats_of("sim_rp_project")
+    assert s.shuffle_exchanges == 0
+    assert s.broadcast_hash_joins == 0
+    assert s.sort_merge_joins == 0
+    assert s.cartesian_products == 0
+
+
+def test_pca_project_zero_shuffle(stats_of):
+    """PCA projection (components as literals after the driver-side
+    eigensolve) is the same zero-shuffle shape as the JL projection."""
+    s = stats_of("sim_pca_project")
+    assert s.shuffle_exchanges == 0
+    assert s.sort_merge_joins == 0
+    assert s.cartesian_products == 0
+
+
+def test_dsir_broadcasts_ratio_table_no_cartesian(stats_of):
+    """DSIR: bucket stats are one hash agg; the scoring join broadcasts
+    the bucket-sized ratio relation; nothing cartesian, nothing
+    sort-merge."""
+    s = stats_of("text_dsir")
+    assert s.broadcast_hash_joins >= 1
+    assert s.cartesian_products == 0

@@ -658,3 +658,39 @@ def test_pca_project_exact_dot(spark):
     # x_u = [5000, -2500, 1000, 0]
     assert got[(7, 0)] == 5000 * 1_000_000
     assert got[(7, 1)] == (-2500) * -2_000_000 + 1000 * 500_000
+
+
+def test_pack_sequences_tokens_override(spark):
+    """With ``tokens=``, packing budgets in the supplied count and never
+    touches ``text`` (the counts frame has none)."""
+    from hadoop_tfidf_spark.operators.sampling import pack_sequences
+
+    counts = spark.createDataFrame(
+        [(i, 300) for i in range(6)], "doc_id BIGINT, n_bpe_tokens BIGINT"
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(
+            counts, budget=512, n_buckets=1, tokens=F.col("n_bpe_tokens")
+        ).collect()
+    }
+    assert all(r.n_tokens == 300 for r in rows.values())
+    # running sum: doc k has 300k tokens before it -> pack floor(300k/512)
+    for k, r in enumerate(sorted(rows.values(), key=lambda r: r.doc_id)):
+        assert r.pack_id == (300 * k) // 512
+        assert r.offset_in_pack == (300 * k) % 512
+
+
+def test_mixture_weights_tokens_override(spark):
+    from hadoop_tfidf_spark.operators.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en", 30), (2, "a", "en", 30), (3, "b", "en", 40)],
+        "doc_id BIGINT, source STRING, lang STRING, n_bpe_tokens BIGINT",
+    )
+    got = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens, r.token_share)
+        for r in mixture_weights(docs, tokens=F.col("n_bpe_tokens")).collect()
+    }
+    assert got[("a", "en")] == (2, 60, 0.6)
+    assert got[("b", "en")] == (1, 40, 0.4)
