@@ -78,3 +78,69 @@ def reference_tfidf_lines(tfidf_df: DataFrame) -> DataFrame:
     return tfidf_df.select(
         F.concat_ws("\t", F.concat(F.col("word"), F.lit("@"), F.col("doc_id")), F.col("tfidf")).alias("value")
     )
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted-within-file parquet layout — the
+    data-skipping layout for range-predicate workloads (time-series
+    events, id lookups): ``repartitionByRange`` gives every output file
+    a DISJOINT key range (sampled range boundaries, one shuffle) and
+    ``sortWithinPartitions`` makes parquet row-group min/max footer
+    stats tight within each file, so a reader's range filter prunes
+    whole files and row groups instead of scanning the corpus. The
+    poor-man's Z-order for a single sort dimension; at 100 TB this is
+    the difference between a partition-pruned point query and a full
+    scan."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Small-files compaction — the standing maintenance job of every
+    long-lived table (streaming sinks and over-parallel writers leave
+    thousands of KB-sized files; each costs a task + a footer read +
+    a namenode/list entry, and at 100 TB the file COUNT becomes the
+    bottleneck before the bytes do). Sizes the rewrite from the actual
+    on-disk bytes via the Hadoop FileSystem API (works for HDFS/S3A
+    paths, not just local), targets ``target_file_mb`` per output file,
+    and rewrites with a round-robin ``repartition`` (uniform output
+    sizes; ``coalesce`` would inherit input skew and can collapse
+    parallelism of the read itself). Returns the before/after census so
+    a scheduler can log/verify the pass."""
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = fs.listFiles(hpath, True)
+    total_bytes = 0
+    n_in = 0
+    while files.hasNext():
+        st = files.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total_bytes += st.getLen()
+            n_in += 1
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(in_path).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    return {
+        "n_input_files": n_in,
+        "input_bytes": int(total_bytes),
+        "n_output_files": n_out,
+    }

@@ -129,3 +129,44 @@ def test_hash_split_deterministic_and_total(spark):
     assert 0 < n < 500
     with _pytest.raises(ValueError):
         hash_split(docs, "doc_id", {"train": 50, "test": 49})
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """64 tiny files -> sized-by-bytes single file; rows preserved and
+    the census reports the before/after."""
+    import glob
+
+    from hadoop_tfidf_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    stats = compact_parquet(spark, src, out, target_file_mb=128)
+    assert stats["n_input_files"] == 64
+    assert stats["n_output_files"] == 1
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == 10_000
+
+
+def test_write_range_sorted_disjoint_file_ranges(spark, tmp_path):
+    """Every output file owns a disjoint key range (repartitionByRange)
+    and is internally sorted — the layout parquet min/max skipping needs."""
+    import glob
+
+    from hadoop_tfidf_spark.sinks import write_range_sorted
+
+    out = str(tmp_path / "sorted")
+    df = spark.range(0, 4_000).withColumnRenamed("id", "k").repartition(13)
+    write_range_sorted(df, out, ["k"], n_files=4)
+    ranges = []
+    total = 0
+    for f in glob.glob(f"{out}/*.parquet"):
+        ks = [r.k for r in spark.read.parquet(f).collect()]
+        assert ks == sorted(ks)  # sorted within the file
+        ranges.append((min(ks), max(ks)))
+        total += len(ks)
+    assert total == 4_000
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo  # pairwise disjoint -> file-level pruning works
