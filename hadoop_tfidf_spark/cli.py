@@ -25,6 +25,7 @@ Usage::
     python -m hadoop_tfidf_spark.cli curate        IN OUT [--pack-budget N]
                   [--splits train=90,valid=5,test=5] [--max-bucket-size N]
                   [--decontaminate BENCH] [--semantic-dedup EMB]
+    python -m hadoop_tfidf_spark.cli compact       IN OUT [--target-file-mb N]
 
 ``curate`` is engine surface beyond the reference (the north-star
 training-data pipeline): lang-id → quality filter → exact dedup → LSH
@@ -72,7 +73,7 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="hadoop_tfidf_spark")
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
-        "curate",
+        "curate", "compact",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -104,6 +105,8 @@ def main(argv: list[str] | None = None) -> None:
                         "survives) after the LSH near-dup drop")
     p.add_argument("--semantic-threshold", type=float, default=0.95,
                    help="curate: cosine ceiling for --semantic-dedup")
+    p.add_argument("--target-file-mb", type=int, default=128,
+                   help="compact: target output parquet file size")
     args = p.parse_args(argv)
 
     from hadoop_tfidf_spark.corpus import tokenize
@@ -112,6 +115,21 @@ def main(argv: list[str] | None = None) -> None:
     from hadoop_tfidf_spark.tfidf import doc_word_count, term_frequency, tfidf
 
     spark = get_spark(app_name=f"hadoop_tfidf_spark_{args.tool}")
+
+    if args.tool == "compact":
+        # table maintenance, not a query: IN is a parquet table of ANY
+        # schema; prints the before/after census as one JSON line
+        import json
+
+        from hadoop_tfidf_spark.sinks import compact_parquet
+
+        stats = compact_parquet(
+            spark, args.input, args.output, target_file_mb=args.target_file_mb
+        )
+        print(json.dumps(stats))
+        spark.stop()
+        return
+
     docs = _load(spark, args.input)
 
     if args.tool == "docwordcount":

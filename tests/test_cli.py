@@ -270,3 +270,38 @@ def test_curate_semantic_dedup_flag(tmp_path):
          "--semantic-dedup", emb, "--semantic-threshold", "0.9999")
     ids = {r[0] for r in duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()}
     assert ids == set(range(23))  # 23 (the semantic twin of 17) dropped
+
+
+def test_cli_compact(tmp_path):
+    """compact subcommand: any-schema parquet in, sized rewrite out, one
+    JSON census line on stdout (subprocess, like every CLI test)."""
+    import glob
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "frag"
+    src.mkdir()
+    for i in range(16):
+        pq.write_table(
+            pa.table({"id": list(range(i * 100, (i + 1) * 100))}),
+            str(src / f"part-{i:05d}.parquet"),
+        )
+    out = str(tmp_path / "compacted")
+    cmd = [
+        sys.executable, "-m", "hadoop_tfidf_spark.cli", "compact",
+        str(src), out, "--target-file-mb", "64",
+    ]
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    assert stats["n_input_files"] == 16 and stats["n_output_files"] == 1
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert duckdb.sql(
+        f"SELECT count(*), min(id), max(id) FROM '{out}/*.parquet'"
+    ).fetchone() == (1600, 0, 1599)
