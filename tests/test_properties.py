@@ -412,3 +412,85 @@ def test_semantic_dedup_matches_pure_python_reference(spark, vec_list):
         ).collect()
     }
     assert got == want
+
+
+def _rhalf_ref(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-50, max_value=50).map(lambda v: v / 10.0),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_rp_projection_matches_reference_any_vectors(spark, vec_list):
+    """random_projection == the hashlib/decimal reference on ANY vector
+    set: md5-parity signs, half-away quantization, exact integer sums."""
+    import hashlib
+
+    from hadoop_tfidf_spark.operators.similarity import random_projection
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vec_list)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r.vec_id: list(r.rp)
+        for r in random_projection(
+            emb, out_dim=3, in_dim=4, units=1000, seed="rp"
+        ).collect()
+    }
+
+    def sign(j, d):
+        h = hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()
+        return 1 if int(h[:15], 16) % 2 == 0 else -1
+
+    for i, v in enumerate(vec_list):
+        u = [_rhalf_ref(x * 1000) for x in v]
+        assert got[i] == [
+            sum(sign(j, d) * u[d] for d in range(4)) for j in range(3)
+        ]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                min_size=1,
+                max_size=6,
+            ).map(" ".join),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_dsir_matches_reference_any_corpus(spark, rows):
+    """dsir_importance == the independent hashlib/math reference on ANY
+    corpus/target split, including all-target, no-target, and <2-word
+    NULL rows."""
+    from hadoop_tfidf_spark.operators.sampling import dsir_importance
+    from tests.test_round8_ops import _dsir_reference
+
+    data = [
+        (i, text, "t" if is_t else "raw") for i, (text, is_t) in enumerate(rows)
+    ]
+    docs = spark.createDataFrame(data, "doc_id BIGINT, text STRING, source STRING")
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in dsir_importance(
+            docs, F.col("source") == "t", n_buckets=8, k_smooth=0.25
+        ).collect()
+    }
+    assert got == _dsir_reference(data, {"t"}, n_buckets=8, k=0.25)
