@@ -85,8 +85,9 @@ HEADLINE = [
     # data selection (DSIR hashed-bigram importance against a target slice)
     "text_dsir",
     # dimensionality reduction (JL Rademacher projection, corpus-wide;
-    # PCA = the full integer eigensolve + trained projection)
-    "sim_rp_project", "sim_pca_project",
+    # PCA = the full integer eigensolve + trained projection; rp_topk =
+    # the two-stage coarse-then-exact retrieval through the projection)
+    "sim_rp_project", "sim_pca_project", "sim_rp_topk",
     # multimodal (Arrow mapInPandas path)
     "multimodal_decode",
     # relational / events

@@ -927,6 +927,33 @@ def q_sim_pca_project(spark, sf_dir):
     return pca_project(emb, comps, units=PCA_GATE_UNITS)
 
 
+#: Stage-1 candidate budget for the two-stage RP retrieval: how many
+#: projected-space nearest ids survive to the exact full-dim re-rank.
+RP_TOPK_CANDIDATES = 50
+
+
+def q_sim_rp_topk(spark, sf_dir):
+    """Two-stage retrieval through the JL projection: coarse top-50 by
+    exact integer L2 in the 16-int projected index (16/64 of a full
+    scan's bytes), exact full-dimension re-rank of those candidates
+    only. Both stages BIGINT-exact -> the whole ranking including
+    tie-breaks replays in DuckDB. Registered past-cap this round;
+    FIRST round-9 rotation priority."""
+    from hadoop_tfidf_spark.operators.similarity import rp_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    return rp_topk(
+        emb,
+        queries,
+        k=SIM_K,
+        candidates=RP_TOPK_CANDIDATES,
+        out_dim=RP_GATE_OUT_DIM,
+        in_dim=RP_GATE_IN_DIM,
+        units=RP_GATE_UNITS,
+    )
+
+
 def q_text_ngram_freq(spark, sf_dir):
     from hadoop_tfidf_spark.functions.text import ngram_freq
 
@@ -1965,6 +1992,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "events_user_extremes": q_events_user_extremes,
     # ---- past the 50-slot cap from here down ----
+    # round-8 late addition (FIRST round-9 rotation priority, rule:
+    # past-cap newcomers rotate in-window next round at the latest)
+    "sim_rp_topk": q_sim_rp_topk,
     "events_time_rollup": q_events_time_rollup,
     "rel_market_share": q_rel_market_share,
     "rel_status_priority": q_rel_status_priority,
@@ -2768,6 +2798,60 @@ FROM scored s JOIN documents d USING (doc_id)
 WHERE d.source <> '{DSIR_GATE_TARGET}' AND s.dsir_logratio IS NOT NULL
 ORDER BY s.dsir_logratio DESC, s.doc_id
 LIMIT {select_top}
+"""
+
+
+def _rp_topk_sql() -> str:
+    """Two-stage RP retrieval replay: the projection chain (shared text
+    with ``_rp_sql``), projected lists, QUALIFY top-candidates per query
+    by exact RP-space L2, then exact full-dim re-rank over the
+    candidate ids. MATERIALIZED: y/e are each referenced twice."""
+    od, idim, u = RP_GATE_OUT_DIM, RP_GATE_IN_DIM, RP_GATE_UNITS
+    c, k = RP_TOPK_CANDIDATES, SIM_K
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {u}) AS BIGINT)) AS u
+  FROM embeddings
+),
+s AS MATERIALIZED (
+  SELECT j.j, d.d,
+         CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || d.d), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT unnest(generate_series(0, {od - 1})) AS j) j
+  CROSS JOIN (SELECT unnest(generate_series(0, {idim - 1})) AS d) d
+),
+proj AS MATERIALIZED (
+  SELECT x.vec_id, s.j, CAST(sum(s.sgn * x.xu) AS BIGINT) AS v_u
+  FROM (SELECT vec_id, generate_subscripts(u, 1) - 1 AS d, unnest(u) AS xu
+        FROM e) x
+  JOIN s ON s.d = x.d
+  GROUP BY x.vec_id, s.j
+),
+y AS MATERIALIZED (
+  SELECT vec_id, list(v_u ORDER BY j) AS y FROM proj GROUP BY vec_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, cy.vec_id,
+           {_int_d2_sql("cy.y", "q.y")} AS d2rp
+    FROM y cy CROSS JOIN (SELECT * FROM y WHERE vec_id IN ({qids})) q
+    WHERE cy.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2rp, vec_id) <= {c}
+)
+SELECT query_id, vec_id, d2_u, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT cand.query_id, cand.vec_id,
+         CAST({_int_d2_sql("ec.u", "eq.u")} AS BIGINT) AS d2_u,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {_int_d2_sql("ec.u", "eq.u")},
+                                     cand.vec_id) AS rn
+  FROM cand
+  JOIN e ec ON ec.vec_id = cand.vec_id
+  JOIN e eq ON eq.vec_id = cand.query_id
+) WHERE rn <= {k}
 """
 
 
@@ -3855,6 +3939,7 @@ FROM events GROUP BY user_id
     "text_dsir_select": _dsir_sql(select_top=100),
     "sim_rp_project": _rp_sql(),
     "sim_rp_distortion": _rp_sql(distortion=True),
+    "sim_rp_topk": _rp_topk_sql(),
     "sim_pca_components": _pca_sql(),
     "sim_pca_project": _pca_sql(project=True),
     "text_bpe_pairs": """

@@ -1439,13 +1439,22 @@ def pca_project(
     units: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lambdas: list[float] | None = None,
 ) -> DataFrame:
     """Project the (full) corpus onto trained principal components:
     ``score_u[c] = Σ_d x_u[d] · v_c[d]`` — exact BIGINT dot products
     (inputs in ``units``, components in 1e6-units). The components ride
     into codegen as array literals exactly like the JL sign rows: one
     narrow zero-shuffle projection over the corpus, no Python. Output
-    ``(id_col, component, score_u)`` scalar rows."""
+    ``(id_col, component, score_u)`` scalar rows.
+
+    ``lambdas`` (the Rayleigh eigenvalues :func:`pca_power_build`
+    returns) switches on WHITENING: an extra ``score_w = round(score_u
+    / sqrt(λ_c), 6)`` column rescales every direction to unit variance
+    (in the rescaled-matrix units — relative scales are what whitening
+    needs). Whitened coordinates make downstream cosine/L2 treat all
+    retained directions equally — the usual preprocessing before
+    clustering or metric learning on PCA coordinates."""
     staged = emb.select(
         id_col, quantized_units(F.col(vec_col), units).alias("_u")
     )
@@ -1461,10 +1470,112 @@ def pca_project(
         )
         for comp in components
     ]
-    return staged.select(
+    out = staged.select(
         id_col, F.posexplode(F.array(*cols)).alias("component", "score_u")
     ).select(
         id_col,
         F.col("component").cast("int").alias("component"),
         "score_u",
+    )
+    if lambdas is None:
+        return out
+    import math
+
+    inv = F.array(
+        *[F.lit(1.0 / math.sqrt(l) if l > 0 else 0.0) for l in lambdas]
+    )
+    return out.select(
+        id_col,
+        "component",
+        "score_u",
+        F.round(
+            F.col("score_u") * F.element_at(inv, F.col("component") + 1), 6
+        ).alias("score_w"),
+    )
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    units: int = 1_000_000,
+    seed: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval through the JL projection — the standard
+    "coarse in the compact space, exact re-rank" pattern: stage 1 scans
+    ONLY the ``out_dim``-int projected index (out_dim/in_dim of the
+    bytes of a full scan) for each query's ``candidates`` nearest by
+    exact integer L2 in RP space; stage 2 fetches the full vectors for
+    those candidate ids alone (an equi-join with the tiny candidate
+    relation broadcast) and re-ranks by exact full-dimension L2.
+    Recall < 1 by design (JL distance distortion decides how often the
+    true top-k survives the candidate cut — watch :func:`rp_distortion`
+    and size ``candidates`` accordingly).
+
+    Every distance in both stages is an exact BIGINT sum over
+    micro-units, so the whole two-stage ranking (including tie-breaks
+    by id) is engine-exact and oracle-replayable. Output
+    ``(query_id, vec_id, d2_u, rn)`` with ``d2_u`` the full-dimension
+    squared distance in units².
+    """
+    signs = _rp_signs(seed, out_dim, in_dim)
+
+    def _proj(ucol: Column) -> Column:
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        ucol,
+                        F.array(*[F.lit(s).cast("bigint") for s in signs[j]]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                for j in range(out_dim)
+            ]
+        )
+
+    base = embeddings.select(
+        id_col, quantized_units(F.col(vec_col), units).alias("_u")
+    )
+    index = base.select(id_col, _proj(F.col("_u")).alias("_rp"))
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantized_units(F.col(vec_col), units).alias("_qu"),
+    ).select("query_id", "_qu", _proj(F.col("_qu")).alias("_qrp"))
+
+    stage1 = (
+        index.crossJoin(F.broadcast(qp.select("query_id", "_qrp")))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            _int_d2(F.col("_rp"), F.col("_qrp")).alias("_d2rp"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy("_d2rp", id_col)
+    cand = (
+        stage1.withColumn("_crn", F.row_number().over(w1))
+        .where(F.col("_crn") <= candidates)
+        .select("query_id", id_col)
+    )
+    rerank = (
+        base.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qp.select("query_id", "_qu")), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            _int_d2(F.col("_u"), F.col("_qu")).alias("d2_u"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2_u", id_col)
+    return (
+        rerank.withColumn("rn", F.row_number().over(w2).cast("int"))
+        .where(F.col("rn") <= k)
     )

@@ -694,3 +694,94 @@ def test_mixture_weights_tokens_override(spark):
     }
     assert got[("a", "en")] == (2, 60, 0.6)
     assert got[("b", "en")] == (1, 40, 0.4)
+
+
+def test_pca_project_whitening_unit_variance(spark):
+    """With lambdas=, whitened coordinates have ~equal variance across
+    components even when raw projected variances differ by an order of
+    magnitude."""
+    import statistics
+
+    from hadoop_tfidf_spark.operators.similarity import (
+        pca_power_build,
+        pca_project,
+    )
+
+    rows = _pca_fixture_rows(n=200, d=8)
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    comps, lams, _ = pca_power_build(emb, k=2, iters=12, units=10_000, in_dim=8)
+    out = pca_project(emb, comps, units=10_000, lambdas=lams).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.component, []).append(r.score_w)
+    raw_by_c = {}
+    for r in out:
+        raw_by_c.setdefault(r.component, []).append(float(r.score_u))
+    raw_ratio = statistics.pvariance(raw_by_c[0]) / statistics.pvariance(raw_by_c[1])
+    w_ratio = statistics.pvariance(by_c[0]) / statistics.pvariance(by_c[1])
+    assert raw_ratio > 2.0  # anisotropic before whitening
+    assert 0.7 < w_ratio < 1.4  # ~isotropic after
+
+
+def test_rp_topk_exact_when_candidates_cover_corpus(spark):
+    """With candidates >= corpus size, stage 1 filters nothing and the
+    two-stage result must equal the exact full-dim integer-L2 ranking
+    (computed by an independent python reference)."""
+    import random
+
+    from hadoop_tfidf_spark.operators.similarity import rp_topk
+
+    rng = random.Random(3)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    queries = emb.where(F.col("vec_id") < 2)
+    got = [
+        (r.query_id, r.vec_id, r.d2_u, r.rn)
+        for r in rp_topk(
+            emb, queries, k=5, candidates=100, out_dim=4, in_dim=8, units=1000
+        ).collect()
+    ]
+
+    def u(v):
+        from hadoop_tfidf_spark.operators.similarity import _rhalf
+
+        return [_rhalf(x * 1000) for x in v]
+
+    want = []
+    for q in (0, 1):
+        qu = u(vecs[q])
+        d2 = sorted(
+            (sum((a - b) ** 2 for a, b in zip(u(v), qu)), i)
+            for i, v in vecs.items()
+            if i != q
+        )
+        want += [(q, i, d, rn + 1) for rn, (d, i) in enumerate(d2[:5])]
+    assert sorted(got) == sorted(want)
+
+
+def test_rp_topk_clustered_data_recalls_own_cluster(spark):
+    """On well-separated clusters the projected-space candidate cut must
+    keep the query's own cluster: every returned neighbor shares the
+    query's cluster even with a tight candidate budget."""
+    import random
+
+    from hadoop_tfidf_spark.operators.similarity import rp_topk
+
+    rng = random.Random(9)
+    centers = [[5.0 * (c == d) for d in range(16)] for c in range(3)]
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append(
+            (i, [centers[c][d] + rng.uniform(-0.3, 0.3) for d in range(16)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2]))
+    out = rp_topk(
+        emb, queries, k=8, candidates=12, out_dim=8, in_dim=16, units=1000
+    ).collect()
+    assert len(out) == 24
+    for r in out:
+        assert r.vec_id % 3 == r.query_id % 3  # same cluster
