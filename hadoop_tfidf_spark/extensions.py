@@ -1899,6 +1899,72 @@ def q_streaming_mixture_weights(spark, sf_dir):
     )
 
 
+def q_streaming_dsir(spark, sf_dir):
+    """STREAMING data selection under the strong gate: the DSIR ratio
+    table trains once from the static corpus (the shippable
+    ``n_buckets``-row model), then candidate docs arrive as a 4-file
+    stream and each micro-batch scores ROW-LOCALLY (staged-array
+    bigrams -> md5 bucket, stateless) through a stream-static broadcast
+    join against the ratios; a doc_id-keyed streaming aggregation
+    accumulates exact integer feature sums (complete mode — state is
+    one row per scored doc, the same caveat as streaming
+    decontamination: at 100 TB you would window the scoring by arrival
+    partition and merge downstream). The drained sums finish with the
+    identical /1e6 rounding + NULL-row left join as the batch operator,
+    so the result must hash-match the ``text_dsir`` oracle verbatim:
+    the same importance weights during ingest as at rest."""
+    import uuid
+
+    from hadoop_tfidf_spark.operators.sampling import (
+        dsir_feature_buckets,
+        dsir_ratios,
+    )
+    from hadoop_tfidf_spark.streaming.windows import (
+        run_to_completion,
+        staged_source,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    ratios = dsir_ratios(
+        docs, F.col("source") == DSIR_GATE_TARGET, n_buckets=DSIR_GATE_BUCKETS
+    )
+    base = staged_source(
+        ("documents", sf_dir, "full4"),
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_dsirstream_",
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    scored = (
+        dsir_feature_buckets(stream, n_buckets=DSIR_GATE_BUCKETS)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("lr_u").cast("bigint").alias("_lr_sum"),
+        )
+    )
+    drained = run_to_completion(
+        scored, f"dsir_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )
+    return (
+        docs.select("doc_id")
+        .join(drained, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias(
+                "n_feats"
+            ),
+            F.round(F.col("_lr_sum") / F.lit(1_000_000.0), 6).alias(
+                "dsir_logratio"
+            ),
+        )
+    )
+
+
 def q_sim_label_centroids(spark, sf_dir):
     """Nearest-centroid label audit over the embeddings table: integer
     micro-unit per-label centroids (exact BIGINT sums → engine-exact),
@@ -1992,9 +2058,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "events_user_extremes": q_events_user_extremes,
     # ---- past the 50-slot cap from here down ----
-    # round-8 late addition (FIRST round-9 rotation priority, rule:
+    # round-8 late additions (FIRST round-9 rotation priority, rule:
     # past-cap newcomers rotate in-window next round at the latest)
     "sim_rp_topk": q_sim_rp_topk,
+    "streaming_dsir": q_streaming_dsir,
     "events_time_rollup": q_events_time_rollup,
     "rel_market_share": q_rel_market_share,
     "rel_status_priority": q_rel_status_priority,
@@ -3936,6 +4003,7 @@ FROM events GROUP BY user_id
     "text_pack_bpe": _pack_bpe_sql(),
     "text_mixture_bpe": _mixture_bpe_sql(),
     "text_dsir": _dsir_sql(),
+    "streaming_dsir": _dsir_sql(),
     "text_dsir_select": _dsir_sql(select_top=100),
     "sim_rp_project": _rp_sql(),
     "sim_rp_distortion": _rp_sql(distortion=True),

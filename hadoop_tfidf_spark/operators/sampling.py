@@ -274,43 +274,10 @@ def dsir_importance(
     broadcasts the ``n_buckets``-row ratio table. Output ``(doc_id,
     n_feats, dsir_logratio)``; docs with < 2 words carry NULL score.
     """
-    from pyspark.sql import Window
-
-    words = F.split(F.col("text"), " ")
-    staged = docs.select(
-        "doc_id", target.cast("boolean").alias("_t"), words.alias("_w")
-    ).where(F.size("_w") >= 2)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("_w") - 1),
-        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
-    )
-    feats = staged.select(
-        "doc_id",
-        "_t",
-        F.explode(grams).alias("bg"),
-    ).select(
-        "doc_id",
-        "_t",
-        hash_bucket_col(F.col("bg"), n_buckets, seed).alias("bucket"),
-    )
-    per_bucket = feats.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("n_raw"),
-        F.sum(F.col("_t").cast("long")).cast("bigint").alias("n_t"),
-    )
-    w = Window.partitionBy(F.lit(1))
-    n_raw_tot = F.sum("n_raw").over(w)
-    n_t_tot = F.sum("n_t").over(w)
-    kb = F.lit(float(k_smooth) * n_buckets)
-    lr_u = F.round(
-        (
-            F.log10((F.col("n_t") + F.lit(k_smooth)) / (n_t_tot + kb))
-            - F.log10((F.col("n_raw") + F.lit(k_smooth)) / (n_raw_tot + kb))
-        )
-        * F.lit(1_000_000)
-    ).cast("bigint")
-    ratios = per_bucket.select("bucket", lr_u.alias("lr_u"))
+    ratios = dsir_ratios(docs, target, n_buckets, k_smooth, seed)
     scored = (
-        feats.join(F.broadcast(ratios), "bucket")
+        dsir_feature_buckets(docs, n_buckets, seed)
+        .join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_feats"),
@@ -330,6 +297,74 @@ def dsir_importance(
             "dsir_logratio",
         )
     )
+
+
+def dsir_feature_buckets(
+    docs: DataFrame, n_buckets: int = 256, seed: int | str = "dsir"
+) -> DataFrame:
+    """The DSIR feature projection alone: ``(doc_id, bucket)`` — one
+    hashed word-bigram feature row per adjacent pair, docs with < 2
+    words dropped. Row-local (staged-array shingles + md5 bucket), so
+    it applies unchanged to a STREAMING relation (stateless)."""
+    words = F.split(F.col("text"), " ")
+    staged = docs.select("doc_id", words.alias("_w")).where(
+        F.size("_w") >= 2
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+    )
+    return staged.select("doc_id", F.explode(grams).alias("bg")).select(
+        "doc_id", hash_bucket_col(F.col("bg"), n_buckets, seed).alias("bucket")
+    )
+
+
+def dsir_ratios(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 256,
+    k_smooth: float = 0.5,
+    seed: int | str = "dsir",
+) -> DataFrame:
+    """The trained half of DSIR: per-bucket BIGINT micro-log ratios
+    ``(bucket, lr_u)`` from one hash aggregation over the corpus (the
+    target flag rides the feature rows; totals via an unpartitioned
+    window over the bucket-sized output). This is the shippable "model"
+    — ``n_buckets`` rows that any batch OR streaming scorer broadcasts."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col("text"), " ")
+    staged = docs.select(
+        "doc_id", target.cast("boolean").alias("_t"), words.alias("_w")
+    ).where(F.size("_w") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+    )
+    feats = staged.select(
+        "doc_id",
+        "_t",
+        F.explode(grams).alias("bg"),
+    ).select(
+        "_t",
+        hash_bucket_col(F.col("bg"), n_buckets, seed).alias("bucket"),
+    )
+    per_bucket = feats.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum(F.col("_t").cast("long")).cast("bigint").alias("n_t"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    n_raw_tot = F.sum("n_raw").over(w)
+    n_t_tot = F.sum("n_t").over(w)
+    kb = F.lit(float(k_smooth) * n_buckets)
+    lr_u = F.round(
+        (
+            F.log10((F.col("n_t") + F.lit(k_smooth)) / (n_t_tot + kb))
+            - F.log10((F.col("n_raw") + F.lit(k_smooth)) / (n_raw_tot + kb))
+        )
+        * F.lit(1_000_000)
+    ).cast("bigint")
+    return per_bucket.select("bucket", lr_u.alias("lr_u"))
 
 
 def dsir_select(

@@ -114,3 +114,70 @@ def test_streaming_term_counts(spark, tmp_path_factory):
     )
     got = {r.word: r.df for r in result.collect()}
     assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_streaming_dsir_matches_batch(spark, tmp_path_factory):
+    """The streaming DSIR scorer (stream-static broadcast of the trained
+    ratio table, doc_id-keyed accumulation) drains to EXACTLY the batch
+    operator's output — integer feature sums make arrival order
+    irrelevant."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hadoop_tfidf_spark.operators.sampling import (
+        dsir_feature_buckets,
+        dsir_importance,
+        dsir_ratios,
+    )
+    from hadoop_tfidf_spark.streaming.windows import run_to_completion
+
+    rows = [
+        (i, f"alpha beta w{i % 5} gamma delta", "t" if i % 4 == 0 else "raw")
+        for i in range(40)
+    ] + [(99, "single", "raw")]
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING"
+    )
+    base = str(tmp_path_factory.mktemp("dsir_stream"))
+    docs.repartition(3).write.mode("overwrite").parquet(base)
+
+    ratios = dsir_ratios(docs, F.col("source") == "t", n_buckets=16)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    scored = (
+        dsir_feature_buckets(stream, n_buckets=16)
+        .join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("lr_u").cast("bigint").alias("_lr_sum"),
+        )
+    )
+    drained = run_to_completion(
+        scored, f"tdsir_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in docs.select("doc_id")
+        .join(drained, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("bigint").alias("n_feats"),
+            F.round(F.col("_lr_sum") / F.lit(1_000_000.0), 6).alias(
+                "dsir_logratio"
+            ),
+        )
+        .collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in dsir_importance(
+            docs, F.col("source") == "t", n_buckets=16
+        ).collect()
+    }
+    assert got == want
+    assert got[99] == (0, None)
