@@ -237,10 +237,11 @@ def pack_sequences(
 
 def dsir_importance(
     docs: DataFrame,
-    target: Column,
+    target: Column | None = None,
     n_buckets: int = 256,
     k_smooth: float = 0.5,
     seed: int | str = "dsir",
+    ratios: DataFrame | None = None,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (Xie et al. 2023,
     NeurIPS — the DSIR recipe): score every raw document by how much it
@@ -273,8 +274,21 @@ def dsir_importance(
     bucket-sized output (NOT a crossJoin diamond); the scoring join
     broadcasts the ``n_buckets``-row ratio table. Output ``(doc_id,
     n_feats, dsir_logratio)``; docs with < 2 words carry NULL score.
+
+    ``ratios`` short-circuits training: pass a table from
+    :func:`dsir_ratios` (trained once, typically on a SAMPLE) and the
+    call scores ``docs`` in ONE corpus scan — the production deployment
+    shape (train on target-vs-raw sample, score the full 100 TB; the
+    same table the streaming twin broadcasts). ``target`` is then
+    unused and may be None. CONTRACT: ``n_buckets`` and ``seed`` must
+    match the values the ratio table was trained with — the bucket id
+    IS the feature space, and a mismatch silently mis-joins (features
+    land in buckets the table never saw).
     """
-    ratios = dsir_ratios(docs, target, n_buckets, k_smooth, seed)
+    if ratios is None:
+        if target is None:
+            raise ValueError("dsir_importance: need target or ratios")
+        ratios = dsir_ratios(docs, target, n_buckets, k_smooth, seed)
     scored = (
         dsir_feature_buckets(docs, n_buckets, seed)
         .join(F.broadcast(ratios), "bucket")

@@ -785,3 +785,54 @@ def test_rp_topk_clustered_data_recalls_own_cluster(spark):
     assert len(out) == 24
     for r in out:
         assert r.vec_id % 3 == r.query_id % 3  # same cluster
+
+
+def test_dsir_importance_precomputed_ratios_single_scan(spark):
+    """Passing a trained ratio table skips training and yields EXACTLY
+    the end-to-end result — and works on a scoring corpus disjoint from
+    the training one (the production shape)."""
+    from hadoop_tfidf_spark.operators.sampling import (
+        dsir_importance,
+        dsir_ratios,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat here", "t"), (2, "stock market crash", "raw"),
+         (3, "the cat sat again", "raw")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    score = spark.createDataFrame(
+        [(10, "the cat sat quietly", "raw"), (11, "deep value crash", "raw"),
+         (12, "x", "raw")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    ratios = dsir_ratios(train, F.col("source") == "t", n_buckets=16)
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in dsir_importance(score, n_buckets=16, ratios=ratios).collect()
+    }
+    assert set(got) == {10, 11, 12}
+    assert got[12] == (0, None)
+    assert got[10][0] == 3  # all three bigrams hit trained buckets
+    assert got[11][0] == 1  # the unseen-bucket feature is dropped
+    # the weight is a SUM (length-biased) -> compare per-feature means:
+    # the in-domain doc beats the disjoint-domain one per feature
+    assert got[10][1] / got[10][0] > got[11][1] / got[11][0]
+    # end-to-end (train == score corpus) still equals the two-step form
+    e2e = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in dsir_importance(train, F.col("source") == "t", n_buckets=16).collect()
+    }
+    two_step = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in dsir_importance(
+            train,
+            n_buckets=16,
+            ratios=dsir_ratios(train, F.col("source") == "t", n_buckets=16),
+        ).collect()
+    }
+    assert e2e == two_step
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dsir_importance(score)
