@@ -836,3 +836,51 @@ def test_dsir_importance_precomputed_ratios_single_scan(spark):
 
     with _pt.raises(ValueError):
         dsir_importance(score)
+
+
+def test_new_operators_empty_input_edges(spark):
+    """Empty-corpus behavior is explicit, not accidental: projections
+    return empty relations, the PCA build refuses (no covariance), and
+    DSIR yields an empty (not failing) frame."""
+    import pytest as _pt
+
+    from hadoop_tfidf_spark.operators.sampling import dsir_importance
+    from hadoop_tfidf_spark.operators.similarity import (
+        pca_power_build,
+        random_projection,
+        rp_distortion,
+        rp_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    assert random_projection(empty, out_dim=2, in_dim=4).count() == 0
+    assert rp_distortion(empty, out_dim=2, in_dim=4, sample_mod=1).count() == 0
+    assert (
+        rp_topk(empty, empty, k=3, candidates=5, out_dim=2, in_dim=4).count()
+        == 0
+    )
+    with _pt.raises(ValueError):
+        pca_power_build(empty, k=1, iters=2, in_dim=4)
+
+    nodocs = spark.createDataFrame(
+        [], "doc_id BIGINT, text STRING, source STRING"
+    )
+    assert (
+        dsir_importance(nodocs, F.col("source") == "t", n_buckets=8).count()
+        == 0
+    )
+
+
+def test_pca_build_rejects_constant_corpus(spark):
+    """All-identical vectors -> zero covariance -> explicit refusal (the
+    SQL replay would divide by the zero max otherwise)."""
+    import pytest as _pt
+
+    from hadoop_tfidf_spark.operators.similarity import pca_power_build
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(10)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    with _pt.raises(ValueError):
+        pca_power_build(emb, k=1, iters=2, in_dim=4)
