@@ -954,6 +954,54 @@ def q_sim_rp_topk(spark, sf_dir):
     )
 
 
+def q_sim_rp_recall(spark, sf_dir):
+    """Recall telemetry for the two-stage RP retrieval: per query, how
+    many of the exact integer-L2 top-10 survive the projected-space
+    candidate cut — the dashboard number that says whether the
+    candidate budget (and out_dim) are sized right, exactly as
+    ``sim_recall_audit`` watches the IVFADC index. Both rankings are
+    BIGINT-exact with id tie-breaks, so n_hits is deterministic and
+    the oracle replays both sides. On the gate's RANDOM synthetic
+    embeddings recall sits at 0.1-0.5 — distance concentration makes
+    random data the worst case for any projection (the same effect
+    that flattens the IVFADC nprobe curve here); on clustered data the
+    cut keeps the true neighbors (test_rp_topk_clustered_data_*), and
+    THAT divergence is exactly what this dashboard row exists to
+    surface before sizing candidates/out_dim in production."""
+    from hadoop_tfidf_spark.operators.similarity import int_l2_topk, rp_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    approx = rp_topk(
+        emb,
+        queries,
+        k=SIM_K,
+        candidates=RP_TOPK_CANDIDATES,
+        out_dim=RP_GATE_OUT_DIM,
+        in_dim=RP_GATE_IN_DIM,
+        units=RP_GATE_UNITS,
+    ).select("query_id", "vec_id")
+    exact = int_l2_topk(emb, queries, k=SIM_K, units=RP_GATE_UNITS)
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(SIM_K)), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def q_text_ngram_freq(spark, sf_dir):
     from hadoop_tfidf_spark.functions.text import ngram_freq
 
@@ -2061,6 +2109,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 late additions (FIRST round-9 rotation priority, rule:
     # past-cap newcomers rotate in-window next round at the latest)
     "sim_rp_topk": q_sim_rp_topk,
+    "sim_rp_recall": q_sim_rp_recall,
     "streaming_dsir": q_streaming_dsir,
     "events_time_rollup": q_events_time_rollup,
     "rel_market_share": q_rel_market_share,
@@ -2919,6 +2968,43 @@ SELECT query_id, vec_id, d2_u, CAST(rn AS INTEGER) AS rn FROM (
   JOIN e ec ON ec.vec_id = cand.vec_id
   JOIN e eq ON eq.vec_id = cand.query_id
 ) WHERE rn <= {k}
+"""
+
+
+def _rp_recall_sql() -> str:
+    """Recall replay: the full two-stage chain as a CTE plus the exact
+    integer ranking over all pairs, semi-joined and counted per
+    query."""
+    u, k = RP_GATE_UNITS, SIM_K
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    approx = _rp_topk_sql().strip()
+    return f"""
+WITH approx AS MATERIALIZED (
+{approx}
+),
+e2 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {u}) AS BIGINT)) AS u
+  FROM embeddings
+),
+exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           {_int_d2_sql("c.u", "q.u")} AS d2
+    FROM e2 c CROSS JOIN (SELECT * FROM e2 WHERE vec_id IN ({qids})) q
+    WHERE c.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) <= {k}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e SEMI JOIN approx a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)
+SELECT q AS query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(k)}, 6) AS recall
+FROM (SELECT unnest([{qids}]) AS q) LEFT JOIN hits h ON h.query_id = q
 """
 
 
@@ -4008,6 +4094,7 @@ FROM events GROUP BY user_id
     "sim_rp_project": _rp_sql(),
     "sim_rp_distortion": _rp_sql(distortion=True),
     "sim_rp_topk": _rp_topk_sql(),
+    "sim_rp_recall": _rp_recall_sql(),
     "sim_pca_components": _pca_sql(),
     "sim_pca_project": _pca_sql(project=True),
     "text_bpe_pairs": """

@@ -1579,3 +1579,41 @@ def rp_topk(
         rerank.withColumn("rn", F.row_number().over(w2).cast("int"))
         .where(F.col("rn") <= k)
     )
+
+
+def int_l2_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    units: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT top-k by integer squared L2 over micro-units — the
+    engine-exact reference ranking the approximate retrievals
+    (:func:`rp_topk`, IVFADC) are audited against: same quantization,
+    same tie-breaks, zero float comparisons. Same broadcast
+    nested-loop shape as :func:`brute_force_topk` (queries small by
+    contract, corpus streams, per-query TakeOrdered windows). Output
+    ``(query_id, vec_id, d2_u, rn)``."""
+    base = embeddings.select(
+        id_col, quantized_units(F.col(vec_col), units).alias("_u")
+    )
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantized_units(F.col(vec_col), units).alias("_qu"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(qp))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            _int_d2(F.col("_u"), F.col("_qu")).alias("d2_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_u", id_col)
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+    )

@@ -884,3 +884,35 @@ def test_pca_build_rejects_constant_corpus(spark):
     )
     with _pt.raises(ValueError):
         pca_power_build(emb, k=1, iters=2, in_dim=4)
+
+
+def test_rp_recall_near_one_on_clustered_data(spark):
+    """On clustered data a candidates budget covering the query's
+    cluster (35 vs ~40 members) recalls the true top-k almost fully;
+    half-cluster budgets drop to ~0.8 (within-cluster distances
+    concentrate too) — sizing this dial per corpus is exactly what the
+    sim_rp_recall dashboard is for."""
+    import random
+
+    from hadoop_tfidf_spark.operators.similarity import int_l2_topk, rp_topk
+
+    rng = random.Random(21)
+    centers = [[6.0 * (c == d) for d in range(16)] for c in range(3)]
+    rows = [
+        (i, [centers[i % 3][d] + rng.uniform(-0.4, 0.4) for d in range(16)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2]))
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in rp_topk(
+            emb, queries, k=10, candidates=35, out_dim=8, in_dim=16, units=1000
+        ).collect()
+    }
+    exact = [
+        (r.query_id, r.vec_id)
+        for r in int_l2_topk(emb, queries, k=10, units=1000).collect()
+    ]
+    hits = sum(1 for pair in exact if pair in approx)
+    assert hits / len(exact) >= 0.9
