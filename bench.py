@@ -194,6 +194,16 @@ def _regressions(timings: dict[str, float], sf: float | None) -> list[dict]:
             )
         ]
         if not prevs:
+            # A BASELINE_RESET that filters out EVERY recorded round
+            # leaves the tripwire silently inert for this query — say so
+            # (stderr, not the JSON line) until an r>=reset row lands.
+            if reset is not None and any(name in q for _, q in records):
+                print(
+                    f"bench: BASELINE_RESET leaves {name!r} with zero "
+                    f"usable baselines (no BENCH_r>={reset} recorded at "
+                    f"sf={sf}) — tripwire inert for it this run",
+                    file=sys.stderr,
+                )
             continue
         old, old_file = max(prevs)
         if now > old * REGRESSION_FACTOR and now - old > REGRESSION_FLOOR_S:

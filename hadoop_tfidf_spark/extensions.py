@@ -4669,9 +4669,11 @@ GROUP BY 1, 2
 }
 
 # Composed post-hoc from the pipeline_curate oracle: insert the SemDeDup
-# keep set (the full integer-Lloyd semantic-dedup replay nested as a
+# DROP set (the full integer-Lloyd semantic-dedup replay nested as a
 # subquery) between the near-dup drop (kept2) and the split labeling —
-# mirroring curate_corpus(embeddings=...) stage order exactly.
+# mirroring curate_corpus(embeddings=...) stage order exactly. Anti-join
+# semantics (NOT EXISTS), matching the engine: a doc absent from the
+# embeddings table survives the semantic stage.
 EXTENSION_ORACLE_SQL["pipeline_curate_semantic"] = (
     EXTENSION_ORACLE_SQL["pipeline_curate"]
     .replace(
@@ -4679,10 +4681,11 @@ EXTENSION_ORACLE_SQL["pipeline_curate_semantic"] = (
         f"""sem AS (
   SELECT vec_id FROM (
 {_semantic_dedup_sql()}
-  ) WHERE keep = 1
+  ) WHERE keep = 0
 ),
 kept3 AS (
-  SELECT k.* FROM kept2 k JOIN sem s ON s.vec_id = k.doc_id
+  SELECT k.* FROM kept2 k
+  WHERE NOT EXISTS (SELECT 1 FROM sem s WHERE s.vec_id = k.doc_id)
 ),
 curated AS (""",
     )

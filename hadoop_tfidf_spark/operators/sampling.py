@@ -280,10 +280,14 @@ def dsir_importance(
     call scores ``docs`` in ONE corpus scan — the production deployment
     shape (train on target-vs-raw sample, score the full 100 TB; the
     same table the streaming twin broadcasts). ``target`` is then
-    unused and may be None. CONTRACT: ``n_buckets`` and ``seed`` must
-    match the values the ratio table was trained with — the bucket id
-    IS the feature space, and a mismatch silently mis-joins (features
-    land in buckets the table never saw).
+    unused and may be None. :func:`dsir_ratios` tables are DENSE (all
+    ``n_buckets`` rows, unseen buckets at the smoothed prior), so a
+    table trained on a sample still covers every bucket the full
+    corpus can hash to — the scoring join never drops a feature.
+    CONTRACT: ``n_buckets`` and ``seed`` must match the values the
+    ratio table was trained with — the bucket id IS the feature space,
+    and a mismatch silently mis-scores against the wrong bucket's
+    ratio.
     """
     if ratios is None:
         if target is None:
@@ -344,7 +348,17 @@ def dsir_ratios(
     ``(bucket, lr_u)`` from one hash aggregation over the corpus (the
     target flag rides the feature rows; totals via an unpartitioned
     window over the bucket-sized output). This is the shippable "model"
-    — ``n_buckets`` rows that any batch OR streaming scorer broadcasts."""
+    — ``n_buckets`` rows that any batch OR streaming scorer broadcasts.
+
+    DENSE by contract: ALL ``n_buckets`` rows are emitted — buckets the
+    training corpus never produced carry the smoothed prior
+    ``log10(k/(n_t_tot+kb)) − log10(k/(n_raw_tot+kb))`` (counts 0 under
+    add-k smoothing). This is what makes the train-on-a-SAMPLE /
+    score-the-full-corpus deployment correct: a scoring join against
+    this table can never silently drop a feature whose bucket the
+    sample missed (it gets the prior, exactly as the inline-trained
+    path would give it), so ``n_feats`` and the score stay unbiased.
+    The zero-count rows do not move the window totals (they add 0)."""
     from pyspark.sql import Window
 
     words = F.split(F.col("text"), " ")
@@ -363,9 +377,17 @@ def dsir_ratios(
         "_t",
         hash_bucket_col(F.col("bg"), n_buckets, seed).alias("bucket"),
     )
-    per_bucket = feats.groupBy("bucket").agg(
+    seen = feats.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_raw"),
         F.sum(F.col("_t").cast("long")).cast("bigint").alias("n_t"),
+    )
+    spine = docs.sparkSession.range(int(n_buckets)).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    per_bucket = spine.join(seen, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_raw"),
+        F.coalesce("n_t", F.lit(0)).cast("bigint").alias("n_t"),
     )
     w = Window.partitionBy(F.lit(1))
     n_raw_tot = F.sum("n_raw").over(w)

@@ -1182,6 +1182,26 @@ def _int_d2(a: Column, b: Column) -> Column:
     )
 
 
+def _quantized_dim_checked(
+    vec: Column, units: int, in_dim: int, op: str
+) -> Column:
+    """:func:`quantized_units` with a per-row dimension assertion: any
+    vector whose length differs from ``in_dim`` raises at execution
+    instead of silently zip_with-padding NULLs into the integer fold
+    (which would propagate to ALL-NULL projections with no error). The
+    size compare is one cheap row-local branch fused into codegen."""
+    q = quantized_units(vec, units)
+    return F.when(F.size(q) == in_dim, q).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: embedding dimension "),
+                F.size(q).cast("string"),
+                F.lit(f" != in_dim {in_dim}"),
+            )
+        )
+    )
+
+
 def random_projection(
     emb: DataFrame,
     out_dim: int = 16,
@@ -1212,7 +1232,10 @@ def random_projection(
     """
     signs = _rp_signs(seed, out_dim, in_dim)
     staged = emb.select(
-        id_col, quantized_units(F.col(vec_col), units).alias("_u")
+        id_col,
+        _quantized_dim_checked(
+            F.col(vec_col), units, in_dim, "random_projection"
+        ).alias("_u"),
     )
     comps = [
         F.aggregate(
@@ -1260,7 +1283,12 @@ def rp_distortion(
     signs = _rp_signs(seed, out_dim, in_dim)
     base = emb.where(
         hash_bucket_col(F.col(id_col), sample_mod, sample_seed) == 0
-    ).select(id_col, quantized_units(F.col(vec_col), units).alias("_u"))
+    ).select(
+        id_col,
+        _quantized_dim_checked(
+            F.col(vec_col), units, in_dim, "rp_distortion"
+        ).alias("_u"),
+    )
     comps = [
         F.aggregate(
             F.zip_with(
@@ -1542,12 +1570,17 @@ def rp_topk(
         )
 
     base = embeddings.select(
-        id_col, quantized_units(F.col(vec_col), units).alias("_u")
+        id_col,
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "rp_topk").alias(
+            "_u"
+        ),
     )
     index = base.select(id_col, _proj(F.col("_u")).alias("_rp"))
     qp = queries.select(
         F.col(id_col).alias("query_id"),
-        quantized_units(F.col(vec_col), units).alias("_qu"),
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "rp_topk").alias(
+            "_qu"
+        ),
     ).select("query_id", "_qu", _proj(F.col("_qu")).alias("_qrp"))
 
     stage1 = (

@@ -146,13 +146,18 @@ def curate_corpus(
     if embeddings is not None:
         # Third dedup modality (SemDeDup): docs whose embedding loses its
         # within-cell cosine neighborhood (lowest id survives) drop via
-        # one doc_id-keyed semi-join. The keep set is computed over the
-        # FULL embeddings table — clustering needs the whole space, and
-        # a doc filtered upstream can still disqualify its semantic twin
-        # (same conservatism as the exact/lexical stages' min-id rules).
+        # one doc_id-keyed ANTI-join against the DROP set (keep=0). The
+        # drop set is computed over the FULL embeddings table —
+        # clustering needs the whole space, and a doc filtered upstream
+        # can still disqualify its semantic twin (same conservatism as
+        # the exact/lexical stages' min-id rules). Anti-join, NOT a
+        # semi-join on the keep set: a doc with no row in the embeddings
+        # table must SURVIVE this stage (the stage is a dedup, not a
+        # coverage filter) — the same keep-on-uncertainty failure mode
+        # the megacell valve follows.
         from hadoop_tfidf_spark.operators.similarity import semantic_dedup
 
-        sem_keep = (
+        sem_drop = (
             semantic_dedup(
                 embeddings,
                 k=semantic_k,
@@ -160,10 +165,10 @@ def curate_corpus(
                 units=semantic_units,
                 threshold=semantic_threshold,
             )
-            .where(F.col("keep") == 1)
+            .where(F.col("keep") == 0)
             .select(F.col("vec_id").alias("doc_id"))
         )
-        kept = kept.join(sem_keep, "doc_id", "left_semi")
+        kept = kept.join(sem_drop, "doc_id", "left_anti")
     labeled = hash_split(kept, "doc_id", splits or dict(DEFAULT_SPLITS), seed)
     cols = ["doc_id", "pred_lang", "quality", "split"]
     if keep_text:

@@ -121,12 +121,34 @@ def compact_parquet(
     and rewrites with a round-robin ``repartition`` (uniform output
     sizes; ``coalesce`` would inherit input skew and can collapse
     parallelism of the read itself). Returns the before/after census so
-    a scheduler can log/verify the pass."""
+    a scheduler can log/verify the pass.
+
+    Guard: ``out_path`` must not equal or overlap ``in_path`` (either
+    direction, resolved via the Hadoop FileSystem API so schemes /
+    working-dir-relative paths / ``..`` segments can't sneak past a
+    string compare) — the overwrite-mode write would otherwise delete
+    the very files the lazy read still depends on, destroying the
+    table. In-place compaction is therefore a two-step: compact to a
+    sibling temp dir, then rename-swap."""
     import math
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(in_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out_hpath = jvm.org.apache.hadoop.fs.Path(out_path)
+    out_fs = out_hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    in_q = fs.makeQualified(hpath).toString()
+    out_q = out_fs.makeQualified(out_hpath).toString()
+    if (
+        in_q == out_q
+        or in_q.startswith(out_q + "/")
+        or out_q.startswith(in_q + "/")
+    ):
+        raise ValueError(
+            f"compact_parquet: out_path overlaps in_path ({out_q!r} vs "
+            f"{in_q!r}); the overwrite would delete source files the lazy "
+            "read depends on — compact to a sibling dir and rename-swap"
+        )
     files = fs.listFiles(hpath, True)
     total_bytes = 0
     n_in = 0

@@ -814,10 +814,23 @@ def test_dsir_importance_precomputed_ratios_single_scan(spark):
     assert set(got) == {10, 11, 12}
     assert got[12] == (0, None)
     assert got[10][0] == 3  # all three bigrams hit trained buckets
-    assert got[11][0] == 1  # the unseen-bucket feature is dropped
-    # the weight is a SUM (length-biased) -> compare per-feature means:
-    # the in-domain doc beats the disjoint-domain one per feature
-    assert got[10][1] / got[10][0] > got[11][1] / got[11][0]
+    # the ratio table is DENSE (round-9 fix): the bigram whose bucket the
+    # training corpus never produced scores at the smoothed prior instead
+    # of being silently dropped, so BOTH of doc 11's bigrams count
+    assert got[11][0] == 2
+    # exact independent replay of doc 11: hash its two bigrams with the
+    # same md5 recipe, look them up in the DENSE table, sum in micro-log
+    # units -> dsir_importance must agree to the digit (and the unseen
+    # bucket contributes the smoothed prior, not a silent drop)
+    import hashlib
+
+    tab = {r.bucket: r.lr_u for r in ratios.collect()}
+    assert set(tab) == set(range(16))  # dense table
+    exp_u = sum(
+        tab[int(hashlib.md5(f"dsir:{bg}".encode()).hexdigest()[:15], 16) % 16]
+        for bg in ("deep value", "value crash")
+    )
+    assert got[11][1] == round(exp_u / 1_000_000.0, 6)
     # end-to-end (train == score corpus) still equals the two-step form
     e2e = {
         r.doc_id: (r.n_feats, r.dsir_logratio)

@@ -1,0 +1,177 @@
+"""Round-9 pins for the ADVICE findings: compact_parquet path-overlap
+guard, dense DSIR ratio tables (no silent feature drops when scoring
+with a sample-trained table), anti-join semantics for the pipeline's
+semantic-dedup stage (docs without embeddings survive), and the RP
+family's per-row dimension assertion."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- sinks
+
+
+def test_compact_parquet_rejects_overlapping_paths(spark, tmp_path):
+    from hadoop_tfidf_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "table")
+    spark.range(10).write.parquet(src)
+    # equal paths: the overwrite would delete the files the read needs
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_parquet(spark, src, src)
+    # output nested inside input
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_parquet(spark, src, src + "/compacted")
+    # input nested inside output
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_parquet(spark, src, str(tmp_path))
+    # trailing slashes / dot segments must not defeat the guard
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_parquet(spark, src, src + "/")
+    with pytest.raises(ValueError, match="overlaps"):
+        compact_parquet(spark, src, str(tmp_path / "x" / ".." / "table"))
+    # the source is untouched after every rejection
+    assert spark.read.parquet(src).count() == 10
+    # a genuine sibling still compacts
+    out = str(tmp_path / "table_compacted")
+    census = compact_parquet(spark, src, out)
+    assert census["n_input_files"] >= 1
+    assert spark.read.parquet(out).count() == 10
+
+
+# ----------------------------------------------------------------- dsir
+
+
+def test_dsir_ratios_table_is_dense_with_smoothed_prior(spark):
+    """dsir_ratios emits ALL n_buckets rows; buckets the training corpus
+    never produced carry exactly the add-k smoothed prior — so a
+    sample-trained table never drops a feature at scoring time."""
+    import math
+
+    from hadoop_tfidf_spark.operators.sampling import (
+        dsir_feature_buckets,
+        dsir_ratios,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat here", "t"), (2, "stock market crash", "raw")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    n_buckets, k = 32, 0.5
+    tab = {
+        r.bucket: r.lr_u
+        for r in dsir_ratios(
+            train, F.col("source") == "t", n_buckets=n_buckets, k_smooth=k
+        ).collect()
+    }
+    assert set(tab) == set(range(n_buckets))  # dense
+    seen = {
+        r.bucket
+        for r in dsir_feature_buckets(train, n_buckets=n_buckets).collect()
+    }
+    assert seen < set(tab)  # training really left buckets empty
+    # unseen buckets carry the smoothed prior (counts 0):
+    # lr = log10(k/(n_t_tot+kb)) - log10(k/(n_raw_tot+kb))
+    n_t_tot, n_raw_tot, kb = 3, 5, k * n_buckets
+    prior_u = round(
+        (
+            math.log10(k / (n_t_tot + kb))
+            - math.log10(k / (n_raw_tot + kb))
+        )
+        * 1_000_000
+    )
+    for b in set(tab) - seen:
+        assert tab[b] == prior_u
+
+
+def test_dsir_sample_trained_scoring_never_drops_features(spark):
+    """The production shape — train on a sample, score held-out docs:
+    n_feats equals the doc's true bigram count even when its buckets
+    were absent from the training sample (the ADVICE finding)."""
+    from hadoop_tfidf_spark.operators.sampling import (
+        dsir_importance,
+        dsir_ratios,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma", "t"), (2, "delta epsilon zeta", "raw")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    held_out = spark.createDataFrame(
+        [(10, "totally novel ngrams everywhere now", "raw")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    ratios = dsir_ratios(train, F.col("source") == "t", n_buckets=64)
+    row = dsir_importance(held_out, n_buckets=64, ratios=ratios).collect()[0]
+    assert row.n_feats == 4  # five words -> four bigrams, none dropped
+    assert row.dsir_logratio is not None
+
+
+# ------------------------------------------------------------- pipeline
+
+
+def test_curate_semantic_stage_keeps_docs_without_embeddings(spark):
+    """The semantic stage is a DEDUP, not a coverage filter: a doc with
+    no row in the embeddings table must survive (anti-join against the
+    drop set), while a genuine within-cell near-duplicate still drops."""
+    from hadoop_tfidf_spark.pipeline import curate_corpus
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "she said that the meeting was moved to the other room"
+    third = "it was the best of times and it was the worst of times"
+    docs = spark.createDataFrame(
+        [(1, text), (2, other), (3, third)],
+        "doc_id BIGINT, text STRING",
+    )
+    # identical embeddings for 1 and 2 -> SemDeDup drops the higher id
+    # (2); doc 1 keeps. Doc 3 has NO embedding row at all.
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    base = {
+        r.doc_id
+        for r in curate_corpus(docs, min_quality=0.0).select("doc_id").collect()
+    }
+    got = {
+        r.doc_id
+        for r in curate_corpus(
+            docs,
+            min_quality=0.0,
+            embeddings=emb,
+            semantic_k=1,
+            semantic_iters=1,
+            semantic_threshold=0.99,
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert 3 in base
+    assert 3 in got, "doc without an embedding row must survive the stage"
+    assert 2 in base and 2 not in got  # the true semantic dup still drops
+    assert 1 in got
+
+
+# ------------------------------------------------------------ rp guards
+
+
+def test_random_projection_raises_on_dim_mismatch(spark):
+    from hadoop_tfidf_spark.operators.similarity import (
+        random_projection,
+        rp_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(Exception, match="random_projection.*!= in_dim 16"):
+        random_projection(emb, out_dim=4, in_dim=16).collect()
+    with pytest.raises(Exception, match="rp_topk.*!= in_dim 16"):
+        rp_topk(emb, emb, k=1, candidates=2, out_dim=4, in_dim=16).collect()
+    # the matching dimension still projects (no false trips)
+    out = random_projection(emb, out_dim=4, in_dim=8).collect()
+    assert len(out) == 1 and len(out[0].rp) == 4
+    assert all(v is not None for v in out[0].rp)
