@@ -580,11 +580,16 @@ def span_dedup(
     distributed, partial-agg collapses per-partition repeats before the
     shuffle — no skew); the dup set joins back by span hash as a plain
     equi-join (NOT broadcast: at corpus scale the duplicated-span set is
-    itself large) to FLAG each span, and one ``doc_id``-keyed aggregation
-    then produces counts and reassembly together. 2 shuffled aggregations
-    + 1 equi-join total — never all-pairs, and no span text ever crosses
-    a shuffle wider than the doc itself. Zero-span docs are filled from a
-    spans-free projection of the input (no second span construction).
+    itself large) to FLAG each span. Because tiled spans are DISJOINT,
+    reassembly never moves span text: the ``doc_id``-keyed aggregation
+    collects only counts plus the duplicated chunk INDICES (integers,
+    bounded by dup density), and ``clean_text`` is rebuilt row-locally
+    after one ``doc_id`` equi-join to the input (word *i* belongs to
+    exactly chunk ``⌊i/span_words⌋``; membership tests against the small
+    dup-index array, with a clean-doc fast path). 2 shuffled aggregations
+    + 2 equi-joins total — never all-pairs, and NO span text crosses any
+    shuffle (both the h-join and the aggregation carry ints only).
+    Zero-span docs fall out of the left join with zero counts.
     """
     if stride is not None and stride != span_words:
         if not 1 <= stride < span_words:
@@ -600,7 +605,7 @@ def span_dedup(
     )
     exploded = staged.select(
         "doc_id", F.posexplode(spans_col).alias("chunk_idx", "span")
-    ).withColumn("h", F.md5(F.col("span")))
+    ).select("doc_id", "chunk_idx", F.md5(F.col("span")).alias("h"))
     dup = (
         exploded.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -610,36 +615,51 @@ def span_dedup(
     tagged = exploded.join(dup, "h", "left").select(
         "doc_id",
         "chunk_idx",
-        "span",
         F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
     )
+    # Tiled spans are DISJOINT, so reassembly needs no span text at all:
+    # collect only the duplicated chunk indices (integers, bounded by dup
+    # density) and rebuild clean_text row-locally from the re-staged word
+    # array — word i belongs to exactly chunk floor(i / span_words).
+    # Span text therefore never crosses a shuffle: the h-join carries
+    # (doc_id, chunk_idx) ints and the doc_id aggregation carries ints,
+    # where the former collect_list(struct(idx, flag, span)) reassembly
+    # shuffled every span's text (a corpus-sized agg payload) twice.
     per_doc = tagged.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_spans"),
         F.sum("is_dup").cast("bigint").alias("n_dup_spans"),
-        F.array_join(
-            F.transform(
-                F.filter(
-                    F.array_sort(
-                        F.collect_list(F.struct("chunk_idx", "is_dup", "span"))
-                    ),
-                    lambda x: x["is_dup"] == 0,
-                ),
-                lambda x: x["span"],
-            ),
-            " ",
-        ).alias("clean_text"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("is_dup") == 1, F.col("chunk_idx")))
+        ).alias("_dup_chunks"),
     )
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
-            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias(
-                "n_dup_spans"
-            ),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        )
+    base = docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias(
+            "n_dup_spans"
+        ),
+        F.coalesce(words, F.array().cast("array<string>")).alias("_w"),
+        F.coalesce(F.col("_dup_chunks"), F.array().cast("array<int>")).alias(
+            "_dc"
+        ),
+    )
+    # membership is a linear scan of the (small) dup-chunk array; the
+    # size guard is the common-case fast path — clean docs skip it and
+    # the double reference keeps `_dc`/`_w` as staged attributes
+    kept_words = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.array_contains(
+            F.col("_dc"), F.floor(i / F.lit(span_words)).cast("int")
+        ),
+    )
+    clean_text = F.when(
+        F.size("_dc") == 0, F.array_join(F.col("_w"), " ")
+    ).otherwise(F.array_join(kept_words, " "))
+    return base.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.coalesce(clean_text, F.lit("")).alias("clean_text"),
     )
 
 
