@@ -46,6 +46,15 @@ class PlanStats:
     #: Stateful streaming exec nodes (StateStoreSave / session-window save /
     #: stream-stream join / applyInPandasWithState) — 0 for batch plans.
     state_stores: int = 0
+    #: WindowGroupLimit nodes in Partial mode — the pre-shuffle rank-limit
+    #: pushdown (each map task keeps only its local top-k per key BEFORE
+    #: the exchange). This is what makes `row_number() <= k` top-k windows
+    #: scale: without it the shuffle carries the whole corpus. Spark only
+    #: inserts it for rank/row_number filters on the window column itself —
+    #: filtering a derived column silently loses it, so the census pins it.
+    partial_window_group_limits: int = 0
+    #: All WindowGroupLimit nodes (Partial + Final).
+    window_group_limits: int = 0
 
 
 def streaming_executed_plan(query) -> str:
@@ -144,4 +153,6 @@ def plan_stats_from_string(plan: str) -> PlanStats:
             r"StateStoreSave|SessionWindowStateStoreSave"
             r"|StreamingSymmetricHashJoin|FlatMapGroupsInPandasWithState"
         ),
+        partial_window_group_limits=n(r"WindowGroupLimit .*, Partial"),
+        window_group_limits=n(r"WindowGroupLimit "),
     )

@@ -293,3 +293,36 @@ def test_dsir_broadcasts_ratio_table_no_cartesian(stats_of):
     s = stats_of("text_dsir")
     assert s.broadcast_hash_joins >= 1
     assert s.cartesian_products == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sim_topk_brute", "sim_topk_lsh", "sim_topk_ivf", "sim_rp_topk"],
+)
+def test_topk_windows_get_partial_window_group_limit(stats_of, name):
+    """Every per-query top-k in the ANN family relies on Spark pushing a
+    PARTIAL WindowGroupLimit below the exchange: each map task keeps only
+    its local top-k per query BEFORE the shuffle, so the exchange carries
+    k·queries·tasks rows instead of the whole scored corpus. Spark only
+    inserts it when the filter is on the rank/row_number column itself —
+    filtering a derived column (or an upgrade regression) silently loses
+    the pushdown and the shuffle becomes corpus-sized; this pins it."""
+    s = stats_of(name)
+    assert s.partial_window_group_limits >= 1, (
+        f"{name}: top-k window lost its Partial WindowGroupLimit pushdown "
+        "— the pre-shuffle rank cut is gone and the exchange is now "
+        "corpus-sized"
+    )
+    # and the Final-mode twin above the exchange completes the pair
+    assert s.window_group_limits > s.partial_window_group_limits
+
+
+def test_rank_topk_is_take_ordered_not_global_sort(stats_of):
+    """The reference's Rank job (single-reducer global sort) maps to
+    TakeOrderedAndProject — per-partition top-k then a k-sized merge,
+    never a full range-partitioned sort of the corpus. 'rank' has no
+    WindowGroupLimit because it has no per-key window at all: the census
+    shows zero sorts beyond the k-sized driver merge."""
+    s = stats_of("rank")
+    assert s.window_group_limits == 0
+    assert s.cartesian_products == 0
