@@ -743,6 +743,30 @@ def q_text_bpe_tokens(spark, sf_dir):
     return out
 
 
+#: Seed for the train/held-out split of the BPE holdout gate query.
+BPE_HOLDOUT_SEED = "bpeho"
+
+
+def q_text_bpe_tokens_holdout(spark, sf_dir):
+    """BPE budget accounting for a HELD-OUT corpus — the deployment
+    every production tokenizer faces: train the 4-merge tokenizer on
+    half the corpus (hash-split by doc_id), then bill the OTHER half
+    against that vocab. Unseen words take the char-length byte-fallback
+    path (left join + coalesce — never silently dropped), and
+    ``n_fallback_words`` surfaces the vocab/corpus mismatch rate. The
+    oracle replays the trainer over the same train slice and the same
+    left-join scoring of the complement."""
+    from hadoop_tfidf_spark.functions.text import bpe_token_counts, bpe_train
+    from hadoop_tfidf_spark.operators.sampling import hash_bucket_col
+
+    docs = _docs(spark, sf_dir)
+    bucket = hash_bucket_col(F.col("doc_id"), 2, BPE_HOLDOUT_SEED)
+    _, vocab = bpe_train(docs.where(bucket == 0), n_merges=BPE_GATE_MERGES)
+    out = bpe_token_counts(docs.where(bucket == 1), vocab)
+    vocab.unpersist()  # lazy count plan re-derives the fold chain
+    return out
+
+
 def q_text_pack_bpe(spark, sf_dir):
     """Sequence packing budgeted in TRAINED-TOKENIZER tokens instead of
     whitespace words — the unit the training loader actually bills
@@ -2067,6 +2091,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_pairs": q_text_bpe_pairs,
     "text_bpe_vocab": q_text_bpe_vocab,
     "text_bpe_tokens": q_text_bpe_tokens,
+    "text_bpe_tokens_holdout": q_text_bpe_tokens_holdout,
     "text_dsir": q_text_dsir,
     "text_dsir_select": q_text_dsir_select,
     "sim_rp_project": q_sim_rp_project,
@@ -2792,22 +2817,36 @@ FROM v{n_merges}
     )
 
 
-def _bpe_tokens_sql(n_merges: int) -> str:
-    """Per-doc token counts under the trained tokenizer: every corpus
-    word's post-merge symbolization already lives in the final vocab
-    CTE, so the per-doc count is a word-keyed join + sum — no per-doc
-    merge re-application, same trick the Spark side uses."""
+def _bpe_tokens_sql(
+    n_merges: int, train_where: str = "", score_where: str = ""
+) -> str:
+    """Per-doc token counts under the trained tokenizer: every training
+    word's post-merge symbolization lives in the final vocab CTE, so the
+    per-doc count is a word-keyed LEFT join + sum with char-length
+    byte-fallback for unseen words (mirrors
+    ``functions.text.bpe_token_counts``). ``train_where``/``score_where``
+    (SQL ``WHERE ...`` strings) carve the trainer's corpus and the
+    scored corpus out of ``documents`` for the held-out deployment."""
+    ctes = _bpe_chain_ctes(n_merges)
+    if train_where:
+        ctes[0] = ctes[0].replace(
+            "FROM documents", f"FROM documents {train_where}"
+        )
     return (
         "WITH "
-        + ",\n".join(_bpe_chain_ctes(n_merges))
+        + ",\n".join(ctes)
         + f""",
 tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents {score_where}
 )
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
-FROM tok t JOIN v{n_merges} v USING (word)
+       CAST(sum(coalesce(len(v.syms), length(t.word))) AS BIGINT)
+         AS n_bpe_tokens,
+       CAST(sum(CASE WHEN v.syms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fallback_words
+FROM tok t LEFT JOIN v{n_merges} v USING (word)
 WHERE t.word <> ''
 GROUP BY t.doc_id
 """
@@ -4086,6 +4125,17 @@ FROM events GROUP BY user_id
     "dedup_semantic_capped": _semantic_dedup_sql(GATE_SEM_CELL_CAP),
     "text_bpe_vocab": _bpe_vocab_sql(BPE_GATE_MERGES),
     "text_bpe_tokens": _bpe_tokens_sql(BPE_GATE_MERGES),
+    "text_bpe_tokens_holdout": _bpe_tokens_sql(
+        BPE_GATE_MERGES,
+        train_where=(
+            "WHERE ('0x' || substr(md5('bpeho:' || doc_id), 1, 15))"
+            "::BIGINT % 2 = 0"
+        ),
+        score_where=(
+            "WHERE ('0x' || substr(md5('bpeho:' || doc_id), 1, 15))"
+            "::BIGINT % 2 = 1"
+        ),
+    ),
     "text_pack_bpe": _pack_bpe_sql(),
     "text_mixture_bpe": _mixture_bpe_sql(),
     "text_dsir": _dsir_sql(),

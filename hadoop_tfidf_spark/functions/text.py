@@ -832,19 +832,36 @@ def bpe_token_counts(docs: DataFrame, vocab: DataFrame) -> DataFrame:
 
     Scale: tokens explode once (the same relation the TF-IDF core
     shuffles), the vocab side joins on the uniform word key, one
-    doc_id-keyed aggregation. For docs OUTSIDE the training corpus an
-    unseen word has no vocab row — inner-join semantics by design here
-    (train-corpus accounting); byte-fallback encoding is a tokenizer
-    concern, not a counting one."""
+    doc_id-keyed aggregation.
+
+    BYTE-FALLBACK for held-out corpora: a word with no vocab row (the
+    scored corpus is not the training corpus — the deployment every
+    production tokenizer faces) counts ``length(word)`` fallback tokens,
+    exactly what a tokenizer with character/byte fallback would emit for
+    a fully-unknown word (its symbols never merged). The vocab join is
+    therefore a LEFT join + coalesce — never an inner join that silently
+    deflates the budget of out-of-train documents. ``n_fallback_words``
+    reports how many words fell back, so budget consumers can see when a
+    vocab is badly mismatched to the corpus it's billing. On the
+    training corpus itself every word has a row, so the fallback path is
+    exercised zero times and counts are identical to the old inner-join
+    form."""
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     tok = docs.select("doc_id", F.explode(words).alias("word"))
     return (
         tok.join(
-            vocab.select("word", F.size("symbols").alias("_ns")), "word"
+            vocab.select("word", F.size("symbols").alias("_ns")),
+            "word",
+            "left",
         )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_words"),
-            F.sum("_ns").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.coalesce(F.col("_ns"), F.length("word")))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+            F.sum(F.when(F.col("_ns").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fallback_words"),
         )
     )

@@ -175,3 +175,48 @@ def test_random_projection_raises_on_dim_mismatch(spark):
     out = random_projection(emb, out_dim=4, in_dim=8).collect()
     assert len(out) == 1 and len(out[0].rp) == 4
     assert all(v is not None for v in out[0].rp)
+
+
+# ------------------------------------------------------------------ bpe
+
+
+def test_bpe_token_counts_byte_fallback_for_unseen_words(spark):
+    """Billing a held-out corpus against a trained vocab: unseen words
+    count length(word) fallback tokens via the left join (never silently
+    dropped), n_fallback_words reports them, and train-corpus words
+    still bill their merged symbol counts."""
+    from hadoop_tfidf_spark.functions.text import bpe_token_counts, bpe_train
+
+    train = spark.createDataFrame(
+        [(1, "aaaa aaaa aab")], "doc_id BIGINT, text STRING"
+    )
+    merges, vocab = bpe_train(train, n_merges=2)
+    assert merges[0] == ("a", "a")  # most frequent pair
+    held_out = spark.createDataFrame(
+        [(10, "aaaa zzz aab qx")], "doc_id BIGINT, text STRING"
+    )
+    row = bpe_token_counts(held_out, vocab).collect()[0]
+    assert row.n_words == 4
+    # aaaa/aab bill their trained symbolization; zzz -> 3 fallback
+    # chars, qx -> 2 fallback chars
+    syms = {r.word: len(r.symbols) for r in vocab.collect()}
+    assert row.n_bpe_tokens == syms["aaaa"] + syms["aab"] + 3 + 2
+    assert row.n_fallback_words == 2
+    vocab.unpersist()
+
+
+def test_bpe_token_counts_train_corpus_has_zero_fallback(spark):
+    """On the training corpus itself every word has a vocab row — the
+    fallback path fires zero times (counts identical to the former
+    inner-join form)."""
+    from hadoop_tfidf_spark.functions.text import bpe_token_counts, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran far")],
+        "doc_id BIGINT, text STRING",
+    )
+    _, vocab = bpe_train(docs, n_merges=3)
+    rows = bpe_token_counts(docs, vocab).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(r.n_fallback_words == 0 for r in rows)
+    vocab.unpersist()
