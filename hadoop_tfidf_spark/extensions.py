@@ -1798,6 +1798,93 @@ def q_sim_recall_audit(spark, sf_dir):
 #: The nprobe operating points the recall curve sweeps (of IVF_K cells).
 RECALL_CURVE_NPROBES = (1, 2, 4)
 
+# ---- clustered recall-curve fixture -------------------------------------
+# The gate's raw synthetic embeddings are ROTATIONALLY RANDOM — distance
+# concentration makes every nprobe return the same set, so the curve is
+# flat by construction (see r8 sim_recall_curve docstring). To let the
+# GATE row demonstrate the rising curve the chart exists to show, the
+# curve query runs on a deterministic CLUSTERED derivation of the same
+# table: each vector is snapped to one of IVF_K=16 bit-sign cluster
+# centers (cluster = vec_id % 16, center[d] = ±AMP by bit (d mod 4) of
+# the cluster id) with the original embedding as jitter, and three
+# STRADDLING queries sit at (0.501·A + 0.499·B) midpoints of one-bit-
+# apart center pairs — their exact top-10 provably mixes both clusters
+# (7:3-ish at sf0.01), so nprobe=1 structurally cannot reach full
+# recall and nprobe=2 must improve it. Every constant below is shared
+# verbatim with the DuckDB replay; the derivation is one float64 add
+# per component on both engines, so the hash gate holds end-to-end.
+RECALL_CLUSTER_C = 16  # == IVF_K: seeds 0..15 land one per cluster
+RECALL_CLUSTER_AMP = 4.0
+RECALL_STRADDLE_PAIRS = ((0, 1), (2, 6), (5, 13))  # one-bit-apart pairs
+RECALL_STRADDLE_IDS = (9000, 9001, 9002)
+RECALL_NUDGE = 0.501
+EMB_DIM = 64
+#: Fixture corpus size: 5 members per cluster (vec_id < 80). Sized so a
+#: straddling query's exact top-10 is EXACTLY the two straddled cells'
+#: members — recall then measures cell COVERAGE (the thing nprobe buys),
+#: not fine ADC ordering: with ~31 members/cell (the full sf0.01 table)
+#: the within-cell ADC ranks are jitter-scale and PQ quantization noise
+#: swamps them, which flattened the first clustered cut of this fixture
+#: at 20-40% for every nprobe.
+RECALL_FIXTURE_ROWS = 80
+
+
+def _cluster_center(c: int) -> list[float]:
+    return [
+        RECALL_CLUSTER_AMP if (c >> (d % 4)) & 1 else -RECALL_CLUSTER_AMP
+        for d in range(EMB_DIM)
+    ]
+
+
+def _straddle_queries() -> list[tuple[int, list[float]]]:
+    """The straddling query rows as pure float64 constants (computed
+    once here, fed verbatim to BOTH engines — Spark as literal data,
+    DuckDB via repr round-trip, which is exact for float64)."""
+    rows = []
+    for qid, (a, b) in zip(RECALL_STRADDLE_IDS, RECALL_STRADDLE_PAIRS):
+        ca, cb = _cluster_center(a), _cluster_center(b)
+        rows.append(
+            (
+                qid,
+                [
+                    RECALL_NUDGE * x + (1.0 - RECALL_NUDGE) * y
+                    for x, y in zip(ca, cb)
+                ],
+            )
+        )
+    return rows
+
+
+def _clustered_emb(spark, sf_dir):
+    """Spark side of the clustered fixture: snap every embedding to its
+    ``vec_id % 16`` cluster center (one float64 add per component,
+    zero shuffle) and union the three literal straddling query rows."""
+    emb = _emb(spark, sf_dir)
+    c = F.col("vec_id") % RECALL_CLUSTER_C
+
+    def shift(x, i):
+        p = (
+            F.when(i % 4 == 0, F.lit(1))
+            .when(i % 4 == 1, F.lit(2))
+            .when(i % 4 == 2, F.lit(4))
+            .otherwise(F.lit(8))
+        )
+        bit = F.floor(c / p).cast("bigint") % 2
+        return x + F.when(
+            bit == 1, F.lit(RECALL_CLUSTER_AMP)
+        ).otherwise(F.lit(-RECALL_CLUSTER_AMP))
+
+    clustered = emb.where(F.col("vec_id") < RECALL_FIXTURE_ROWS).select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"), shift).alias(
+            "embedding"
+        ),
+    )
+    qrows = spark.createDataFrame(
+        _straddle_queries(), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    return clustered.unionByName(qrows)
+
 
 def q_sim_recall_curve(spark, sf_dir):
     """Recall-vs-nprobe curve — the ANN tuning chart itself: ONE
@@ -1813,23 +1900,28 @@ def q_sim_recall_curve(spark, sf_dir):
     times at the three probe budgets (the Lloyd chains are
     deterministic, so the three replays share every centroid).
 
-    On the gate's RANDOM synthetic embeddings the curve is flat (the
-    nearest cell's 125 members saturate the ADC top-10 — distance
-    concentration makes ADC ranks near-noise beyond cell 1, verified:
-    the result set is bit-identical at nprobe 1/2/4/8) — that flatness
-    IS the telemetry correctly reporting "more probes buy nothing
-    here". The rising-curve behavior on structured data, where true
-    neighbors straddle cells, is pinned by
-    tests/test_round8_ops.py::test_recall_curve_rises_on_straddling_queries.
+    Runs on the CLUSTERED fixture (:func:`_clustered_emb` — the raw
+    random table snapped onto 16 bit-sign cluster centers plus three
+    straddling midpoint queries) so the gate row demonstrates the
+    rising curve the chart exists to show: on the raw table the curve
+    is flat by construction (distance concentration — verified in r8:
+    bit-identical result sets at nprobe 1/2/4/8, documented then as
+    "more probes buy nothing here"), while on clustered data a
+    straddling query's exact top-10 mixes two cells, so nprobe=1
+    structurally cannot reach it and nprobe=2 must improve. The same
+    rising behavior is unit-pinned by tests/test_round8_ops.py::
+    test_recall_curve_rises_on_straddling_queries; production recall
+    telemetry on the data as-it-is stays available via
+    `sim_recall_audit`.
     """
     from pyspark.storagelevel import StorageLevel
 
-    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    emb = _clustered_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     assigned, cents, codes, books = S.ivfpq_build_residual(
         emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
         m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
     )
-    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    queries = emb.where(F.col("vec_id").isin(list(RECALL_STRADDLE_IDS)))
     brute = S.brute_force_topk(emb, queries, k=SIM_K).select(
         "query_id", "vec_id", F.lit(1).alias("hit")
     )
@@ -1837,7 +1929,7 @@ def q_sim_recall_curve(spark, sf_dir):
     for np_ in RECALL_CURVE_NPROBES:
         parts.append(
             S.ivfpq_topk(
-                assigned, cents, codes, books, SIM_QUERY_IDS,
+                assigned, cents, codes, books, list(RECALL_STRADDLE_IDS),
                 k=SIM_K, nprobe=np_, units=IVF_UNITS,
                 embeddings=emb, residual=True,
             )
@@ -2498,8 +2590,39 @@ def _pq_sql(dim: int = 64) -> str:
     )
 
 
+#: Default DuckDB source for the ANN oracles' ``e`` CTE — overridable
+#: (``e_body=``) so a replay can run over a derived relation (e.g. the
+#: clustered recall-curve fixture) instead of the raw table.
+DEFAULT_E_BODY = "SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings"
+
+
+def _clustered_e_body() -> str:
+    """DuckDB side of :func:`_clustered_emb`: the same ±AMP bit-sign
+    snap (1-based indexed lambda; ``(i-1) % 4`` picks the bit) over
+    ``embedding::DOUBLE[]``, unioned with the straddling query rows as
+    repr'd float64 literals (exact round-trip)."""
+    amp = repr(RECALL_CLUSTER_AMP)
+    qvals = ",\n    ".join(
+        f"({qid}, [{', '.join(repr(v) for v in vec)}]::DOUBLE[])"
+        for qid, vec in _straddle_queries()
+    )
+    return f"""SELECT vec_id,
+    list_transform(embedding::DOUBLE[], (x, i) ->
+      x + CASE WHEN (CAST(vec_id % {RECALL_CLUSTER_C} AS BIGINT)
+                     // ([1,2,4,8][((i - 1) % 4) + 1])) % 2 = 1
+               THEN {amp}::DOUBLE ELSE -{amp}::DOUBLE END) AS vec
+  FROM embeddings WHERE vec_id < {RECALL_FIXTURE_ROWS}
+  UNION ALL
+  SELECT * FROM (VALUES
+    {qvals}) AS sq(vec_id, vec)"""
+
+
 def _ivfpq_sql(
-    dim: int = 64, residual: bool = False, nprobe: int = IVF_NPROBE
+    dim: int = 64,
+    residual: bool = False,
+    nprobe: int = IVF_NPROBE,
+    e_body: str | None = None,
+    query_ids=None,
 ) -> str:
     """Unrolled replay of IVFADC (mirrors similarity.ivfpq_topk): the
     coarse integer Lloyd of the IVF oracle (same CTE chain), the
@@ -2517,13 +2640,14 @@ def _ivfpq_sql(
     qsub CTEs carry (query, cluster) grain) — restriction to probed
     cells falls out of the cluster join."""
     sub = dim // PQ_M
+    qids = list(query_ids) if query_ids is not None else SIM_QUERY_IDS
     # coarse IVF chain (verbatim structure from _ivf_sql)
     ctes = [
         f"""e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS vec,
-         list_transform(embedding::DOUBLE[],
+  SELECT vec_id, vec,
+         list_transform(vec,
                         x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
-  FROM embeddings
+  FROM ({e_body or DEFAULT_E_BODY})
 )""",
         f"""cent0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u
@@ -2554,7 +2678,7 @@ def _ivfpq_sql(
     final = IVF_ITERS
     ctes.append(f"""qv AS (
   SELECT vec_id AS query_id, u AS q_u FROM e
-  WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})
+  WHERE vec_id IN ({", ".join(map(str, qids))})
 )""")
     ctes.append(f"""probe AS (
   SELECT query_id, cluster FROM (
@@ -2625,7 +2749,7 @@ def _ivfpq_sql(
     FROM passign{s}_{PQ_ITERS} a
     JOIN pcent{s}_{PQ_ITERS} c ON a.cluster = c.cluster
     CROSS JOIN (SELECT vec_id AS query_id, su FROM sub{s}
-                WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})) q"""
+                WHERE vec_id IN ({", ".join(map(str, qids))})) q"""
             )
     union = "\n    UNION ALL\n    ".join(dists)
     ctes.append(f"""alld AS (
@@ -2725,16 +2849,20 @@ def _recall_curve_sql() -> str:
     Lloyd chains replay to identical centroids, so only the probe width
     differs), unioned with the nprobe tag, scored against the exact
     rounded-cosine brute top-k; mirrors q_sim_recall_curve
-    column-for-column."""
-    ids = ", ".join(map(str, SIM_QUERY_IDS))
+    column-for-column. Runs over the CLUSTERED fixture
+    (:func:`_clustered_e_body`) with the straddling query ids — the
+    Spark side and all three nested index replays share the same
+    derived relation."""
+    ids = ", ".join(map(str, RECALL_STRADDLE_IDS))
+    e_body = _clustered_e_body()
     branches = "\n    UNION ALL\n    ".join(
         f"SELECT {np_} AS nprobe, query_id, vec_id FROM (\n"
-        f"{_ivfpq_sql(residual=True, nprobe=np_)}\n)"
+        f"{_ivfpq_sql(residual=True, nprobe=np_, e_body=e_body, query_ids=RECALL_STRADDLE_IDS)}\n)"
         for np_ in RECALL_CURVE_NPROBES
     )
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+  SELECT vec_id, vec FROM ({e_body})
 ),
 brute AS (
   SELECT query_id, vec_id FROM (

@@ -220,3 +220,29 @@ def test_bpe_token_counts_train_corpus_has_zero_fallback(spark):
     assert {r.doc_id for r in rows} == {1, 2}
     assert all(r.n_fallback_words == 0 for r in rows)
     vocab.unpersist()
+
+
+# ---------------------------------------------------------- recall curve
+
+
+def test_recall_curve_gate_fixture_rises(spark):
+    """The declared sim_recall_curve query (clustered fixture) must show
+    the rising curve the chart exists to demonstrate: every straddling
+    query's recall strictly improves from nprobe=1 to nprobe=2 (one
+    probed cell structurally cannot cover both straddled clusters) and
+    never decreases thereafter."""
+    from hadoop_tfidf_spark.extensions import (
+        RECALL_CURVE_NPROBES,
+        RECALL_STRADDLE_IDS,
+        q_sim_recall_curve,
+    )
+
+    rows = q_sim_recall_curve(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.recall_pct
+    assert set(by_q) == set(RECALL_STRADDLE_IDS)
+    for qid, curve in by_q.items():
+        assert set(curve) == set(RECALL_CURVE_NPROBES)
+        assert curve[2] > curve[1], f"query {qid}: curve must rise 1->2"
+        assert curve[4] >= curve[2], f"query {qid}: curve must not fall"
