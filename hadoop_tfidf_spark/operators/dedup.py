@@ -24,7 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoop_tfidf_spark.functions.hashing import hex_to_long
@@ -573,23 +573,26 @@ def span_dedup(
     Scale (100 TB): span construction is ROW-LOCAL (``sequence`` +
     ``slice`` higher-order expressions fused into the scan — same shape as
     :func:`~hadoop_tfidf_spark.functions.text.fingerprint`) and runs
-    exactly TWICE — once to feed the corpus-wide span count, once for the
-    tagged pass (persisting the exploded spans instead would materialize
-    a corpus-sized relation; recompute is the right trade at scale). The
-    count aggregates ``md5(span)`` (fixed 32-char key, uniformly
-    distributed, partial-agg collapses per-partition repeats before the
-    shuffle — no skew); the dup set joins back by span hash as a plain
-    equi-join (NOT broadcast: at corpus scale the duplicated-span set is
-    itself large) to FLAG each span. Because tiled spans are DISJOINT,
-    reassembly never moves span text: the ``doc_id``-keyed aggregation
-    collects only counts plus the duplicated chunk INDICES (integers,
-    bounded by dup density), and ``clean_text`` is rebuilt row-locally
-    after one ``doc_id`` equi-join to the input (word *i* belongs to
-    exactly chunk ``⌊i/span_words⌋``; membership tests against the small
-    dup-index array, with a clean-doc fast path). 2 shuffled aggregations
-    + 2 equi-joins total — never all-pairs, and NO span text crosses any
-    shuffle (both the h-join and the aggregation carry ints only).
-    Zero-span docs fall out of the left join with zero counts.
+    exactly ONCE: spans explode to ``(doc_id, chunk_idx, md5(span))``
+    and a single ``md5(span)``-partitioned WINDOW tags each row as
+    duplicated (``min(doc_id) != max(doc_id)`` over the hash partition
+    IS the ≥2-distinct-docs test — fixed 32-char key, uniformly
+    distributed, no skew). That replaces the former count-distinct
+    aggregation + dup-set equi-join, whose probe side re-derived the
+    whole explode subtree (persisting it instead would materialize a
+    corpus-sized relation): the window's one hash exchange carries the
+    same integer rows the join's SMJ left side already shuffled, and
+    the agg exchange + second span pass disappear. Because tiled spans
+    are DISJOINT, reassembly never moves span text: the ``doc_id``-keyed
+    aggregation collects only counts plus the duplicated chunk INDICES
+    (integers, bounded by dup density), and ``clean_text`` is rebuilt
+    row-locally after one ``doc_id`` equi-join to the input (word *i*
+    belongs to exactly chunk ``⌊i/span_words⌋``; membership tests
+    against the small dup-index array, with a clean-doc fast path).
+    1 window exchange + 1 shuffled aggregation + 1 equi-join total —
+    never all-pairs, and NO span text crosses any shuffle (window and
+    aggregation both carry ints only). Zero-span docs fall out of the
+    left join with zero counts.
     """
     if stride is not None and stride != span_words:
         if not 1 <= stride < span_words:
@@ -606,16 +609,21 @@ def span_dedup(
     exploded = staged.select(
         "doc_id", F.posexplode(spans_col).alias("chunk_idx", "span")
     ).select("doc_id", "chunk_idx", F.md5(F.col("span")).alias("h"))
-    dup = (
-        exploded.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h", F.lit(1).alias("is_dup"))
-    )
-    tagged = exploded.join(dup, "h", "left").select(
+    # "occurs in >=2 distinct documents" needs no count-distinct agg +
+    # join back: one span-hash window tags every row in place
+    # (min(doc_id) != max(doc_id) over the h-partition IS the >=2
+    # distinct-doc test). This halves the span-construction work (the
+    # former dup-set equi-join re-derived the whole explode subtree for
+    # its probe side) and drops the dup-agg exchange — the window's one
+    # h-exchange carries the same (doc_id, chunk_idx, h) integer rows
+    # the join's SMJ left side already shuffled.
+    hw = Window.partitionBy("h")
+    tagged = exploded.select(
         "doc_id",
         "chunk_idx",
-        F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup"),
+        (F.min("doc_id").over(hw) != F.max("doc_id").over(hw))
+        .cast("int")
+        .alias("is_dup"),
     )
     # Tiled spans are DISJOINT, so reassembly needs no span text at all:
     # collect only the duplicated chunk indices (integers, bounded by dup
@@ -674,14 +682,14 @@ def _span_dedup_sliding(
     distinct documents; a WORD is removed iff covered by any duplicated
     span. Output: ``(doc_id, n_spans, n_dup_spans, clean_text)``.
 
-    Plan shape matches the fixed-stride path: 2 row-local span passes
-    (the dup-count aggregation and the tagged join re-derive the span
-    explode — recompute beats materializing a corpus-sized relation),
-    1 md5-keyed count aggregation, 1 equi-join back (NOT broadcast —
-    the dup-span set is corpus-scale), then one doc_id-keyed aggregation
-    that collects only the DUPLICATED span start offsets (integers,
-    bounded by dup density, never whole spans) and one doc_id equi-join
-    to the input for the word-coverage filter, zero extra shuffle.
+    Plan shape matches the fixed-stride path: ONE row-local span pass
+    (spans explode to ``(doc_id, start, md5(span))``), one span-hash
+    WINDOW that tags duplication in place (``min(doc_id) !=
+    max(doc_id)`` over the hash partition = the ≥2-distinct-docs test;
+    integer rows only), then one doc_id-keyed aggregation that collects
+    only the DUPLICATED span start offsets (integers, bounded by dup
+    density, never whole spans) and one doc_id equi-join to the input
+    for the word-coverage filter, zero extra shuffle.
 
     The coverage filter is INTERVAL-MERGED: the sorted dup starts are
     first collapsed row-locally into disjoint ``[lo, hi]`` dup REGIONS
@@ -718,14 +726,15 @@ def _span_dedup_sliding(
         staged.select("doc_id", F.explode(span_structs).alias("sp"))
         .select("doc_id", F.col("sp.s").alias("s"), F.md5("sp.span").alias("h"))
     )
-    dup = (
-        exploded.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h", F.lit(1).alias("is_dup"))
-    )
-    tagged = exploded.join(dup, "h", "left").select(
-        "doc_id", "s", F.coalesce(F.col("is_dup"), F.lit(0)).alias("is_dup")
+    # same single-pass window tag as the fixed-stride path: >=2 distinct
+    # docs iff min != max doc_id over the span-hash partition
+    hw = Window.partitionBy("h")
+    tagged = exploded.select(
+        "doc_id",
+        "s",
+        (F.min("doc_id").over(hw) != F.max("doc_id").over(hw))
+        .cast("int")
+        .alias("is_dup"),
     )
     per_doc = tagged.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_spans"),

@@ -175,8 +175,8 @@ def test_pack_sequences_single_window_exchange(stats_of):
 
 
 def test_span_dedup_bucketed_never_all_pairs(stats_of):
-    """Span dedup = hash-keyed count agg + equi-joins back; no cartesian,
-    no global sort, bounded shuffles."""
+    """Span dedup = one span-hash window tag + doc_id agg + one equi-join
+    back; no cartesian, no global sort, bounded shuffles."""
     s = stats_of("dedup_span_exact")
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
@@ -204,9 +204,9 @@ def test_pq_topk_projection_over_codes(stats_of):
 
 
 def test_span_sliding_same_dataflow_as_fixed(stats_of):
-    """Sliding spans keep the fixed-stride dataflow: md5-keyed count agg +
-    equi-joins back + word-coverage projection — no cartesian, no
-    nested-loop, same shuffle budget."""
+    """Sliding spans keep the fixed-stride dataflow: span-hash window tag
+    + doc_id agg + equi-join back + word-coverage projection — no
+    cartesian, no nested-loop, same shuffle budget."""
     s = stats_of("dedup_span_sliding")
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
