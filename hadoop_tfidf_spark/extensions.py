@@ -1026,6 +1026,110 @@ def q_sim_rp_recall(spark, sf_dir):
     )
 
 
+#: Candidate budgets the RP-IVFADC recall audit sweeps (stage-1 ADC
+#: survivors per query, probed from ONE shared index build).
+RP_IVFPQ_BUDGETS = (25, 50)
+
+
+def q_sim_topk_rp_ivfpq(spark, sf_dir):
+    """Dimensionality-reduced ANN — residual IVFADC built IN the 16-dim
+    JL projection with exact full-dimension re-rank (Jégou §VII's
+    deployment shape, the natural consumer of the r8 projections):
+    index build, storage and probe all touch out_dim/in_dim of the
+    bytes; only ~candidates rows per query are read at full width.
+    Every stage integer-exact -> the whole chain (projection, coarse
+    Lloyd, residual PQ Lloyd, ADC cut, full-dim re-rank, tie-breaks)
+    replays in DuckDB."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    out = S.rp_ivfpq_topk(
+        emb, SIM_QUERY_IDS, k=SIM_K, candidates=RP_TOPK_CANDIDATES,
+        nprobe=IVF_NPROBE, out_dim=RP_GATE_OUT_DIM, in_dim=RP_GATE_IN_DIM,
+        units=RP_GATE_UNITS, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        m=PQ_M, pq_k=PQ_K, pq_iters=PQ_ITERS,
+    )
+    emb.unpersist()  # build collects done — see q_sim_topk_ivfpq
+    return out
+
+
+def q_sim_rp_ivfpq_recall(spark, sf_dir):
+    """The candidate-budget/recall tradeoff for the compressed index,
+    measured against the full-dim index on the same exact truth: per
+    (method, query), how many of the exact integer-L2 top-10 survive.
+    Methods: ``rp_ivfpq_c{25,50}`` — ONE RP-space residual-IVFADC
+    build probed at two stage-1 budgets (the Lloyd chains are shared;
+    only the ADC cut differs) — and ``ivfpq_full`` — the full-dim
+    residual IVFADC's direct ADC top-k (no re-rank), the index this
+    composition competes with. The three-way row answers the sizing
+    question a deployment asks: how many stage-1 candidates buy back
+    the recall the 4x-narrower index gives up, and where does it cross
+    the full-width index. All rankings BIGINT-exact with id
+    tie-breaks -> n_hits is deterministic and the oracle replays all
+    three branches plus the exact truth."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    exact = (
+        S.int_l2_topk(emb, queries, k=SIM_K, units=RP_GATE_UNITS)
+        .select("query_id", "vec_id")
+    )
+    index = S.rp_ivfpq_build(
+        emb, out_dim=RP_GATE_OUT_DIM, in_dim=RP_GATE_IN_DIM,
+        units=RP_GATE_UNITS, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        m=PQ_M, pq_k=PQ_K, pq_iters=PQ_ITERS,
+    )
+    branches = []
+    for budget in RP_IVFPQ_BUDGETS:
+        branches.append(
+            S.rp_ivfpq_topk(
+                emb, SIM_QUERY_IDS, k=SIM_K, candidates=budget,
+                nprobe=IVF_NPROBE, units=RP_GATE_UNITS, index=index,
+            ).select(
+                F.lit(f"rp_ivfpq_c{budget}").alias("method"),
+                "query_id",
+                "vec_id",
+            )
+        )
+    fa, fc, fcodes, fbooks = S.ivfpq_build_residual(
+        emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
+    )
+    branches.append(
+        S.ivfpq_topk(
+            fa, fc, fcodes, fbooks, SIM_QUERY_IDS,
+            k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
+            embeddings=emb, residual=True,
+        ).select(F.lit("ivfpq_full").alias("method"), "query_id", "vec_id")
+    )
+    approx = branches[0]
+    for b in branches[1:]:
+        approx = approx.unionByName(b)
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"], "inner")
+        .groupBy("method", "query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    methods = [f"rp_ivfpq_c{b}" for b in RP_IVFPQ_BUDGETS] + ["ivfpq_full"]
+    # the (method x query) grid is a constant-sized literal relation —
+    # no join against the corpus needed to densify the zero-hit rows
+    grid = emb.sparkSession.createDataFrame(
+        [(m, int(q)) for m in methods for q in SIM_QUERY_IDS],
+        "method STRING, query_id BIGINT",
+    )
+    out = grid.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(SIM_K)), 6
+        ).alias("recall"),
+    )
+    emb.unpersist()  # all build collects done; the search plan is lazy
+    return out
+
+
 def q_text_ngram_freq(spark, sf_dir):
     from hadoop_tfidf_spark.functions.text import ngram_freq
 
@@ -2174,6 +2278,9 @@ def q_sim_label_centroids(spark, sf_dir):
 # revenue_by_region) are the FIRST rotation priority for round 9. The 2 structurally
 # no-oracle entries (HLL/GK sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- round-9 brand-new --
+    "sim_topk_rp_ivfpq": q_sim_topk_rp_ivfpq,
+    "sim_rp_ivfpq_recall": q_sim_rp_ivfpq_recall,
     # -- round-8 brand-new --
     "sim_recall_audit": q_sim_recall_audit,
     "sim_recall_curve": q_sim_recall_curve,
@@ -2623,6 +2730,8 @@ def _ivfpq_sql(
     nprobe: int = IVF_NPROBE,
     e_body: str | None = None,
     query_ids=None,
+    units: int = IVF_UNITS,
+    k_out: int = SIM_K,
 ) -> str:
     """Unrolled replay of IVFADC (mirrors similarity.ivfpq_topk): the
     coarse integer Lloyd of the IVF oracle (same CTE chain), the
@@ -2643,10 +2752,10 @@ def _ivfpq_sql(
     qids = list(query_ids) if query_ids is not None else SIM_QUERY_IDS
     # coarse IVF chain (verbatim structure from _ivf_sql)
     ctes = [
-        f"""e AS (
+        f"""e AS MATERIALIZED (
   SELECT vec_id, vec,
          list_transform(vec,
-                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+                        x -> CAST(round(x * {units}) AS BIGINT)) AS u
   FROM ({e_body or DEFAULT_E_BODY})
 )""",
         f"""cent0 AS (
@@ -2783,7 +2892,7 @@ def _ivfpq_sql(
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT query_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn"
-        f" FROM ranked WHERE rn <= {SIM_K}"
+        f" FROM ranked WHERE rn <= {k_out}"
     )
 
 
@@ -3172,6 +3281,127 @@ hits AS (
 SELECT q AS query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        round(coalesce(h.n_hits, 0) / {float(k)}, 6) AS recall
 FROM (SELECT unnest([{qids}]) AS q) LEFT JOIN hits h ON h.query_id = q
+"""
+
+
+def _rp_e_body() -> str:
+    """DuckDB side of :func:`similarity.rp_ivfpq_build`'s index input:
+    the corpus JL-projected to ``RP_GATE_OUT_DIM`` exact integer sums
+    (same sign-matrix text as ``_rp_topk_sql``), shaped as the
+    ``(vec_id, vec DOUBLE[])`` relation ``_ivfpq_sql``'s ``e`` CTE
+    expects — downstream runs with ``units=1``, and ``round(x * 1)``
+    of an integer-valued double is exact."""
+    od, idim, u = RP_GATE_OUT_DIM, RP_GATE_IN_DIM, RP_GATE_UNITS
+    return f"""SELECT vec_id, list(CAST(v_u AS DOUBLE) ORDER BY j) AS vec FROM (
+    SELECT x.vec_id, s.j, CAST(sum(s.sgn * x.xu) AS BIGINT) AS v_u
+    FROM (SELECT vec_id, generate_subscripts(u, 1) - 1 AS d, unnest(u) AS xu
+          FROM (SELECT vec_id,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> CAST(round(x * {u}) AS BIGINT)) AS u
+                FROM embeddings)) x
+    JOIN (SELECT j.j, d.d,
+                 CASE WHEN ('0x' || substr(md5('rp:' || j.j || ':' || d.d), 1, 15))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+          FROM (SELECT unnest(generate_series(0, {od - 1})) AS j) j
+          CROSS JOIN (SELECT unnest(generate_series(0, {idim - 1})) AS d) d) s
+      ON s.d = x.d
+    GROUP BY x.vec_id, s.j
+  ) GROUP BY vec_id"""
+
+
+def _rp_ivfpq_sql(candidates: int = RP_TOPK_CANDIDATES) -> str:
+    """Replay of the project-then-index retrieval
+    (``q_sim_topk_rp_ivfpq``): the residual-IVFADC chain
+    (``_ivfpq_sql`` at ``units=1`` over the RP-projected relation,
+    ``dim=RP_GATE_OUT_DIM``) as the stage-1 candidate cut of
+    ``candidates`` per query, then the exact full-dimension integer
+    re-rank over the candidate ids — mirrors the Spark two-stage plan
+    column-for-column including both tie-breaks."""
+    k, u = SIM_K, RP_GATE_UNITS
+    inner = _ivfpq_sql(
+        dim=RP_GATE_OUT_DIM, residual=True, nprobe=IVF_NPROBE,
+        e_body=_rp_e_body(), units=1, k_out=candidates,
+    )
+    return f"""
+WITH cand AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+{inner}
+  )
+),
+e2 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {u}) AS BIGINT)) AS u
+  FROM embeddings
+)
+SELECT query_id, vec_id, d2_u, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT cand.query_id, cand.vec_id,
+         CAST({_int_d2_sql("ec.u", "eq.u")} AS BIGINT) AS d2_u,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {_int_d2_sql("ec.u", "eq.u")},
+                                     cand.vec_id) AS rn
+  FROM cand
+  JOIN e2 ec ON ec.vec_id = cand.vec_id
+  JOIN e2 eq ON eq.vec_id = cand.query_id
+) WHERE rn <= {k}
+"""
+
+
+def _rp_ivfpq_recall_sql() -> str:
+    """Recall replay for the candidate-budget sweep: the two
+    compressed-index branches (shared Lloyd chains replay to identical
+    centroids — only the stage-1 cut differs) plus the full-dim
+    residual-IVFADC branch, each semi-joined against the exact
+    integer-L2 top-k and densified over the (method x query) grid —
+    mirrors ``q_sim_rp_ivfpq_recall`` column-for-column."""
+    u, k = RP_GATE_UNITS, SIM_K
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    methods = [f"rp_ivfpq_c{b}" for b in RP_IVFPQ_BUDGETS] + ["ivfpq_full"]
+    branches = [
+        f"SELECT 'rp_ivfpq_c{b}' AS method, query_id, vec_id FROM (\n"
+        f"{_rp_ivfpq_sql(candidates=b).strip()}\n)"
+        for b in RP_IVFPQ_BUDGETS
+    ]
+    branches.append(
+        "SELECT 'ivfpq_full' AS method, query_id, vec_id FROM (\n"
+        f"{_ivfpq_sql(residual=True)}\n)"
+    )
+    approx = "\n    UNION ALL\n    ".join(branches)
+    mlist = ", ".join(f"'{m}'" for m in methods)
+    return f"""
+WITH approx AS MATERIALIZED (
+    {approx}
+),
+e3 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {u}) AS BIGINT)) AS u
+  FROM embeddings
+),
+exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           {_int_d2_sql("c.u", "q.u")} AS d2
+    FROM e3 c CROSS JOIN (SELECT * FROM e3 WHERE vec_id IN ({qids})) q
+    WHERE c.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) <= {k}
+),
+hits AS (
+  SELECT a.method, e.query_id, count(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY a.method, e.query_id
+),
+grid AS (
+  SELECT m.method, CAST(q.q AS BIGINT) AS query_id
+  FROM (SELECT unnest([{mlist}]) AS method) m
+  CROSS JOIN (SELECT unnest([{qids}]) AS q) q
+)
+SELECT g.method, g.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(k)}, 6) AS recall
+FROM grid g LEFT JOIN hits h
+  ON h.method = g.method AND h.query_id = g.query_id
 """
 
 
@@ -4272,6 +4502,8 @@ FROM events GROUP BY user_id
     "sim_rp_project": _rp_sql(),
     "sim_rp_distortion": _rp_sql(distortion=True),
     "sim_rp_topk": _rp_topk_sql(),
+    "sim_topk_rp_ivfpq": _rp_ivfpq_sql(),
+    "sim_rp_ivfpq_recall": _rp_ivfpq_recall_sql(),
     "sim_rp_recall": _rp_recall_sql(),
     "sim_pca_components": _pca_sql(),
     "sim_pca_project": _pca_sql(project=True),

@@ -1614,6 +1614,123 @@ def rp_topk(
     )
 
 
+def rp_ivfpq_build(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    units: int = 1_000_000,
+    seed: str = "rp",
+    coarse_k: int = 16,
+    coarse_iters: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, list[list[int]], DataFrame, list[list[list[int]]]]:
+    """Project-then-index build — the standard dimensionality-reduced
+    ANN deployment (Jégou et al. 2011 §VII evaluate exactly this:
+    PCA/RP to a compact space, then IVFADC in that space): JL-project
+    the corpus to ``out_dim`` integers (:func:`random_projection`,
+    zero shuffle, seeded matrix) and train a residual IVFADC index ON
+    THE PROJECTION (:func:`ivfpq_build_residual` with ``units=1`` —
+    the projected components are already exact BIGINT micro-unit
+    sums, so no second quantization). The stored index is
+    ``(cluster, pq_code)`` per vector over ``out_dim``-dim codes —
+    coarse cells and codebooks both train in the compact space, so
+    every Lloyd pass touches out_dim/in_dim of the bytes a full-dim
+    build scans. Returns ``(proj, assigned, centroids, codes,
+    codebooks)``; search with :func:`rp_ivfpq_topk`.
+    """
+    proj = random_projection(
+        embeddings, out_dim=out_dim, in_dim=in_dim, units=units,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    assigned, cents, codes, books = ivfpq_build_residual(
+        proj, coarse_k=coarse_k, coarse_iters=coarse_iters, m=m,
+        k=pq_k, iters=pq_iters, units=1, id_col=id_col, vec_col="rp",
+        pack=True,
+    )
+    return proj, assigned, cents, codes, books
+
+
+def rp_ivfpq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    candidates: int = 50,
+    nprobe: int = 2,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    units: int = 1_000_000,
+    seed: str = "rp",
+    coarse_k: int = 16,
+    coarse_iters: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple | None = None,
+) -> DataFrame:
+    """Two-stage ANN through a dimensionality-reduced IVFADC index:
+    stage 1 probes the ``nprobe`` nearest coarse cells of the RP-space
+    residual index (:func:`rp_ivfpq_build`) and keeps each query's
+    ``candidates`` best by ADC distance — every byte touched is
+    out_dim-dim compressed codes; stage 2 fetches the FULL vectors for
+    those candidate ids alone (broadcast equi-join) and re-ranks by
+    exact full-dimension integer L2. The composition a 100 TB
+    deployment actually runs when the raw dimension is wide: the index
+    (build, storage, probe) lives entirely in the compact space, and
+    the only full-dimension work is ``candidates`` rows per query.
+    Recall < 1 twice over (JL distortion + cell/PQ quantization) —
+    size ``candidates``/``nprobe`` against the recall audit exactly as
+    :func:`rp_topk` is sized against :func:`rp_distortion`.
+
+    Pass ``index=`` (a :func:`rp_ivfpq_build` result) to search an
+    existing build — the recall audit probes one build at several
+    candidate budgets. All distances in both stages are exact BIGINT,
+    so the full ranking including id tie-breaks replays in DuckDB.
+    Output ``(query_id, vec_id, d2_u, rn)`` — same shape as
+    :func:`rp_topk`/:func:`int_l2_topk`.
+    """
+    proj, assigned, cents, codes, books = (
+        index
+        if index is not None
+        else rp_ivfpq_build(
+            embeddings, out_dim=out_dim, in_dim=in_dim, units=units,
+            seed=seed, coarse_k=coarse_k, coarse_iters=coarse_iters,
+            m=m, pq_k=pq_k, pq_iters=pq_iters, id_col=id_col,
+            vec_col=vec_col,
+        )
+    )
+    cand = ivfpq_topk(
+        assigned, cents, codes, books, query_ids,
+        k=candidates, nprobe=nprobe, units=1,
+        id_col=id_col, vec_col="rp", embeddings=proj, residual=True,
+    ).select("query_id", id_col)
+    base = embeddings.select(
+        id_col, quantized_units(F.col(vec_col), units).alias("_u")
+    )
+    qp = base.where(
+        F.col(id_col).isin([int(x) for x in query_ids])
+    ).select(F.col(id_col).alias("query_id"), F.col("_u").alias("_qu"))
+    rerank = (
+        base.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qp), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            _int_d2(F.col("_u"), F.col("_qu")).alias("d2_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_u", id_col)
+    return (
+        rerank.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
+    )
+
+
 def int_l2_topk(
     embeddings: DataFrame,
     queries: DataFrame,

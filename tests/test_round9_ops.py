@@ -246,3 +246,120 @@ def test_recall_curve_gate_fixture_rises(spark):
         assert set(curve) == set(RECALL_CURVE_NPROBES)
         assert curve[2] > curve[1], f"query {qid}: curve must rise 1->2"
         assert curve[4] >= curve[2], f"query {qid}: curve must not fall"
+
+
+# ------------------------------------------------------- RP-space IVFADC
+
+
+def _clustered_rows(n=90, n_clusters=3, dim=16, amp=5.0, seed=9):
+    import random
+
+    rng = random.Random(seed)
+    centers = [[amp * (c == d) for d in range(dim)] for c in range(n_clusters)]
+    return [
+        (
+            i,
+            [
+                centers[i % n_clusters][d] + rng.uniform(-0.3, 0.3)
+                for d in range(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+
+
+def test_rp_ivfpq_clustered_data_recalls_own_cluster(spark):
+    """The project-then-index retrieval must keep a query inside its own
+    well-separated cluster: coarse cells + PQ codes both live in the
+    8-dim RP space, yet every survivor of the full-dim re-rank shares
+    the query's cluster."""
+    from hadoop_tfidf_spark.operators.similarity import rp_ivfpq_topk
+
+    emb = spark.createDataFrame(
+        _clustered_rows(), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    out = rp_ivfpq_topk(
+        emb, [0, 1, 2], k=8, candidates=12, nprobe=2,
+        out_dim=8, in_dim=16, units=1000,
+        coarse_k=4, coarse_iters=2, m=2, pq_k=8,
+    ).collect()
+    assert len(out) == 24
+    for r in out:
+        assert r.vec_id % 3 == r.query_id % 3  # same cluster
+
+
+def test_rp_ivfpq_exact_rerank_matches_int_l2_when_candidates_cover(spark):
+    """With a candidate budget generous enough to cover the true top-k,
+    the exact full-dim re-rank must reproduce int_l2_topk verbatim —
+    distances, tie-breaks and all (the compression only ever loses
+    candidates, never reorders survivors)."""
+    from hadoop_tfidf_spark.operators.similarity import (
+        int_l2_topk,
+        rp_ivfpq_topk,
+    )
+
+    emb = spark.createDataFrame(
+        _clustered_rows(), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    queries = emb.where(F.col("vec_id").isin([0, 1]))
+    approx = rp_ivfpq_topk(
+        emb, [0, 1], k=5, candidates=60, nprobe=4,
+        out_dim=8, in_dim=16, units=1000,
+        coarse_k=4, coarse_iters=2, m=2, pq_k=8,
+    )
+    exact = int_l2_topk(emb, queries, k=5, units=1000)
+    a = {(r.query_id, r.rn): (r.vec_id, r.d2_u) for r in approx.collect()}
+    e = {(r.query_id, r.rn): (r.vec_id, r.d2_u) for r in exact.collect()}
+    assert a == e
+
+
+def test_rp_ivfpq_budget_monotone_and_shared_index(spark):
+    """A larger stage-1 candidate budget can only add true neighbors
+    (recall monotone in `candidates`), and probing a shared prebuilt
+    index must equal the fresh-build search."""
+    from hadoop_tfidf_spark.operators.similarity import (
+        int_l2_topk,
+        rp_ivfpq_build,
+        rp_ivfpq_topk,
+    )
+
+    emb = spark.createDataFrame(
+        _clustered_rows(n=60), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    kw = dict(
+        nprobe=2, out_dim=8, in_dim=16, units=1000,
+        coarse_k=4, coarse_iters=2, m=2, pq_k=8,
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in int_l2_topk(
+            emb, emb.where(F.col("vec_id").isin([0, 1, 2])), k=5, units=1000
+        ).collect()
+    }
+    index = rp_ivfpq_build(
+        emb, out_dim=8, in_dim=16, units=1000,
+        coarse_k=4, coarse_iters=2, m=2, pq_k=8,
+    )
+    hits = {}
+    for budget in (6, 20):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in rp_ivfpq_topk(
+                emb, [0, 1, 2], k=5, candidates=budget, index=index, **kw
+            ).collect()
+        }
+        hits[budget] = len(got & exact)
+    assert hits[20] >= hits[6]
+    fresh = {
+        (r.query_id, r.vec_id, r.d2_u, r.rn)
+        for r in rp_ivfpq_topk(
+            emb, [0, 1, 2], k=5, candidates=20, **kw
+        ).collect()
+    }
+    shared = {
+        (r.query_id, r.vec_id, r.d2_u, r.rn)
+        for r in rp_ivfpq_topk(
+            emb, [0, 1, 2], k=5, candidates=20, index=index, **kw
+        ).collect()
+    }
+    assert fresh == shared
