@@ -25,6 +25,9 @@ Usage::
     python -m hadoop_tfidf_spark.cli curate        IN OUT [--pack-budget N]
                   [--splits train=90,valid=5,test=5] [--max-bucket-size N]
                   [--decontaminate BENCH] [--semantic-dedup EMB]
+    python -m hadoop_tfidf_spark.cli select        IN OUT --top-n N
+                  (--target SQLEXPR | --ratios TABLE)
+                  [--exclude-target] [--save-ratios PATH] [--n-buckets B]
     python -m hadoop_tfidf_spark.cli compact       IN OUT [--target-file-mb N]
 
 ``curate`` is engine surface beyond the reference (the north-star
@@ -33,6 +36,19 @@ near-dup drop → deterministic split in one lazy plan; ``--pack-budget N``
 (alias ``--pack``) additionally packs each split into ~N-token training
 packs, ``--splits`` overrides the 90/5/5 split percentages, and
 ``--max-bucket-size`` engages the LSH megabucket cap.
+
+``select`` is DSIR data selection end-to-end (Xie et al. 2023): score
+every document by hashed-bigram importance against a target
+distribution and write the top-N matches (all input columns plus
+``n_feats``/``dsir_logratio``) to OUT. The target comes from EITHER
+``--target``, a SQL boolean expression over the input's columns that
+marks the in-corpus target slice (e.g. ``"source = 'wiki'"`` — trains
+the ratio table inline), OR ``--ratios``, a dense ratio-table parquet
+trained earlier (the train-on-a-sample / score-the-full-corpus
+deployment; ``--n-buckets`` must match training). ``--save-ratios``
+persists the trained table for exactly that reuse; ``--exclude-target``
+drops the target slice itself from the selection (select NEW data that
+looks like the target).
 
 ``IN`` is a text directory (file-per-document, the reference's input
 shape) or a parquet path with (doc_id, text) columns.
@@ -73,7 +89,7 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="hadoop_tfidf_spark")
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
-        "curate", "compact",
+        "curate", "select", "compact",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -107,7 +123,35 @@ def main(argv: list[str] | None = None) -> None:
                    help="curate: cosine ceiling for --semantic-dedup")
     p.add_argument("--target-file-mb", type=int, default=128,
                    help="compact: target output parquet file size")
+    p.add_argument("--top-n", type=int, default=None, metavar="N",
+                   help="select: how many top-scored docs to keep")
+    p.add_argument("--target", default=None, metavar="SQLEXPR",
+                   help="select: SQL boolean expression over the input's "
+                        "columns marking the target slice (trains the "
+                        "ratio table inline)")
+    p.add_argument("--ratios", default=None, metavar="TABLE",
+                   help="select: parquet path of a dsir_ratios table "
+                        "trained earlier (--n-buckets must match)")
+    p.add_argument("--n-buckets", type=int, default=256,
+                   help="select: DSIR hash-feature bucket count")
+    p.add_argument("--exclude-target", action="store_true",
+                   help="select: drop the target slice itself from the "
+                        "selection (needs --target)")
+    p.add_argument("--save-ratios", default=None, metavar="PATH",
+                   help="select: also write the trained ratio table here "
+                        "for later --ratios reuse")
     args = p.parse_args(argv)
+
+    if args.tool == "select":
+        # argparse-level contract checks (no Spark session needed to fail)
+        if (args.target is None) == (args.ratios is None):
+            p.error("select: exactly one of --target / --ratios is required")
+        if args.top_n is None or args.top_n <= 0:
+            p.error("select: --top-n N (a positive integer) is required")
+        if args.exclude_target and args.target is None:
+            p.error("select: --exclude-target needs --target")
+        if args.save_ratios is not None and args.target is None:
+            p.error("select: --save-ratios needs --target (training run)")
 
     from hadoop_tfidf_spark.corpus import tokenize
     from hadoop_tfidf_spark.search import query_term_bag, rank, search, tfidf_rank
@@ -127,6 +171,51 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.input, args.output, target_file_mb=args.target_file_mb
         )
         print(json.dumps(stats))
+        spark.stop()
+        return
+
+    if args.tool == "select":
+        from hadoop_tfidf_spark.operators.sampling import (
+            dsir_importance,
+            dsir_ratios,
+            dsir_select,
+        )
+        from hadoop_tfidf_spark.sinks import write_parquet
+
+        # full-column load: the --target expression may reference any
+        # input column (source, lang, ...), not just (doc_id, text)
+        docs = (
+            spark.read.parquet(args.input)
+            if args.input.endswith((".parquet", ".pq"))
+            else _load(spark, args.input)
+        )
+        tgt = F.expr(args.target) if args.target is not None else None
+        if args.ratios is not None:
+            ratios = spark.read.parquet(args.ratios)
+        else:
+            ratios = dsir_ratios(docs, tgt, n_buckets=args.n_buckets)
+            if args.save_ratios is not None:
+                # score from the saved table so the written model is
+                # PROVEN to be the one this run's scores came from
+                write_parquet(ratios, args.save_ratios)
+                ratios = spark.read.parquet(args.save_ratios)
+        imp = dsir_importance(docs, n_buckets=args.n_buckets, ratios=ratios)
+        if args.exclude_target:
+            imp = imp.join(
+                docs.select("doc_id", tgt.cast("boolean").alias("_t")),
+                "doc_id",
+            )
+            sel = dsir_select(
+                imp, args.top_n, exclude_target=F.col("_t")
+            ).drop("_t")
+        else:
+            sel = dsir_select(imp, args.top_n)
+        # carry every input column through; the top-n relation is small
+        # (AQE broadcasts it from runtime size stats)
+        out = docs.join(
+            sel.select("doc_id", "n_feats", "dsir_logratio"), "doc_id"
+        )
+        _write(out, args.output, args.format)
         spark.stop()
         return
 

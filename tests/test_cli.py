@@ -305,3 +305,112 @@ def test_cli_compact(tmp_path):
     assert duckdb.sql(
         f"SELECT count(*), min(id), max(id) FROM '{out}/*.parquet'"
     ).fetchone() == (1600, 0, 1599)
+
+
+def test_cli_select_trains_and_cuts(tmp_path):
+    """`select` end-to-end: train on --target, keep the top-n docs whose
+    bigram profile matches, carry every input column + the score."""
+    src = str(tmp_path / "docs.parquet")
+    # every crawl doc has exactly 5 bigram features: DSIR sums (not
+    # averages) per-feature log-ratios, so equal feature counts make the
+    # ranking reflect target affinity alone
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(1, 'the cat sat on the mat', 'wiki'), "
+        "(2, 'the cat sat on the rug', 'crawl'), "
+        "(3, 'stock market crash wiped savings today', 'crawl'), "
+        "(4, 'the dog sat on the mat', 'crawl'), "
+        "(5, 'buy cheap pills online now today', 'crawl')"
+        ") AS t(doc_id, text, source)) TO '" + src + "' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "selected")
+    _run(
+        "select", src, out,
+        "--target", "source = 'wiki'",
+        "--exclude-target", "--top-n", "2",
+    )
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, dsir_logratio FROM '{out}/*.parquet' "
+        "ORDER BY dsir_logratio DESC"
+    ).fetchall()
+    assert len(rows) == 2
+    # the wiki doc itself is excluded; the two bigram-sharing docs win,
+    # the near-verbatim twin first
+    assert all(r[1] == "crawl" for r in rows)
+    assert {rows[0][0], rows[1][0]} == {2, 4}
+    assert rows[0][0] == 2
+    assert rows[0][2] >= rows[1][2]
+
+
+def test_cli_select_ratios_roundtrip(tmp_path):
+    """--save-ratios then --ratios: the saved table scores a DISJOINT
+    corpus (the train-on-sample / score-the-corpus deployment) and the
+    two runs agree on the shared doc."""
+    train = str(tmp_path / "train.parquet")
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(1, 'the cat sat on the mat', 'wiki'), "
+        "(2, 'stock market crash wiped savings today', 'crawl'), "
+        "(3, 'the cat sat on the rug', 'crawl')"
+        ") AS t(doc_id, text, source)) TO '" + train + "' (FORMAT PARQUET)"
+    )
+    score = str(tmp_path / "score.parquet")
+    # equal feature counts (5 bigrams each), and doc 11's bigrams all
+    # occur in the RAW training corpus: never-trained buckets carry the
+    # smoothed prior, which is mildly POSITIVE (the target total is
+    # smaller than the raw total), so an all-novel doc would win on a
+    # tiny fixture for smoothing reasons, not affinity
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(10, 'the cat sat on the rug', 'crawl'), "
+        "(11, 'stock market crash wiped savings today', 'crawl')"
+        ") AS t(doc_id, text, source)) TO '" + score + "' (FORMAT PARQUET)"
+    )
+    ratios = str(tmp_path / "ratios")
+    out1 = str(tmp_path / "sel1")
+    _run(
+        "select", train, out1,
+        "--target", "source = 'wiki'",
+        "--top-n", "3", "--save-ratios", ratios,
+    )
+    out2 = str(tmp_path / "sel2")
+    _run("select", score, out2, "--ratios", ratios, "--top-n", "1")
+    got1 = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT text, dsir_logratio FROM '{out1}/*.parquet'"
+        ).fetchall()
+    }
+    got2 = duckdb.sql(
+        f"SELECT doc_id, text, dsir_logratio FROM '{out2}/*.parquet'"
+    ).fetchall()
+    # the cat-doc wins on the held-out corpus, scored by the saved table
+    assert len(got2) == 1 and got2[0][0] == 10
+    # identical text => identical score from the same ratio table
+    assert got2[0][2] == got1["the cat sat on the rug"]
+
+
+def test_cli_select_rejects_bad_flag_combos(tmp_path):
+    import os
+
+    src = str(tmp_path / "docs.parquet")
+    duckdb.sql(
+        "COPY (SELECT 1 AS doc_id, 'a b c' AS text) TO '"
+        + src + "' (FORMAT PARQUET)"
+    )
+    for extra in (
+        [],                                        # neither target nor ratios
+        ["--target", "1=1", "--ratios", "/x"],     # both
+        ["--target", "1=1"],                       # missing --top-n
+        ["--target", "1=1", "--top-n", "0"],       # non-positive
+        ["--ratios", "/x", "--top-n", "1", "--exclude-target"],
+        ["--ratios", "/x", "--top-n", "1", "--save-ratios", "/y"],
+    ):
+        res = subprocess.run(
+            [sys.executable, "-m", "hadoop_tfidf_spark.cli", "select",
+             src, str(tmp_path / "out"), *extra],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            env=dict(os.environ, SPARK_GRAFT_CPUS="2"),
+        )
+        assert res.returncode == 2, (extra, res.returncode, res.stderr[-500:])
+        assert "select:" in res.stderr
