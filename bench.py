@@ -82,12 +82,22 @@ HEADLINE = [
     "text_quality", "text_fingerprint", "text_lm_score",
     "text_c4_filters", "text_pack_sequences", "text_cooccurrence_capped",
     "text_bpe_pairs",
-    # data selection (DSIR hashed-bigram importance against a target slice)
-    "text_dsir",
+    # tokenizer training (the merge-loop trainer: vocabulary-sized work
+    # off one corpus word-count agg, 1-row collect per merge — the loop
+    # whose cost must stay visible round-over-round)
+    "text_bpe_vocab",
+    # data selection (DSIR hashed-bigram importance against a target
+    # slice; _select adds the top-n cut; streaming_dsir = the broadcast
+    # ratio-table twin scoring a file stream — the production shape)
+    "text_dsir", "text_dsir_select", "streaming_dsir",
     # dimensionality reduction (JL Rademacher projection, corpus-wide;
     # PCA = the full integer eigensolve + trained projection; rp_topk =
-    # the two-stage coarse-then-exact retrieval through the projection)
+    # the two-stage coarse-then-exact retrieval through the projection;
+    # rp_distortion = the all-pairs JL fidelity audit on the hash
+    # sample; rp_ivfpq = the residual IVFADC built IN the projection
+    # with exact full-dim re-rank)
     "sim_rp_project", "sim_pca_project", "sim_rp_topk",
+    "sim_rp_distortion", "sim_topk_rp_ivfpq",
     # multimodal (Arrow mapInPandas path)
     "multimodal_decode",
     # relational / events

@@ -1641,11 +1641,24 @@ def rp_ivfpq_build(
     every Lloyd pass touches out_dim/in_dim of the bytes a full-dim
     build scans. Returns ``(proj, assigned, centroids, codes,
     codebooks)``; search with :func:`rp_ivfpq_topk`.
+
+    The projection is PERSISTED here and stays persisted: it is the
+    stored index surrogate (out_dim ints per vector — at deployment
+    scale this relation is written once and every probe reads it).
+    Unpersisted, every Lloyd/ADC distance lambda that references the
+    ``rp`` column would inline the 16x64 aggregate expression and
+    re-evaluate it PER ELEMENT (the HOF-inlining trap — see
+    ``shingles()``): measured 27s vs 2.4s for the full-dim index on
+    the same 2,000-row bench table. Callers holding the tuple own the
+    ``proj.unpersist()`` once the search plans are done executing
+    (same contract as ``tfidf(persist_intermediate=True)``).
     """
+    from pyspark.storagelevel import StorageLevel
+
     proj = random_projection(
         embeddings, out_dim=out_dim, in_dim=in_dim, units=units,
         seed=seed, id_col=id_col, vec_col=vec_col,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     assigned, cents, codes, books = ivfpq_build_residual(
         proj, coarse_k=coarse_k, coarse_iters=coarse_iters, m=m,
         k=pq_k, iters=pq_iters, units=1, id_col=id_col, vec_col="rp",
@@ -1695,14 +1708,14 @@ def rp_ivfpq_topk(
     :func:`rp_topk`/:func:`int_l2_topk`.
     """
     proj, assigned, cents, codes, books = (
-        index
-        if index is not None
-        else rp_ivfpq_build(
+        rp_ivfpq_build(
             embeddings, out_dim=out_dim, in_dim=in_dim, units=units,
             seed=seed, coarse_k=coarse_k, coarse_iters=coarse_iters,
             m=m, pq_k=pq_k, pq_iters=pq_iters, id_col=id_col,
             vec_col=vec_col,
         )
+        if index is None
+        else index
     )
     cand = ivfpq_topk(
         assigned, cents, codes, books, query_ids,
