@@ -28,6 +28,10 @@ Usage::
     python -m hadoop_tfidf_spark.cli select        IN OUT --top-n N
                   (--target SQLEXPR | --ratios TABLE)
                   [--exclude-target] [--save-ratios PATH] [--n-buckets B]
+    python -m hadoop_tfidf_spark.cli bpe-train     IN OUT [--merges N]
+                  [--save-merges PATH]
+    python -m hadoop_tfidf_spark.cli project       IN OUT --method rp|pca
+                  [--out-dim K] [--in-dim D] [--whiten]
     python -m hadoop_tfidf_spark.cli compact       IN OUT [--target-file-mb N]
 
 ``curate`` is engine surface beyond the reference (the north-star
@@ -36,6 +40,21 @@ near-dup drop → deterministic split in one lazy plan; ``--pack-budget N``
 (alias ``--pack``) additionally packs each split into ~N-token training
 packs, ``--splits`` overrides the 90/5/5 split percentages, and
 ``--max-bucket-size`` engages the LSH megabucket cap.
+
+``bpe-train`` trains the BPE tokenizer on IN's corpus (``--merges``
+merge rounds, deterministic) and writes the symbolized vocabulary table
+``(word, n, symbols)`` to OUT — the exact artifact
+``functions.text.bpe_token_counts`` (and the BPE-budget packing/mixture
+operators) consume; ``--save-merges`` also writes the ordered merge
+list ``(idx, left, right)``, the shippable tokenizer model.
+
+``project`` reduces an embeddings table (``vec_id``, ``embedding``) to
+a compact representation: ``--method rp`` writes the seeded Rademacher
+JL projection ``(vec_id, rp)`` (no training, regenerates anywhere from
+the seed); ``--method pca`` trains integer power-iteration PCA on IN
+and writes the component scores ``(vec_id, component, score_u)``
+(``--whiten`` divides by sqrt-eigenvalues). The pre-step before ANN
+indexing or clustering when the raw dimension is wide.
 
 ``select`` is DSIR data selection end-to-end (Xie et al. 2023): score
 every document by hashed-bigram importance against a target
@@ -89,7 +108,7 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="hadoop_tfidf_spark")
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
-        "curate", "select", "compact",
+        "curate", "select", "bpe-train", "project", "compact",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -140,7 +159,27 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--save-ratios", default=None, metavar="PATH",
                    help="select: also write the trained ratio table here "
                         "for later --ratios reuse")
+    p.add_argument("--merges", type=int, default=10,
+                   help="bpe-train: number of merge rounds")
+    p.add_argument("--save-merges", default=None, metavar="PATH",
+                   help="bpe-train: also write the ordered merge list "
+                        "(idx, left, right) here")
+    p.add_argument("--method", choices=["rp", "pca"], default=None,
+                   help="project: JL random projection or trained PCA")
+    p.add_argument("--out-dim", type=int, default=16,
+                   help="project: output dimensions / components")
+    p.add_argument("--in-dim", type=int, default=64,
+                   help="project (rp): expected embedding dimension")
+    p.add_argument("--whiten", action="store_true",
+                   help="project (pca): divide scores by sqrt-eigenvalues")
     args = p.parse_args(argv)
+
+    if args.tool == "project" and args.method is None:
+        p.error("project: --method rp|pca is required")
+    if args.tool == "project" and args.whiten and args.method != "pca":
+        p.error("project: --whiten applies to --method pca only")
+    if args.tool == "bpe-train" and args.merges <= 0:
+        p.error("bpe-train: --merges must be positive")
 
     if args.tool == "select":
         # argparse-level contract checks (no Spark session needed to fail)
@@ -171,6 +210,47 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.input, args.output, target_file_mb=args.target_file_mb
         )
         print(json.dumps(stats))
+        spark.stop()
+        return
+
+    if args.tool == "bpe-train":
+        from hadoop_tfidf_spark.functions.text import bpe_train
+        from hadoop_tfidf_spark.sinks import write_parquet
+
+        docs = _load(spark, args.input)
+        merges, vocab = bpe_train(docs, n_merges=args.merges)
+        # the symbols column is an array — parquet only (the vocab is a
+        # machine artifact for bpe_token_counts, not a report)
+        write_parquet(vocab, args.output)
+        if args.save_merges is not None:
+            write_parquet(
+                spark.createDataFrame(
+                    [(i, a, b) for i, (a, b) in enumerate(merges)],
+                    "idx INT, left STRING, right STRING",
+                ),
+                args.save_merges,
+            )
+        vocab.unpersist()  # bpe_train returns its persisted final round
+        spark.stop()
+        return
+
+    if args.tool == "project":
+        from hadoop_tfidf_spark.operators import similarity as S
+        from hadoop_tfidf_spark.sinks import write_parquet
+
+        emb = spark.read.parquet(args.input)
+        if args.method == "rp":
+            out = S.random_projection(
+                emb, out_dim=args.out_dim, in_dim=args.in_dim
+            )
+        else:
+            comps, lambdas, _ = S.pca_power_build(
+                emb, k=args.out_dim, in_dim=args.in_dim
+            )
+            out = S.pca_project(
+                emb, comps, lambdas=lambdas if args.whiten else None
+            )
+        write_parquet(out, args.output)
         spark.stop()
         return
 

@@ -414,3 +414,76 @@ def test_cli_select_rejects_bad_flag_combos(tmp_path):
         )
         assert res.returncode == 2, (extra, res.returncode, res.stderr[-500:])
         assert "select:" in res.stderr
+
+
+def test_cli_bpe_train_roundtrip(tmp_path):
+    """bpe-train writes the vocab table bpe_token_counts consumes, plus
+    the ordered merge list."""
+    src = str(tmp_path / "docs.parquet")
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(1, 'low low low lower lowest'), (2, 'low lower newest newest')"
+        ") AS t(doc_id, text)) TO '" + src + "' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "vocab")
+    merges = str(tmp_path / "merges")
+    _run("bpe-train", src, out, "--merges", "4", "--save-merges", merges)
+    vocab = duckdb.sql(
+        f"SELECT word, n, symbols FROM '{out}/*.parquet' ORDER BY word"
+    ).fetchall()
+    assert {w for w, _, _ in vocab} == {"low", "lower", "lowest", "newest"}
+    assert all(isinstance(s, list) and s for _, _, s in vocab)
+    got_merges = duckdb.sql(
+        f"SELECT idx, \"left\", \"right\" FROM '{merges}/*.parquet' ORDER BY idx"
+    ).fetchall()
+    assert [i for i, _, _ in got_merges] == [0, 1, 2, 3]
+    # first merge on this corpus: 'l'+'o' ('lo' appears in 6 of 9 words)
+    assert (got_merges[0][1], got_merges[0][2]) == ("l", "o")
+
+
+def test_cli_project_rp_and_pca(tmp_path):
+    """project writes the JL projection / PCA scores of an embeddings
+    table; rp rows match input ids, pca emits k rows per id."""
+    src = str(tmp_path / "emb.parquet")
+    duckdb.sql(
+        "COPY (SELECT r AS vec_id, [0.1*r, -0.2*r, 0.05*r, 1.0]::DOUBLE[] "
+        "AS embedding FROM range(20) t(r)) TO '" + src + "' (FORMAT PARQUET)"
+    )
+    rp_out = str(tmp_path / "rp")
+    _run("project", src, rp_out, "--method", "rp",
+         "--out-dim", "3", "--in-dim", "4")
+    rp = duckdb.sql(
+        f"SELECT vec_id, rp FROM '{rp_out}/*.parquet' ORDER BY vec_id"
+    ).fetchall()
+    assert len(rp) == 20
+    assert all(len(v) == 3 for _, v in rp)
+    pca_out = str(tmp_path / "pca")
+    _run("project", src, pca_out, "--method", "pca",
+         "--out-dim", "2", "--in-dim", "4", "--whiten")
+    n = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT component) FROM '{pca_out}/*.parquet'"
+    ).fetchone()
+    assert n == (40, 2)
+
+
+def test_cli_project_rejects_bad_flags(tmp_path):
+    import os
+
+    src = str(tmp_path / "emb.parquet")
+    duckdb.sql(
+        "COPY (SELECT 1 AS vec_id, [1.0]::DOUBLE[] AS embedding) TO '"
+        + src + "' (FORMAT PARQUET)"
+    )
+    for tool, extra in (
+        ("project", []),                              # missing --method
+        ("project", ["--method", "rp", "--whiten"]),  # whiten needs pca
+        ("bpe-train", ["--merges", "0"]),
+    ):
+        res = subprocess.run(
+            [sys.executable, "-m", "hadoop_tfidf_spark.cli", tool,
+             src, str(tmp_path / "out"), *extra],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            env=dict(os.environ, SPARK_GRAFT_CPUS="2"),
+        )
+        assert res.returncode == 2, (tool, extra, res.stderr[-500:])
+        assert f"{tool}:" in res.stderr
