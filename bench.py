@@ -98,8 +98,9 @@ HEADLINE = [
     # with exact full-dim re-rank)
     "sim_rp_project", "sim_pca_project", "sim_rp_topk",
     "sim_rp_distortion", "sim_topk_rp_ivfpq",
-    # multimodal (Arrow mapInPandas path)
-    "multimodal_decode",
+    # multimodal (Arrow mapInPandas path; phash_dedup = the perceptual
+    # hash scan + the phash-window image dedup)
+    "multimodal_decode", "multimodal_phash_dedup",
     # relational / events
     "rel_pricing_summary", "rel_revenue_by_region", "rel_top_customers",
     "events_sessionize", "asof_last_purchase",

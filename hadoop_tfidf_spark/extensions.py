@@ -443,6 +443,50 @@ def q_multimodal_frames(spark, sf_dir):
     return sample_frames(with_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_multimodal_phash(spark, sf_dir):
+    """Perceptual average-hash of frame 0 over the PARSED pixel bytes:
+    4x4 nearest-neighbor luminance grid, bit set iff cell gray beats
+    the grid mean (all-integer: gray=r+g+b, compare gray*16 > total).
+    The engine walks real bytes; the oracle replays the generator
+    formula analytically — identical 16-bit hashes or the gate fails."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        media_phash,
+        with_binary_payload,
+    )
+
+    return media_phash(with_binary_payload(_docs(spark, sf_dir)))
+
+
+def q_multimodal_phash_dedup(spark, sf_dir):
+    """Image-modality exact perceptual dedup: docs whose frame-0 aHash
+    collides are perceptual duplicates (the synthetic gradient family
+    collides heavily BY DESIGN — 72 distinct hashes over 500 docs at
+    sf0.01, so the gate relation is far from vacuous); lowest doc_id
+    survives. One Arrow hash scan + ONE phash window — the span-dedup
+    single-window tag on pixels."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        phash_dedup,
+        with_binary_payload,
+    )
+
+    return phash_dedup(with_binary_payload(_docs(spark, sf_dir)))
+
+
+def q_multimodal_phash_pairs(spark, sf_dir):
+    """NEAR-duplicate image pairs within Hamming 1 of the perceptual
+    hash, found by the banded blocking join (4 bands x 4 bits —
+    pigeonhole-complete for hamming<=1); exact distance = one
+    bit_count(xor) per candidate. The SimHash recipe on pixels."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        phash_near_pairs,
+        with_binary_payload,
+    )
+
+    return phash_near_pairs(
+        with_binary_payload(_docs(spark, sf_dir)), max_hamming=1
+    )
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     return R.pricing_summary(_tbl(spark, sf_dir, "lineitem"))
 
@@ -2245,9 +2289,12 @@ def q_sim_label_centroids(spark, sf_dir):
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
 # oracle-backed query's newest driver row stays fresh. Round-9 composition:
-#   1) the three brand-new round-9 queries (the RP-space residual IVFADC
-#      retrieval + its candidate-budget recall sweep, and the byte-fallback
-#      BPE accounting of a held-out corpus slice),
+#   1) the six brand-new round-9 queries (the RP-space residual IVFADC
+#      retrieval + its candidate-budget recall sweep, the byte-fallback
+#      BPE accounting of a held-out corpus slice, and the image-modality
+#      perceptual-dedup trio: the frame-0 average hash over parsed pixel
+#      bytes, the phash-window exact dedup, and the banded Hamming
+#      near-pair join),
 #   2) the three round-8 late additions that were registered past-cap and
 #      have never held a driver row (sim_rp_topk, sim_rp_recall,
 #      streaming_dsir — the repo rule: past-cap newcomers rotate in-window
@@ -2257,17 +2304,19 @@ def q_sim_label_centroids(spark, sf_dir):
 #      span-dedup paths (single-pass window tagging), the four BPE
 #      consumers of the byte-fallback vocab join, the DSIR pair over the
 #      now-dense ratio tables, the semantic curate pipeline (anti-join
-#      drop-set semantics), and the two RP queries behind the new
-#      dimension assertion,
+#      drop-set semantics), and sim_rp_project behind the new dimension
+#      assertion (sim_rp_distortion — same assertion, results provably
+#      unchanged, r8 row green — cedes its slot to the phash trio and
+#      sits first past-cap),
 #   4) the twenty-two entries whose newest rows dated from r05 — the
 #      whole backlog the round-8 verdict listed (simhash pairs, sql
 #      top-100, doc-sim, salted df, int8, pii, hash_sample, dedup_exact,
 #      the r5 relational/events block, components, embedding-dup,
 #      brute/LSH top-k, token stats, lang-id, customers-without-orders,
 #      revenue-by-region),
-#   5) two stale-est r7-row entries that still fit (the full-dim residual
-#      IVFADC — also the comparison branch inside the new recall sweep —
-#      and the curate→pack flagship composition).
+#   5) (the two stale-est r7-row fillers — the full-dim residual IVFADC
+#      and the curate→pack flagship — were displaced by the phash trio
+#      and lead the round-10 rotation backlog instead).
 # Everything r8-green cedes its slot this round and rides CORRECTNESS_r08
 # rows + LOCAL_CHECK_r09.md; the 2 structurally no-oracle entries
 # (HLL/GK sketches, BLAS ulp) close the registry.
@@ -2276,6 +2325,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_rp_ivfpq": q_sim_topk_rp_ivfpq,
     "sim_rp_ivfpq_recall": q_sim_rp_ivfpq_recall,
     "text_bpe_tokens_holdout": q_text_bpe_tokens_holdout,
+    "multimodal_phash": q_multimodal_phash,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
+    "multimodal_phash_pairs": q_multimodal_phash_pairs,
     # -- round-8 late additions, never driver-rowed until now --
     "sim_rp_topk": q_sim_rp_topk,
     "sim_rp_recall": q_sim_rp_recall,
@@ -2291,7 +2343,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dsir_select": q_text_dsir_select,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
     "sim_rp_project": q_sim_rp_project,
-    "sim_rp_distortion": q_sim_rp_distortion,
     # -- r5-row cohort (stale-est rows in the ledger) --
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sql_tfidf_top100": q_sql_tfidf_top100,
@@ -2315,12 +2366,15 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "rel_customers_without_orders": q_rel_customers_without_orders,
     "rel_revenue_by_region": q_rel_revenue_by_region,
-    # -- stale-est r7-row entries that still fit --
-    "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
-    "pipeline_curate_pack": q_pipeline_curate_pack,
     # ---- past the 50-slot cap from here down ----
     # round-8-green cohort ceding slots + long-stable entries;
-    # the 2 structurally no-oracle entries close the registry
+    # the 2 structurally no-oracle entries close the registry.
+    # sim_rp_distortion sits FIRST past-cap: its only round-9 change is
+    # an added dimension assertion (results provably unchanged, r8 row
+    # green); the two r7-row fillers follow, displaced by the phash trio
+    "sim_rp_distortion": q_sim_rp_distortion,
+    "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
+    "pipeline_curate_pack": q_pipeline_curate_pack,
     "sim_recall_audit": q_sim_recall_audit,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_capped": q_dedup_semantic_capped,
@@ -3632,6 +3686,50 @@ FROM av LEFT JOIN dup d ON d.vec_id = av.vec_id
     )
 
 
+def _phash_sql(final: str, grid: int = 4) -> str:
+    """Analytic replay of :func:`multimodal.media_phash` over the
+    synthetic payload generator (same formula text as the
+    ``multimodal_decode`` oracle, frame 0 only): per doc, the
+    ``grid x grid`` nearest-neighbor luminance cells
+    (``gray = Σ_c (base + ((Y*h)//grid)*7 + ((X*w)//grid)*3 + c*11)
+    % 256``), the strict integer mean compare ``gray·grid² > total``,
+    and the bit fold into one BIGINT. ``final`` selects from the ``ph``
+    (doc_id, phash) / ``dims`` (doc_id, w, h) CTEs — the three phash
+    oracles share this chain verbatim."""
+    g2 = grid * grid
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 4 + length(text) % 13 AS w, 4 + doc_id % 11 AS h,
+         (doc_id % 256) * 31 AS base
+  FROM documents
+),
+cells AS (
+  SELECT d.doc_id,
+         (y.i * {grid} + x.i) AS bit,
+         ((d.base + ((y.i * d.h) // {grid}) * 7
+                  + ((x.i * d.w) // {grid}) * 3) % 256)
+       + ((d.base + ((y.i * d.h) // {grid}) * 7
+                  + ((x.i * d.w) // {grid}) * 3 + 11) % 256)
+       + ((d.base + ((y.i * d.h) // {grid}) * 7
+                  + ((x.i * d.w) // {grid}) * 3 + 22) % 256) AS gray
+  FROM dims d
+  CROSS JOIN (SELECT unnest(generate_series(0, {grid - 1})) AS i) y
+  CROSS JOIN (SELECT unnest(generate_series(0, {grid - 1})) AS i) x
+),
+ph AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN gray * {g2} > tot
+                       THEN CAST(1 AS BIGINT) << bit ELSE 0 END)
+              AS BIGINT) AS phash
+  FROM (SELECT doc_id, bit, gray,
+               sum(gray) OVER (PARTITION BY doc_id) AS tot
+        FROM cells)
+  GROUP BY doc_id
+)
+{final}
+"""
+
+
 _STOPWORD_LIST_SQL = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
 _MARKER_VALUES_SQL = ", ".join(
     f"('{lang}', '{w}')" for lang, ws in LANG_MARKERS.items() for w in ws
@@ -4016,6 +4114,24 @@ SELECT doc_id,
        CAST(sum(b) AS BIGINT) AS sum_b
 FROM v GROUP BY doc_id
 """,
+    "multimodal_phash": _phash_sql(
+        "SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,"
+        " CAST(d.h AS BIGINT) AS height, p.phash"
+        " FROM dims d JOIN ph p USING (doc_id)"
+    ),
+    "multimodal_phash_dedup": _phash_sql("""
+SELECT doc_id, phash,
+       CAST(CASE WHEN min(doc_id) OVER (PARTITION BY phash)
+                   <> max(doc_id) OVER (PARTITION BY phash)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_dup,
+       CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY phash)
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM ph"""),
+    "multimodal_phash_pairs": _phash_sql("""
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 1"""),
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -391,3 +391,184 @@ def sample_frames(media: DataFrame, n_samples: int = 3) -> DataFrame:
             )
 
     return media.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
+
+
+#: Output schema of the perceptual-hash stage.
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def media_phash(media: DataFrame, grid: int = 4) -> DataFrame:
+    """Perceptual fingerprint (average hash) of FRAME 0 over the parsed
+    pixel bytes — the image-modality counterpart of
+    :func:`~hadoop_tfidf_spark.operators.dedup.simhash`: downsample to a
+    ``grid x grid`` luminance grid by nearest-neighbor gather
+    (``src = (out_idx * in_dim) // grid``, the :func:`resize_media`
+    rule), then bit ``Y*grid+X`` is set iff that cell's gray exceeds
+    the grid mean. All-integer: gray = r+g+b (no /3), and the mean
+    compare is ``gray * grid² > total`` (strict; ties clear the bit) —
+    so the hash replays exactly in integer SQL and any engine agrees
+    bit-for-bit. Output ``(doc_id, width, height, phash)`` with phash
+    in the low ``grid²`` bits of a BIGINT.
+
+    Same 1:1 Arrow ``mapInPandas`` shape as decode/resize: O(batch)
+    memory, no shuffle, parallelism = input partitions — a 100 TB media
+    corpus hashes in one scan. Near-identical frames (re-encodes,
+    brightness-stable crops of the synthetic gradient family) collide
+    or sit within small Hamming distance; feed the output to
+    :func:`phash_dedup` / :func:`phash_near_pairs`."""
+
+    def hash_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        g = grid  # closed-over scalar; no module globals
+
+        def ph(payload: bytes):
+            buf = bytes(payload)
+            if buf[:2] != b"P6":
+                raise ValueError("bad PPM magic")
+            vals, pos, n = [], 2, len(buf)
+            while len(vals) < 3:
+                while pos < n and buf[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < n and not buf[pos : pos + 1].isspace():
+                    pos += 1
+                vals.append(int(buf[start:pos]))
+            pos += 1
+            w, h, _ = vals
+            import numpy as np
+
+            a = np.frombuffer(
+                buf, dtype=np.uint8, count=w * h * 3, offset=pos
+            ).astype(np.int64)
+            ys = (np.arange(g, dtype=np.int64) * h) // g
+            xs = (np.arange(g, dtype=np.int64) * w) // g
+            src = ((ys[:, None] * w + xs[None, :]) * 3).ravel()
+            gray = a[src] + a[src + 1] + a[src + 2]
+            tot = int(gray.sum())
+            bits = (gray * (g * g)) > tot
+            val = int(
+                (bits.astype(np.int64) << np.arange(g * g, dtype=np.int64))
+                .sum()
+            )
+            return (w, h, val)
+
+        for pdf in batches:
+            feats = [ph(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats, columns=["width", "height", "phash"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(hash_batches, schema=PHASH_SCHEMA)
+
+
+def phash_dedup(media: DataFrame, grid: int = 4) -> DataFrame:
+    """Exact perceptual dedup over the image modality: documents whose
+    frame-0 average hash collides are perceptual duplicates; the lowest
+    ``doc_id`` in each hash group survives (the
+    :func:`~hadoop_tfidf_spark.operators.dedup.exact_dedup` keep rule,
+    applied to pixels instead of text bytes). Output one row per doc:
+    ``(doc_id, phash, is_dup, keep)``.
+
+    Plan shape: one Arrow hash scan, then ONE phash-partitioned window
+    tags group membership in place (``min != max`` doc_id = the ≥2-docs
+    test, ``doc_id == min`` = the survivor — the same single-window
+    pattern span dedup uses; integer rows only, no agg + join-back,
+    never all-pairs)."""
+    from pyspark.sql import Window
+
+    h = media_phash(media, grid=grid)
+    w = Window.partitionBy("phash")
+    return h.select(
+        "doc_id",
+        "phash",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w))
+        .cast("int")
+        .alias("is_dup"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
+    )
+
+
+def phash_near_pairs(
+    media: DataFrame,
+    max_hamming: int = 1,
+    grid: int = 4,
+    band_bits: int = 4,
+) -> DataFrame:
+    """NEAR-duplicate image pairs by banded Hamming join over the
+    perceptual hash — the SimHash blocking recipe on the image
+    modality: split the ``grid²``-bit hash into ``band_bits``-wide
+    bands; a pair within Hamming ``max_hamming`` differs in at most
+    ``max_hamming`` bands, so it shares at least one band whenever
+    ``n_bands > max_hamming`` (pigeonhole — asserted). Candidates come
+    from a band-keyed equi-join (never all-pairs); the exact distance
+    check is one ``bit_count(xor)`` per candidate. Output
+    ``(doc_id_a, doc_id_b, hamming)``, each unordered pair once.
+
+    Scale: blocking cost follows band-bucket sizes exactly like LSH —
+    hash-alike corpora (re-encoded frame farms) concentrate, which is
+    precisely what the dedup exists to find; the verify step is a
+    codegen bit op, so the join output never carries pixel data."""
+    n_bits = grid * grid
+    n_bands = (n_bits + band_bits - 1) // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"banding cannot guarantee hamming<={max_hamming} with "
+            f"{n_bands} bands (need n_bands > max_hamming)"
+        )
+    h = media_phash(media, grid=grid)
+    mask = (1 << band_bits) - 1
+    # per-band (index, value) structs with literal shift widths — the
+    # shift amount is compile-time, so the whole banding is codegen
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("phash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", F.col("bv.band").alias("band"),
+             F.col("bv.band_val").alias("band_val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("phash").alias("_ha"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("phash").alias("_hb"),
+        "band",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "_ha", "_hb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        .cast("bigint")
+        .alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

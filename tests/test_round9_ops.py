@@ -363,3 +363,71 @@ def test_rp_ivfpq_budget_monotone_and_shared_index(spark):
         ).collect()
     }
     assert fresh == shared
+
+
+# ------------------------------------------------- perceptual image dedup
+
+
+def _ppm(cells, w=4, h=4):
+    """Raw 4x4 binary PPM where pixel (y,x) is gray value cells[y*4+x]
+    on all three channels — with grid=4 each pixel IS one aHash cell."""
+    body = bytes(
+        v for y in range(h) for x in range(w) for v in [cells[y * w + x]] * 3
+    )
+    return b"P6 %d %d 255\n" % (w, h) + body
+
+
+def _media(spark, rows):
+    from hadoop_tfidf_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(
+        [(i, p, "image/x-portable-pixmap") for i, p in rows], MEDIA_SCHEMA
+    )
+
+
+def test_media_phash_expected_bits(spark):
+    """On a uniform-cell image the hash is exactly the bright-cell mask
+    (strict mean compare: bright cells beat the mean, dim ones don't)."""
+    from hadoop_tfidf_spark.operators.multimodal import media_phash
+
+    bright = {0, 5, 10, 15}  # the diagonal
+    cells = [200 if i in bright else 10 for i in range(16)]
+    out = media_phash(_media(spark, [(1, _ppm(cells))])).collect()
+    assert len(out) == 1
+    assert out[0].phash == sum(1 << b for b in bright)
+    assert (out[0].width, out[0].height) == (4, 4)
+
+
+def test_phash_dedup_keeps_lowest_id(spark):
+    from hadoop_tfidf_spark.operators.multimodal import phash_dedup
+
+    a = [200 if i < 4 else 10 for i in range(16)]
+    c = [200 if i >= 12 else 10 for i in range(16)]
+    rows = phash_dedup(
+        _media(spark, [(7, _ppm(a)), (3, _ppm(a)), (9, _ppm(c))])
+    ).collect()
+    got = {r.doc_id: (r.is_dup, r.keep) for r in rows}
+    assert got == {3: (1, 1), 7: (1, 0), 9: (0, 1)}
+
+
+def test_phash_near_pairs_hamming_and_banding(spark):
+    import pytest as _pt
+
+    from hadoop_tfidf_spark.operators.multimodal import phash_near_pairs
+
+    base = {0, 5, 10, 15}
+    a = [200 if i in base else 10 for i in range(16)]
+    b = list(a)                      # identical -> hamming 0
+    c = [200 if i in (base | {2}) else 10 for i in range(16)]  # hamming 1
+    d = [10 if i in base else 200 for i in range(16)]  # complement, far
+    media = _media(
+        spark, [(1, _ppm(a)), (2, _ppm(b)), (3, _ppm(c)), (4, _ppm(d))]
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in phash_near_pairs(media, max_hamming=1).collect()
+    }
+    assert got == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+    # pigeonhole guarantee: 4 bands cannot promise hamming<=4
+    with _pt.raises(ValueError, match="bands"):
+        phash_near_pairs(media, max_hamming=4)
