@@ -2150,6 +2150,55 @@ def q_text_mixture_weights(spark, sf_dir):
     return mixture_weights(_tbl(spark, sf_dir, "documents"), ["source", "lang"])
 
 
+#: Temperature + token budget for the mixture-sampling pair: τ=0.5
+#: (the sqrt flattening multilingual-T5 popularized) and a budget small
+#: enough that no stratum saturates at 100% on the gate data — the
+#: rate computation stays non-trivially engaged.
+MIX_TAU = 0.5
+MIX_BUDGET_TOKENS = 10_000
+
+
+def q_text_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture plan per source: n^τ target shares
+    and the integer per-stratum sampling rates that realize a
+    10k-token budget — the τ-flattening recipe (Pile/Gopher/mT5)
+    between mixture accounting and the materialized sample. BIGINT
+    micro-unit pow quantization makes the share denominator an exact
+    integer sum, so the row hashes cross-engine."""
+    from hadoop_tfidf_spark.operators.sampling import temperature_rates
+
+    return temperature_rates(
+        _tbl(spark, sf_dir, "documents"),
+        tau=MIX_TAU,
+        budget_tokens=MIX_BUDGET_TOKENS,
+    )
+
+
+def q_text_mixture_sample(spark, sf_dir):
+    """The MATERIALIZED temperature mixture: compute the per-source
+    rates (strata-sized collect — the legitimate kind) and apply them
+    as a content-addressed stratified hash sample in one scan —
+    weights → rates → corpus, the full mixture path a pretraining
+    recipe actually executes. Membership is a pure function of
+    (doc_id, source counts), so the sample is reproducible on any
+    engine and stable under re-ingest."""
+    from hadoop_tfidf_spark.operators.sampling import (
+        stratified_hash_sample,
+        temperature_rates,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    rates = {
+        r["source"]: int(r["rate_pct"])
+        for r in temperature_rates(
+            docs, tau=MIX_TAU, budget_tokens=MIX_BUDGET_TOKENS
+        ).collect()
+    }
+    return stratified_hash_sample(docs, "doc_id", "source", rates).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def q_text_pack_sequences(spark, sf_dir):
     """Deterministic sequence packing into ~512-token training packs,
     sharded 8 ways by doc_id — concat-then-chunk GPT-style packing; all
@@ -2289,12 +2338,13 @@ def q_sim_label_centroids(spark, sf_dir):
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
 # oracle-backed query's newest driver row stays fresh. Round-9 composition:
-#   1) the six brand-new round-9 queries (the RP-space residual IVFADC
+#   1) the eight brand-new round-9 queries (the RP-space residual IVFADC
 #      retrieval + its candidate-budget recall sweep, the byte-fallback
-#      BPE accounting of a held-out corpus slice, and the image-modality
-#      perceptual-dedup trio: the frame-0 average hash over parsed pixel
-#      bytes, the phash-window exact dedup, and the banded Hamming
-#      near-pair join),
+#      BPE accounting of a held-out corpus slice, the image-modality
+#      perceptual-dedup trio — frame-0 average hash over parsed pixel
+#      bytes, phash-window exact dedup, banded Hamming near-pair join —
+#      and the temperature-mixture pair: n^tau per-source rates under a
+#      token budget + the materialized stratified sample),
 #   2) the three round-8 late additions that were registered past-cap and
 #      have never held a driver row (sim_rp_topk, sim_rp_recall,
 #      streaming_dsir — the repo rule: past-cap newcomers rotate in-window
@@ -2302,7 +2352,8 @@ def q_sim_label_centroids(spark, sf_dir):
 #   3) every query whose code or semantics changed this round: the
 #      recall curve (now on the clustered straddling-query fixture), both
 #      span-dedup paths (single-pass window tagging), the four BPE
-#      consumers of the byte-fallback vocab join, the DSIR pair over the
+#      consumers of the byte-fallback vocab join that carry changed
+#      columns, the DSIR pair over the
 #      now-dense ratio tables, the semantic curate pipeline (anti-join
 #      drop-set semantics), and sim_rp_project behind the new dimension
 #      assertion (sim_rp_distortion — same assertion, results provably
@@ -2328,6 +2379,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
+    "text_mixture_temperature": q_text_mixture_temperature,
+    "text_mixture_sample": q_text_mixture_sample,
     # -- round-8 late additions, never driver-rowed until now --
     "sim_rp_topk": q_sim_rp_topk,
     "sim_rp_recall": q_sim_rp_recall,
@@ -2337,8 +2390,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_exact": q_dedup_span_exact,
     "dedup_span_sliding": q_dedup_span_sliding,
     "text_bpe_tokens": q_text_bpe_tokens,
-    "text_pack_bpe": q_text_pack_bpe,
-    "text_mixture_bpe": q_text_mixture_bpe,
     "text_dsir": q_text_dsir,
     "text_dsir_select": q_text_dsir_select,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
@@ -2371,8 +2422,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the 2 structurally no-oracle entries close the registry.
     # sim_rp_distortion sits FIRST past-cap: its only round-9 change is
     # an added dimension assertion (results provably unchanged, r8 row
-    # green); the two r7-row fillers follow, displaced by the phash trio
+    # green). text_pack_bpe / text_mixture_bpe likewise ceded: they
+    # consume only the n_bpe_tokens column, which the byte-fallback
+    # left-join rewrite provably leaves value-identical on the train
+    # corpus (r8 rows green, local drive re-proves). The two r7-row
+    # fillers follow, displaced by the phash trio + mixture pair.
     "sim_rp_distortion": q_sim_rp_distortion,
+    "text_pack_bpe": q_text_pack_bpe,
+    "text_mixture_bpe": q_text_mixture_bpe,
     "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
     "pipeline_curate_pack": q_pipeline_curate_pack,
     "sim_recall_audit": q_sim_recall_audit,
@@ -5119,6 +5176,53 @@ SELECT source, lang, n_docs, n_tokens,
        round(CAST(n_tokens AS DOUBLE) / tt, 6) AS token_share,
        round(CAST(tt AS DOUBLE) / (ng * n_tokens), 6) AS uniform_weight
 FROM g, tot
+""",
+    "text_mixture_temperature": f"""
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+s AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(round(pow(n_tokens, {MIX_TAU}) * 1000000) AS BIGINT) AS pt_u
+  FROM g
+),
+t AS (SELECT *, CAST(sum(pt_u) OVER () AS BIGINT) AS tot_u FROM s)
+SELECT source, n_docs, n_tokens,
+       round(CAST(pt_u AS DOUBLE) / tot_u, 6) AS temp_share,
+       CAST(least(100, greatest(0,
+            floor(100.0 * {MIX_BUDGET_TOKENS}
+                  * round(CAST(pt_u AS DOUBLE) / tot_u, 6) / n_tokens)))
+            AS INTEGER) AS rate_pct
+FROM t
+""",
+    "text_mixture_sample": f"""
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+s AS (
+  SELECT source, n_tokens,
+         CAST(round(pow(n_tokens, {MIX_TAU}) * 1000000) AS BIGINT) AS pt_u
+  FROM g
+),
+t AS (SELECT *, CAST(sum(pt_u) OVER () AS BIGINT) AS tot_u FROM s),
+r AS (
+  SELECT source,
+         CAST(least(100, greatest(0,
+              floor(100.0 * {MIX_BUDGET_TOKENS}
+                    * round(CAST(pt_u AS DOUBLE) / tot_u, 6) / n_tokens)))
+              AS INTEGER) AS rate_pct
+  FROM t
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN r ON r.source = d.source
+WHERE ('0x' || substr(md5('0:' || d.doc_id), 1, 15))::BIGINT % 100
+      < r.rate_pct
 """,
     # Concat-then-chunk sequence packing: 8 shards by md5 hash of doc_id
     # (hash_bucket_col — id-type-agnostic, mirrors the Spark operator),

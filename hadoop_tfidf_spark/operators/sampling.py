@@ -145,6 +145,75 @@ def mixture_weights(
     )
 
 
+def temperature_rates(
+    docs: DataFrame,
+    tau: float = 0.5,
+    budget_tokens: int = 10_000,
+    strata: list[str] | None = None,
+    tokens: Column | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture rates — the per-source sampling plan
+    that turns a raw corpus into a τ-flattened training mixture (the
+    Pile / Gopher / multilingual-T5 recipe: source share ∝ n_tokens^τ,
+    τ<1 damps the dominant crawl and boosts rare domains; τ=1 keeps the
+    natural mixture, τ=0 is uniform). Per stratum (default ``source``):
+
+    - ``temp_share`` — ``n_s^τ / Σ n^τ``, the target share of the
+      sampled corpus;
+    - ``rate_pct``  — the integer percentage for
+      :func:`stratified_hash_sample` that realizes ``budget_tokens ·
+      temp_share`` expected tokens from the stratum, clamped to
+      [0, 100] (a SAMPLER never upsamples: strata whose target exceeds
+      their size saturate at 100 — re-run with a smaller budget or
+      handle upsampling at the loader).
+
+    Cross-engine exactness: ``n^τ`` is quantized to BIGINT micro-units
+    (``round(pow(n, τ)·1e6)``) so the share denominator is an exact
+    integer sum (order-free across strata); ``temp_share`` rounds the
+    one integer division to 6; ``rate_pct`` is a single shared IEEE
+    expression over those exact inputs. One strata-keyed aggregation +
+    an unpartitioned window over the strata-sized output (the
+    mixture_weights shape — never a crossJoin diamond).
+    """
+    from pyspark.sql import Window
+
+    strata = strata or ["source"]
+    n_tokens = (
+        tokens
+        if tokens is not None
+        else F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    )
+    groups = docs.groupBy(*strata).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tokens).cast("bigint").alias("n_tokens"),
+    )
+    pt_u = F.round(F.pow(F.col("n_tokens"), F.lit(float(tau))) * 1_000_000)
+    staged = groups.select(
+        *strata, "n_docs", "n_tokens", pt_u.cast("bigint").alias("_pt_u")
+    )
+    w = Window.partitionBy(F.lit(1))
+    tot_u = F.sum("_pt_u").over(w).cast("bigint")
+    share = F.round(F.col("_pt_u") / tot_u, 6)
+    return staged.select(
+        *strata,
+        "n_docs",
+        "n_tokens",
+        share.alias("temp_share"),
+        F.least(
+            F.lit(100),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    F.lit(100.0) * F.lit(int(budget_tokens)) * share
+                    / F.col("n_tokens")
+                ),
+            ),
+        )
+        .cast("int")
+        .alias("rate_pct"),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 512,

@@ -431,3 +431,77 @@ def test_phash_near_pairs_hamming_and_banding(spark):
     # pigeonhole guarantee: 4 bands cannot promise hamming<=4
     with _pt.raises(ValueError, match="bands"):
         phash_near_pairs(media, max_hamming=4)
+
+
+# --------------------------------------------------- temperature mixture
+
+
+def _mix_docs(spark):
+    rows = []
+    did = 0
+    for src, n, words in (("big", 40, 20), ("mid", 10, 20), ("rare", 5, 20)):
+        for _ in range(n):
+            rows.append((did, " ".join(f"w{i}" for i in range(words)), src))
+            did += 1
+    return spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING"
+    )
+
+
+def test_temperature_rates_tau1_is_natural_mixture(spark):
+    """τ=1 keeps the natural mixture: the realized rate is the same
+    constant 100·B/Σn for every stratum (share ∝ size cancels size) —
+    up to ±1 from the 6-decimal share quantization the hash gate
+    requires (0.1818181... rounds DOWN before the floor)."""
+    from hadoop_tfidf_spark.operators.sampling import temperature_rates
+
+    rows = temperature_rates(
+        _mix_docs(spark), tau=1.0, budget_tokens=220, strata=["source"]
+    ).collect()
+    rates = {r.source: r.rate_pct for r in rows}
+    # Σn = 1100 tokens, B=220 -> ~20% everywhere
+    assert max(rates.values()) - min(rates.values()) <= 1
+    assert rates["big"] == 20
+
+
+def test_temperature_rates_flatten_and_clamp(spark):
+    """τ<1 boosts rare strata (monotonically decreasing rate in stratum
+    size) and a budget beyond a stratum's size clamps at 100 — a
+    sampler never upsamples."""
+    from hadoop_tfidf_spark.operators.sampling import temperature_rates
+
+    docs = _mix_docs(spark)
+    rows = temperature_rates(
+        docs, tau=0.5, budget_tokens=400, strata=["source"]
+    ).collect()
+    got = {r.source: r.rate_pct for r in rows}
+    assert got["rare"] > got["mid"] > got["big"]
+    shares = {r.source: r.temp_share for r in rows}
+    assert shares["big"] < 3 * shares["rare"]  # sqrt damping: 8x size -> <3x share
+    clamped = {
+        r.source: r.rate_pct
+        for r in temperature_rates(
+            docs, tau=0.5, budget_tokens=2000, strata=["source"]
+        ).collect()
+    }
+    assert clamped["rare"] == 100  # target > stratum size -> clamp
+
+
+def test_mixture_sample_is_deterministic_subset(spark):
+    from hadoop_tfidf_spark.operators.sampling import (
+        stratified_hash_sample,
+        temperature_rates,
+    )
+
+    docs = _mix_docs(spark)
+    rates = {
+        r.source: int(r.rate_pct)
+        for r in temperature_rates(
+            docs, tau=0.5, budget_tokens=300, strata=["source"]
+        ).collect()
+    }
+    a = {r.doc_id for r in
+         stratified_hash_sample(docs, "doc_id", "source", rates).collect()}
+    b = {r.doc_id for r in
+         stratified_hash_sample(docs, "doc_id", "source", rates).collect()}
+    assert a == b and a and a < {r.doc_id for r in docs.collect()}
