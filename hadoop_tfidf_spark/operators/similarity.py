@@ -1189,13 +1189,15 @@ def _quantized_dim_checked(
     vector whose length differs from ``in_dim`` raises at execution
     instead of silently zip_with-padding NULLs into the integer fold
     (which would propagate to ALL-NULL projections with no error). The
-    size compare is one cheap row-local branch fused into codegen."""
+    size check runs on the RAW vector (``transform`` preserves length,
+    so ``size(vec) == size(q)`` — checking ``size(q)`` would inline and
+    evaluate the quantization transform a second time per row)."""
     q = quantized_units(vec, units)
-    return F.when(F.size(q) == in_dim, q).otherwise(
+    return F.when(F.size(vec) == in_dim, q).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"{op}: embedding dimension "),
-                F.size(q).cast("string"),
+                F.size(vec).cast("string"),
                 F.lit(f" != in_dim {in_dim}"),
             )
         )
