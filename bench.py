@@ -98,6 +98,9 @@ HEADLINE = [
     # with exact full-dim re-rank)
     "sim_rp_project", "sim_pca_project", "sim_rp_topk",
     "sim_rp_distortion", "sim_topk_rp_ivfpq",
+    # pca_topk = the rp_topk pattern through TRAINED coordinates (times
+    # the eigensolve-fed two-stage retrieval end to end)
+    "sim_pca_topk",
     # multimodal (Arrow mapInPandas path; phash_dedup = the perceptual
     # hash scan + the phash-window image dedup)
     "multimodal_decode", "multimodal_phash_dedup",

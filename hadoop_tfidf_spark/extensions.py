@@ -1000,6 +1000,32 @@ def q_sim_pca_project(spark, sf_dir):
 RP_TOPK_CANDIDATES = 50
 
 
+def q_sim_pca_topk(spark, sf_dir):
+    """Two-stage retrieval through TRAINED PCA coordinates — the
+    rp_topk pattern with the corpus's own top-4 variance directions:
+    stage 1 cuts candidates by exact integer L2 in the 4-int projected
+    index (the best 4-dim L2 approximation, vs the JL projection's
+    merely distortion-bounded one), stage 2 re-ranks by exact full-dim
+    integer L2. Unwhitened scores by design (whitening distorts L2).
+    The oracle nests the full power-iteration replay and both ranking
+    stages. Registered past-cap this round (the window is full of
+    mandated entries); FIRST round-10 rotation priority per the
+    past-cap-newcomer rule."""
+    from hadoop_tfidf_spark.operators.similarity import pca_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    return pca_topk(
+        emb,
+        queries,
+        k=SIM_K,
+        candidates=RP_TOPK_CANDIDATES,
+        n_components=PCA_GATE_K,
+        iters=PCA_GATE_ITERS,
+        units=PCA_GATE_UNITS,
+    )
+
+
 def q_sim_rp_topk(spark, sf_dir):
     """Two-stage retrieval through the JL projection: coarse top-50 by
     exact integer L2 in the 16-int projected index (16/64 of a full
@@ -2420,6 +2446,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- past the 50-slot cap from here down ----
     # round-8-green cohort ceding slots + long-stable entries;
     # the 2 structurally no-oracle entries close the registry.
+    # sim_pca_topk is a round-9 LATE addition (window already full of
+    # mandated entries) — FIRST round-10 rotation priority per the
+    # past-cap-newcomer rule; LOCAL_CHECK_r09 carries its evidence.
+    "sim_pca_topk": q_sim_pca_topk,
     # sim_rp_distortion sits FIRST past-cap: its only round-9 change is
     # an added dimension assertion (results provably unchanged, r8 row
     # green). text_pack_bpe / text_mixture_bpe likewise ceded: they
@@ -3743,6 +3773,54 @@ FROM av LEFT JOIN dup d ON d.vec_id = av.vec_id
     )
 
 
+def _pca_topk_sql(candidates: int = RP_TOPK_CANDIDATES) -> str:
+    """Replay of the PCA two-stage retrieval (``q_sim_pca_topk``): the
+    whole power-iteration build + corpus projection (``_pca_sql
+    (project=True)``) nests as one MATERIALIZED subquery; its scalar
+    (vec_id, component, score_u) rows fold to per-vector arrays, the
+    candidate cut is exact integer L2 in that 4-int space, and the
+    final ranking is the exact full-dimension re-rank over the raw
+    micro-unit vectors — both tie-breaks mirrored."""
+    k, u = SIM_K, PCA_GATE_UNITS
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    return f"""
+WITH proj AS MATERIALIZED (
+{_pca_sql(project=True)}
+),
+y AS MATERIALIZED (
+  SELECT vec_id,
+         list(CAST(floor(CAST(score_u AS DOUBLE) / 10000.0) AS BIGINT)
+              ORDER BY component) AS y
+  FROM proj GROUP BY vec_id
+),
+e2 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {u}) AS BIGINT)) AS u
+  FROM embeddings
+),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, cy.vec_id,
+           {_int_d2_sql("cy.y", "q.y")} AS d2c
+    FROM y cy CROSS JOIN (SELECT * FROM y WHERE vec_id IN ({qids})) q
+    WHERE cy.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2c, vec_id) <= {candidates}
+)
+SELECT query_id, vec_id, d2_u, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT cand.query_id, cand.vec_id,
+         CAST({_int_d2_sql("ec.u", "eq.u")} AS BIGINT) AS d2_u,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {_int_d2_sql("ec.u", "eq.u")},
+                                     cand.vec_id) AS rn
+  FROM cand
+  JOIN e2 ec ON ec.vec_id = cand.vec_id
+  JOIN e2 eq ON eq.vec_id = cand.query_id
+) WHERE rn <= {k}
+"""
+
+
 def _phash_sql(final: str, grid: int = 4) -> str:
     """Analytic replay of :func:`multimodal.media_phash` over the
     synthetic payload generator (same formula text as the
@@ -4666,6 +4744,7 @@ FROM events GROUP BY user_id
     "sim_rp_recall": _rp_recall_sql(),
     "sim_pca_components": _pca_sql(),
     "sim_pca_project": _pca_sql(project=True),
+    "sim_pca_topk": _pca_topk_sql(),
     "text_bpe_pairs": """
 WITH w AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents

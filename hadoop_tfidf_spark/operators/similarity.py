@@ -1524,6 +1524,140 @@ def pca_project(
     )
 
 
+def _coarse_then_exact(
+    base: DataFrame,
+    index: DataFrame,
+    qp: DataFrame,
+    k: int,
+    candidates: int,
+    id_col: str,
+    coarse_col: str,
+    qcoarse_col: str,
+) -> DataFrame:
+    """The shared two-stage ranking of :func:`rp_topk` / :func:`pca_topk`:
+    stage 1 scans only the compact ``coarse_col`` index for each query's
+    ``candidates`` nearest by exact integer L2; stage 2 re-ranks those
+    ids alone by exact full-dimension L2 over ``base._u`` (both joins
+    broadcast the tiny candidate/query relations). Output
+    ``(query_id, vec_id, d2_u, rn)``."""
+    stage1 = (
+        index.crossJoin(F.broadcast(qp.select("query_id", qcoarse_col)))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            _int_d2(F.col(coarse_col), F.col(qcoarse_col)).alias("_d2c"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy("_d2c", id_col)
+    cand = (
+        stage1.withColumn("_crn", F.row_number().over(w1))
+        .where(F.col("_crn") <= candidates)
+        .select("query_id", id_col)
+    )
+    rerank = (
+        base.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qp.select("query_id", "_qu")), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            _int_d2(F.col("_u"), F.col("_qu")).alias("d2_u"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2_u", id_col)
+    return (
+        rerank.withColumn("rn", F.row_number().over(w2).cast("int"))
+        .where(F.col("rn") <= k)
+    )
+
+
+def pca_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    n_components: int = 4,
+    iters: int = 8,
+    units: int = 10_000,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    components: list[list[int]] | None = None,
+    score_scale: int = 10_000,
+) -> DataFrame:
+    """Two-stage retrieval through TRAINED PCA coordinates — the
+    :func:`rp_topk` pattern with the data's own top-variance directions
+    instead of random signs: stage 1 scans only the
+    ``n_components``-int projected index (the best ``n_components``-dim
+    L2 approximation of the original distances, where the JL projection
+    is merely distortion-bounded), stage 2 re-ranks the survivors by
+    exact full-dimension integer L2. UNWHITENED scores by design:
+    whitening rescales directions to unit variance, which deliberately
+    DISTORTS L2 — right before clustering, wrong inside a distance
+    index. Pass ``components=`` (a :func:`pca_power_build` result) to
+    skip training. All distances exact BIGINT in both stages, so the
+    whole ranking including tie-breaks replays in DuckDB. Output
+    ``(query_id, vec_id, d2_u, rn)`` — the :func:`rp_topk` /
+    :func:`int_l2_topk` shape.
+
+    Scale: training is :func:`pca_power_build`'s one mapInPandas gemm
+    pass (train on a sample at 100 TB — the 2^53 contract documented
+    there); the index projection rides into codegen as component
+    literals, zero shuffle; stage-1 scan touches n_components/in_dim of
+    the bytes; full-width reads are ``candidates`` rows per query.
+
+    ``score_scale`` keeps the stage-1 squared distance inside BIGINT:
+    raw projected scores are ``Σ_d x_u·v_d`` with ``x_u`` in ``units``
+    and components in 1e6-units (|score| up to ~dim·5·units·1e6 ≈
+    3e12 here), so squared differences would overflow 2^63; each score
+    is floor-divided by ``score_scale`` first (one identical IEEE
+    floor(double/const) on both engines — the cut ordering is what
+    stage 1 needs, and the exact full-dim re-rank restores full
+    resolution).
+    """
+    comps = (
+        components
+        if components is not None
+        else pca_power_build(
+            embeddings, k=n_components, iters=iters, units=units,
+            in_dim=in_dim, id_col=id_col, vec_col=vec_col,
+        )[0]
+    )
+
+    def _proj(ucol: Column) -> Column:
+        return F.array(
+            *[
+                F.floor(
+                    F.aggregate(
+                        F.zip_with(
+                            ucol,
+                            F.array(
+                                *[F.lit(int(x)).cast("bigint") for x in comp]
+                            ),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.lit(float(score_scale))
+                ).cast("bigint")
+                for comp in comps
+            ]
+        )
+
+    base = embeddings.select(
+        id_col, quantized_units(F.col(vec_col), units).alias("_u")
+    )
+    index = base.select(id_col, _proj(F.col("_u")).alias("_pc"))
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantized_units(F.col(vec_col), units).alias("_qu"),
+    ).select("query_id", "_qu", _proj(F.col("_qu")).alias("_qpc"))
+    return _coarse_then_exact(
+        base, index, qp, k, candidates, id_col, "_pc", "_qpc"
+    )
+
+
 def rp_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1584,35 +1718,8 @@ def rp_topk(
             "_qu"
         ),
     ).select("query_id", "_qu", _proj(F.col("_qu")).alias("_qrp"))
-
-    stage1 = (
-        index.crossJoin(F.broadcast(qp.select("query_id", "_qrp")))
-        .where(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            id_col,
-            _int_d2(F.col("_rp"), F.col("_qrp")).alias("_d2rp"),
-        )
-    )
-    w1 = Window.partitionBy("query_id").orderBy("_d2rp", id_col)
-    cand = (
-        stage1.withColumn("_crn", F.row_number().over(w1))
-        .where(F.col("_crn") <= candidates)
-        .select("query_id", id_col)
-    )
-    rerank = (
-        base.join(F.broadcast(cand), id_col)
-        .join(F.broadcast(qp.select("query_id", "_qu")), "query_id")
-        .select(
-            "query_id",
-            id_col,
-            _int_d2(F.col("_u"), F.col("_qu")).alias("d2_u"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy("d2_u", id_col)
-    return (
-        rerank.withColumn("rn", F.row_number().over(w2).cast("int"))
-        .where(F.col("rn") <= k)
+    return _coarse_then_exact(
+        base, index, qp, k, candidates, id_col, "_rp", "_qrp"
     )
 
 

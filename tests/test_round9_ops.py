@@ -505,3 +505,48 @@ def test_mixture_sample_is_deterministic_subset(spark):
     b = {r.doc_id for r in
          stratified_hash_sample(docs, "doc_id", "source", rates).collect()}
     assert a == b and a and a < {r.doc_id for r in docs.collect()}
+
+
+# ------------------------------------------------------ PCA two-stage topk
+
+
+def test_pca_topk_exact_when_candidates_cover(spark):
+    """With a candidate budget covering the corpus, the PCA two-stage
+    retrieval reproduces int_l2_topk verbatim (stage 1 only ever loses
+    candidates; the exact re-rank orders survivors)."""
+    from hadoop_tfidf_spark.operators.similarity import (
+        int_l2_topk,
+        pca_topk,
+    )
+
+    emb = spark.createDataFrame(
+        _clustered_rows(n=60), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    queries = emb.where(F.col("vec_id").isin([0, 1]))
+    approx = pca_topk(
+        emb, queries, k=5, candidates=60,
+        n_components=3, iters=6, units=1000, in_dim=16,
+    )
+    exact = int_l2_topk(emb, queries, k=5, units=1000)
+    a = {(r.query_id, r.rn): (r.vec_id, r.d2_u) for r in approx.collect()}
+    e = {(r.query_id, r.rn): (r.vec_id, r.d2_u) for r in exact.collect()}
+    assert a == e
+
+
+def test_pca_topk_clustered_recalls_own_cluster(spark):
+    """On well-separated clusters the trained top-variance directions
+    separate the clusters, so even a tight candidate budget keeps every
+    survivor inside the query's own cluster."""
+    from hadoop_tfidf_spark.operators.similarity import pca_topk
+
+    emb = spark.createDataFrame(
+        _clustered_rows(), "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2]))
+    out = pca_topk(
+        emb, queries, k=8, candidates=12,
+        n_components=3, iters=6, units=1000, in_dim=16,
+    ).collect()
+    assert len(out) == 24
+    for r in out:
+        assert r.vec_id % 3 == r.query_id % 3
