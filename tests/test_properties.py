@@ -494,3 +494,114 @@ def test_dsir_matches_reference_any_corpus(spark, rows):
         ).collect()
     }
     assert got == _dsir_reference(data, {"t"}, n_buckets=8, k=0.25)
+
+
+# --------------------------------------------------- perceptual hash (r9)
+
+grid_strategy = st.lists(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=16, max_size=16),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _ppm4(cells):
+    body = bytes(v for c in cells for v in (c, c, c))
+    return b"P6 4 4 255\n" + body
+
+
+def _ref_phash(cells, grid=4):
+    """Independent pure-Python aHash over a 4x4 uniform-cell image
+    (pixel (y,x) == cell, all channels equal)."""
+    grays = [3 * c for c in cells]
+    tot = sum(grays)
+    return sum(
+        1 << i for i, g in enumerate(grays) if g * len(grays) > tot
+    )
+
+
+@given(imgs=grid_strategy)
+@SETTINGS
+def test_media_phash_matches_pure_python_reference(spark, imgs):
+    from hadoop_tfidf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        media_phash,
+    )
+
+    media = spark.createDataFrame(
+        [(i, _ppm4(c), "image/x-portable-pixmap") for i, c in enumerate(imgs)],
+        MEDIA_SCHEMA,
+    )
+    got = {r.doc_id: r.phash for r in media_phash(media).collect()}
+    assert got == {i: _ref_phash(c) for i, c in enumerate(imgs)}
+
+
+@given(imgs=grid_strategy)
+@SETTINGS
+def test_phash_near_pairs_complete_vs_brute_force(spark, imgs):
+    """Band blocking finds EXACTLY the brute-force hamming<=1 pair set —
+    the pigeonhole completeness argument, tested empirically."""
+    import itertools
+
+    from hadoop_tfidf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        phash_near_pairs,
+    )
+
+    media = spark.createDataFrame(
+        [(i, _ppm4(c), "image/x-portable-pixmap") for i, c in enumerate(imgs)],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in phash_near_pairs(media, max_hamming=1).collect()
+    }
+    hs = {i: _ref_phash(c) for i, c in enumerate(imgs)}
+    want = {
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hs), 2)
+        if bin(hs[a] ^ hs[b]).count("1") <= 1
+    }
+    assert got == want
+
+
+# ------------------------------------------------ temperature mixture (r9)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=4),
+    tau=st.sampled_from([0.0, 0.5, 1.0]),
+    budget=st.integers(min_value=1, max_value=500),
+)
+@SETTINGS
+def test_temperature_rates_match_pure_python_reference(
+    spark, sizes, tau, budget
+):
+    """temperature_rates equals an independent pure-Python replay of the
+    quantized recipe (pow -> micro-units -> exact integer total ->
+    rounded share -> clamped floor rate) on arbitrary strata shapes."""
+    import math
+
+    from hadoop_tfidf_spark.operators.sampling import temperature_rates
+
+    rows, did = [], 0
+    for s, n_docs in enumerate(sizes):
+        for _ in range(n_docs):
+            rows.append((did, "w1 w2 w3 w4", f"s{s}"))  # 4 tokens per doc
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, source STRING"
+    )
+    got = {
+        r.source: (r.n_tokens, r.temp_share, r.rate_pct)
+        for r in temperature_rates(
+            docs, tau=tau, budget_tokens=budget, strata=["source"]
+        ).collect()
+    }
+    n_tok = {f"s{s}": 4 * n for s, n in enumerate(sizes)}
+    pt_u = {k: round(math.pow(v, tau) * 1_000_000) for k, v in n_tok.items()}
+    tot = sum(pt_u.values())
+    for k, v in n_tok.items():
+        share = round(pt_u[k] / tot, 6)
+        rate = min(100, max(0, math.floor(100.0 * budget * share / v)))
+        assert got[k] == (v, share, rate), (k, got[k], (v, share, rate))
