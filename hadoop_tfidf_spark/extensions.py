@@ -2286,6 +2286,54 @@ def q_streaming_mixture_weights(spark, sf_dir):
     )
 
 
+def q_streaming_phash_dedup(spark, sf_dir):
+    """STREAMING perceptual image dedup under the strong gate: docs
+    arrive as a 4-file stream, each micro-batch synthesizes payloads
+    and average-hashes frame 0 ROW-LOCALLY (both Arrow ``mapInPandas``
+    stages are stateless, so they apply unchanged to a streaming
+    relation), and a phash-keyed streaming aggregation accumulates the
+    perceptual-dup ledger — group size + surviving (min) doc id — in
+    complete mode (state is one row per distinct hash, 72 at sf0.01).
+    The drained ledger must hash-match the one-shot batch groups from
+    the analytic oracle: the same dedup verdicts during ingest as at
+    rest, the image-modality twin of ``streaming_incremental_dedup``.
+    Registered past-cap this round (the window is full of mandated
+    entries); round-10 rotation priority with ``sim_pca_topk``."""
+    import uuid
+
+    from hadoop_tfidf_spark.operators.multimodal import (
+        media_phash,
+        with_binary_payload,
+    )
+    from hadoop_tfidf_spark.streaming.windows import (
+        run_to_completion,
+        staged_source,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    base = staged_source(
+        ("documents", sf_dir, "full4"),
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_phashstream_",
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    groups = (
+        media_phash(with_binary_payload(stream.select("doc_id", "text")))
+        .groupBy("phash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+    )
+    return run_to_completion(
+        groups, f"phash_{uuid.uuid4().hex[:8]}", output_mode="complete"
+    )
+
+
 def q_streaming_dsir(spark, sf_dir):
     """STREAMING data selection under the strong gate: the DSIR ratio
     table trains once from the static corpus (the shippable
@@ -2446,10 +2494,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- past the 50-slot cap from here down ----
     # round-8-green cohort ceding slots + long-stable entries;
     # the 2 structurally no-oracle entries close the registry.
-    # sim_pca_topk is a round-9 LATE addition (window already full of
-    # mandated entries) — FIRST round-10 rotation priority per the
-    # past-cap-newcomer rule; LOCAL_CHECK_r09 carries its evidence.
+    # sim_pca_topk + streaming_phash_dedup are round-9 LATE additions
+    # (window already full of mandated entries) — FIRST round-10
+    # rotation priority per the past-cap-newcomer rule; LOCAL_CHECK_r09
+    # carries their evidence.
     "sim_pca_topk": q_sim_pca_topk,
+    "streaming_phash_dedup": q_streaming_phash_dedup,
     # sim_rp_distortion sits FIRST past-cap: its only round-9 change is
     # an added dimension assertion (results provably unchanged, r8 row
     # green). text_pack_bpe / text_mixture_bpe likewise ceded: they
@@ -4267,6 +4317,11 @@ SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM ph a JOIN ph b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 1"""),
+    # the streaming twin drains the same ledger the batch groups yield
+    "streaming_phash_dedup": _phash_sql("""
+SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM ph GROUP BY phash"""),
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -550,3 +550,34 @@ def test_pca_topk_clustered_recalls_own_cluster(spark):
     assert len(out) == 24
     for r in out:
         assert r.vec_id % 3 == r.query_id % 3
+
+
+def test_streaming_phash_dedup_equals_batch_groups(spark):
+    """The drained streaming perceptual-dup ledger equals the one-shot
+    batch groups exactly — same hashes, sizes, and survivors — however
+    the corpus was partitioned into micro-batches."""
+    from hadoop_tfidf_spark.extensions import q_streaming_phash_dedup
+    from hadoop_tfidf_spark.operators.multimodal import (
+        media_phash,
+        with_binary_payload,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.phash: (r.n_docs, r.keep_doc_id)
+        for r in q_streaming_phash_dedup(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = {
+        r.phash: (r.n, r.keep)
+        for r in media_phash(with_binary_payload(docs))
+        .groupBy("phash")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("doc_id").cast("bigint").alias("keep"),
+        )
+        .collect()
+    }
+    assert got == want and got
