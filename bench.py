@@ -102,8 +102,9 @@ HEADLINE = [
     # the eigensolve-fed two-stage retrieval end to end)
     "sim_pca_topk",
     # multimodal (Arrow mapInPandas path; phash_dedup = the perceptual
-    # hash scan + the phash-window image dedup)
-    "multimodal_decode", "multimodal_phash_dedup",
+    # hash scan + the phash-window image dedup; audio_decode = the
+    # RIFF-chunk walk over PCM16 WAVs)
+    "multimodal_decode", "multimodal_phash_dedup", "multimodal_audio_decode",
     # relational / events
     "rel_pricing_summary", "rel_revenue_by_region", "rel_top_customers",
     "events_sessionize", "asof_last_purchase",

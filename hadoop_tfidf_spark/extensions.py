@@ -487,6 +487,35 @@ def q_multimodal_phash_pairs(spark, sf_dir):
     )
 
 
+def q_multimodal_audio_decode(spark, sf_dir):
+    """AUDIO decode — the second real binary modality: synthetic mono
+    PCM16 WAVs (real RIFF + fmt + data chunk layout) are parsed by
+    walking the actual chunks byte-by-byte; the exact BIGINT sample
+    sums must match the oracle's analytic replay of the generator
+    sawtooth — the engine side never sees the formula, only bytes."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        decode_audio,
+        with_audio_payload,
+    )
+
+    return decode_audio(with_audio_payload(_docs(spark, sf_dir)))
+
+
+def q_multimodal_audio_resample(spark, sf_dir):
+    """Real nearest-neighbor decimation of the parsed samples to 4 kHz
+    (the resize_media gather rule on the time axis), pinned by a
+    position-weighted integer checksum — layout-sensitive, not just the
+    value multiset."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        resample_audio,
+        with_audio_payload,
+    )
+
+    return resample_audio(
+        with_audio_payload(_docs(spark, sf_dir)), target_rate=4000
+    )
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     return R.pricing_summary(_tbl(spark, sf_dir, "lineitem"))
 
@@ -2494,12 +2523,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- past the 50-slot cap from here down ----
     # round-8-green cohort ceding slots + long-stable entries;
     # the 2 structurally no-oracle entries close the registry.
-    # sim_pca_topk + streaming_phash_dedup are round-9 LATE additions
-    # (window already full of mandated entries) — FIRST round-10
-    # rotation priority per the past-cap-newcomer rule; LOCAL_CHECK_r09
-    # carries their evidence.
+    # sim_pca_topk, streaming_phash_dedup, and the audio pair are
+    # round-9 LATE additions (window already full of mandated entries)
+    # — FIRST round-10 rotation priority per the past-cap-newcomer
+    # rule; LOCAL_CHECK_r09 carries their evidence.
     "sim_pca_topk": q_sim_pca_topk,
     "streaming_phash_dedup": q_streaming_phash_dedup,
+    "multimodal_audio_decode": q_multimodal_audio_decode,
+    "multimodal_audio_resample": q_multimodal_audio_resample,
     # sim_rp_distortion sits FIRST past-cap: its only round-9 change is
     # an added dimension assertion (results provably unchanged, r8 row
     # green). text_pack_bpe / text_mixture_bpe likewise ceded: they
@@ -4322,6 +4353,53 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 1"""),
 SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS keep_doc_id
 FROM ph GROUP BY phash"""),
+    # analytic replay of the WAV generator sawtooth (44-byte header +
+    # 2 bytes per int16 sample; the engine side walks the RIFF chunks)
+    "multimodal_audio_decode": """
+WITH d AS (SELECT doc_id, length(text) AS L FROM documents),
+a AS (
+  SELECT doc_id, 4000 * (1 + L % 3) AS sr, 64 + doc_id % 101 AS n,
+         (doc_id % 256) * 131 AS base
+  FROM d
+),
+si AS (SELECT doc_id, sr, n, base, unnest(range(n)) AS i FROM a),
+s AS (
+  SELECT doc_id, sr, n, ((base + 17 * i) % 65536 - 32768) AS v FROM si
+)
+SELECT doc_id,
+       CAST(44 + 2 * max(n) AS BIGINT) AS n_bytes,
+       CAST(max(sr) AS BIGINT) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+FROM s GROUP BY doc_id
+""",
+    "multimodal_audio_resample": """
+WITH d AS (SELECT doc_id, length(text) AS L FROM documents),
+a AS (
+  SELECT doc_id, 4000 * (1 + L % 3) AS sr, 64 + doc_id % 101 AS n,
+         (doc_id % 256) * 131 AS base
+  FROM d
+),
+r AS (
+  SELECT doc_id, sr, n, base,
+         greatest(1, (n * 4000) // sr) AS out_n
+  FROM a
+),
+ri AS (SELECT doc_id, sr, n, base, out_n, unnest(range(out_n)) AS i FROM r),
+rv AS (
+  SELECT doc_id, sr, n, out_n, i,
+         ((base + 17 * ((i * n) // out_n)) % 65536 - 32768) AS v
+  FROM ri
+)
+SELECT doc_id,
+       CAST(max(sr) AS BIGINT) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(4000 AS BIGINT) AS out_rate,
+       CAST(max(out_n) AS BIGINT) AS out_samples,
+       CAST(sum(v * (i + 1)) AS BIGINT) AS checksum
+FROM rv GROUP BY doc_id
+""",
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

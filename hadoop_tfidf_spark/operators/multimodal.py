@@ -1,6 +1,7 @@
-"""Multimodal column plumbing: image payloads as opaque ``binary``
-columns with typed metadata, plus Arrow-batched decode / resize /
-frame-sample stages via ``mapInPandas``.
+"""Multimodal column plumbing: image AND audio payloads as opaque
+``binary`` columns with typed metadata, plus Arrow-batched decode /
+resize / frame-sample / perceptual-hash / resample stages via
+``mapInPandas``.
 
 The decode step is REAL pixel math on a real container: payloads are
 multi-frame binary PPM (``P6``) streams — concatenated header + raw RGB
@@ -21,6 +22,12 @@ with O(batch) memory; decode parallelism = input partitions, so a
 100 TB media corpus just needs sane ``maxPartitionBytes``. Feature
 outputs are exact BIGINT sums/checksums (associative, engine-order
 independent) — the same hash-gate trick the streaming sums use.
+
+The audio half mirrors the image half one-for-one: synthetic mono
+PCM16 WAVs with the REAL RIFF + fmt + data chunk layout, decoded by
+walking the actual chunks (any chunk order, word alignment honored),
+with exact BIGINT sample sums and a position-weighted nearest-neighbor
+resample checksum — same generator-formula-vs-byte-parse gate.
 
 Reference parity note: liuhoward/hadoop-tfidf has no media surface at
 all (6 text-only MapReduce classes); this family is north-star depth
@@ -572,3 +579,257 @@ def phash_near_pairs(
         .cast("bigint")
         .alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+# -- audio modality ---------------------------------------------------------
+
+WAV_MEDIA_TYPE = "audio/x-wav"
+
+#: Output schema of the audio decode stage — parsed header fields plus
+#: exact BIGINT sample sums (associative, engine-order independent).
+AUDIO_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("sum_abs", LongType()),
+    ]
+)
+
+#: Output schema of the audio resample stage.
+AUDIO_RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("out_rate", LongType()),
+        StructField("out_samples", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def with_audio_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque AUDIO column: ``(doc_id, payload BINARY,
+    media_type)`` where payload is a deterministic synthetic mono
+    PCM16 WAV (RIFF + fmt + data chunks, little-endian — the real
+    container layout) built from ``(doc_id, length(text))``:
+
+    - ``sample_rate = 4000 · (1 + L % 3)`` (4/8/12 kHz),
+      ``n_samples = 64 + doc_id % 101``
+    - ``sample[i] = ((doc_id % 256)·131 + i·17) % 65536 − 32768``
+      (int16 sawtooth)
+
+    The formula exists ONLY here and in the DuckDB oracle — downstream
+    stages recover rate/length/values by walking the actual RIFF
+    chunks. A production ingest replaces this with
+    ``spark.read.format("binaryFile")`` over real ``.wav`` files into
+    the identical :data:`MEDIA_SCHEMA`."""
+
+    def gen_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def build(doc_id: int, text: str) -> bytes:
+            L = len(text if text is not None else "")
+            d = int(doc_id)
+            sr = 4000 * (1 + L % 3)
+            n = 64 + d % 101
+            base = (d % 256) * 131
+            samples = (
+                (base + 17 * np.arange(n, dtype=np.int64)) % 65536 - 32768
+            ).astype("<i2")
+            data = samples.tobytes()
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVE"
+                + b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        build(i, t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "media_type": WAV_MEDIA_TYPE,
+                }
+            )
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        gen_batches, schema=MEDIA_SCHEMA
+    )
+
+
+def _parse_wav(buf: bytes):
+    """Walk a RIFF/WAVE byte stream: validate magics, read the PCM16
+    mono ``fmt `` chunk, return ``(sample_rate, int16-sample bytes)``.
+    Real chunk walking (any chunk order / trailing chunks tolerated,
+    sizes honored) — raises on malformed input."""
+    import struct
+
+    if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("bad RIFF/WAVE magic")
+    pos, n = 12, len(buf)
+    sr, data = None, None
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, sr_, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={fmt} channels={ch} bits={bits}"
+                )
+            sr = sr_
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sr, data
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Audio decode / feature-extract stage: Arrow-batched
+    ``mapInPandas`` that walks the real RIFF chunks per payload and
+    emits exact integer features — sample count, signed sample sum,
+    absolute-value sum (BIGINT, associative). Same 1:1 scan shape as
+    the image decode: O(batch) memory, zero shuffles, parallelism =
+    input partitions."""
+
+    def decode_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def parse(buf: bytes):
+            buf = bytes(buf)
+            if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("bad RIFF/WAVE magic")
+            pos, n = 12, len(buf)
+            sr, data = None, None
+            while pos + 8 <= n:
+                cid = buf[pos : pos + 4]
+                (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                body = buf[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt, ch, sr_, _, _, bits = struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                    if fmt != 1 or ch != 1 or bits != 16:
+                        raise ValueError(
+                            f"unsupported WAV: fmt={fmt} channels={ch} "
+                            f"bits={bits}"
+                        )
+                    sr = sr_
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if sr is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            return (
+                len(buf),
+                int(sr),
+                len(s),
+                int(s.sum()),
+                int(np.abs(s).sum()),
+            )
+
+        for pdf in batches:
+            feats = [parse(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "n_bytes", "sample_rate", "n_samples",
+                    "sum_samples", "sum_abs",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(decode_batches, schema=AUDIO_DECODED_SCHEMA)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 4000) -> DataFrame:
+    """Nearest-neighbor resample to ``target_rate`` over the parsed
+    samples (``src = (out_i · n) // out_n`` with ``out_n =
+    max(1, (n · target) // sr)`` — the :func:`resize_media` gather rule
+    on the time axis), emitted as the position-weighted exact checksum
+    ``Σ sample[src]·(out_i + 1)`` so ORDER is pinned, not just the
+    value multiset. Real decimation on real bytes; an upsample
+    (target > sr) repeats source samples, exactly like the image
+    nearest-neighbor."""
+
+    def resample_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        tr = int(target_rate)
+
+        def rs(buf: bytes):
+            buf = bytes(buf)
+            if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("bad RIFF/WAVE magic")
+            pos, n = 12, len(buf)
+            sr, data = None, None
+            while pos + 8 <= n:
+                cid = buf[pos : pos + 4]
+                (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                body = buf[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt, ch, sr_, _, _, bits = struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                    if fmt != 1 or ch != 1 or bits != 16:
+                        raise ValueError("unsupported WAV")
+                    sr = sr_
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if sr is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            ns = len(s)
+            out_n = max(1, (ns * tr) // int(sr))
+            src = (np.arange(out_n, dtype=np.int64) * ns) // out_n
+            checksum = int(
+                (s[src] * (np.arange(out_n, dtype=np.int64) + 1)).sum()
+            )
+            return (int(sr), ns, tr, out_n, checksum)
+
+        for pdf in batches:
+            feats = [rs(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats,
+                columns=[
+                    "sample_rate", "n_samples", "out_rate",
+                    "out_samples", "checksum",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(resample_batches, schema=AUDIO_RESAMPLED_SCHEMA)

@@ -581,3 +581,86 @@ def test_streaming_phash_dedup_equals_batch_groups(spark):
         .collect()
     }
     assert got == want and got
+
+
+# ------------------------------------------------------------ audio modality
+
+
+def _wav(samples, sr=8000):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_audio_exact_sums_and_chunk_walk(spark):
+    """Hand-built PCM16 WAVs decode to exact header fields and sample
+    sums; chunk order doesn't matter (data before fmt is legal RIFF)."""
+    import struct
+
+    from hadoop_tfidf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+    )
+
+    samples = [100, -200, 300, -32768, 32767]
+    # a second payload with the data chunk FIRST
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    swapped = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"data" + struct.pack("<I", len(data)) + data
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 4000, 8000, 2, 16)
+    )
+    media = spark.createDataFrame(
+        [(1, _wav(samples), "audio/x-wav"), (2, swapped, "audio/x-wav")],
+        MEDIA_SCHEMA,
+    )
+    got = {r.doc_id: r for r in decode_audio(media).collect()}
+    for did, sr in ((1, 8000), (2, 4000)):
+        r = got[did]
+        assert (r.sample_rate, r.n_samples) == (sr, 5)
+        assert r.sum_samples == sum(samples)
+        assert r.sum_abs == sum(abs(s) for s in samples)
+    assert got[1].n_bytes == 44 + 10
+
+
+def test_decode_audio_rejects_malformed(spark):
+    from hadoop_tfidf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_audio,
+    )
+
+    media = spark.createDataFrame(
+        [(1, b"RIFX" + b"\x00" * 40, "audio/x-wav")], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        decode_audio(media).collect()
+
+
+def test_resample_audio_decimates_and_upsamples(spark):
+    """target < sr picks every k-th sample (position-weighted checksum
+    pinned by hand); target > sr repeats source samples, nearest
+    neighbor on the time axis."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resample_audio,
+    )
+
+    samples = [10, 20, 30, 40, 50, 60, 70, 80]
+    media = spark.createDataFrame(
+        [(1, _wav(samples, sr=8000), "audio/x-wav")], MEDIA_SCHEMA
+    )
+    down = resample_audio(media, target_rate=4000).collect()[0]
+    # out_n = 8*4000//8000 = 4; src = (i*8)//4 -> samples 10,30,50,70
+    assert down.out_samples == 4
+    assert down.checksum == 10 * 1 + 30 * 2 + 50 * 3 + 70 * 4
+    up = resample_audio(media, target_rate=16000).collect()[0]
+    # out_n = 16; src = (i*8)//16 -> each sample twice
+    assert up.out_samples == 16
+    assert up.checksum == sum(
+        samples[(i * 8) // 16] * (i + 1) for i in range(16)
+    )
