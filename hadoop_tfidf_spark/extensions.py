@@ -5404,10 +5404,10 @@ s AS (
 t AS (SELECT *, CAST(sum(pt_u) OVER () AS BIGINT) AS tot_u FROM s)
 SELECT source, n_docs, n_tokens,
        round(CAST(pt_u AS DOUBLE) / tot_u, 6) AS temp_share,
-       CAST(least(100, greatest(0,
+       CAST(CASE WHEN n_tokens > 0 THEN least(100, greatest(0,
             floor(100.0 * {MIX_BUDGET_TOKENS}
                   * round(CAST(pt_u AS DOUBLE) / tot_u, 6) / n_tokens)))
-            AS INTEGER) AS rate_pct
+            ELSE 0 END AS INTEGER) AS rate_pct
 FROM t
 """,
     "text_mixture_sample": f"""
@@ -5425,10 +5425,10 @@ s AS (
 t AS (SELECT *, CAST(sum(pt_u) OVER () AS BIGINT) AS tot_u FROM s),
 r AS (
   SELECT source,
-         CAST(least(100, greatest(0,
+         CAST(CASE WHEN n_tokens > 0 THEN least(100, greatest(0,
               floor(100.0 * {MIX_BUDGET_TOKENS}
                     * round(CAST(pt_u AS DOUBLE) / tot_u, 6) / n_tokens)))
-              AS INTEGER) AS rate_pct
+              ELSE 0 END AS INTEGER) AS rate_pct
   FROM t
 )
 SELECT d.doc_id, d.source, d.lang

@@ -194,11 +194,11 @@ def temperature_rates(
     w = Window.partitionBy(F.lit(1))
     tot_u = F.sum("_pt_u").over(w).cast("bigint")
     share = F.round(F.col("_pt_u") / tot_u, 6)
-    return staged.select(
-        *strata,
-        "n_docs",
-        "n_tokens",
-        share.alias("temp_share"),
+    # a stratum whose every doc has empty text carries n_tokens = 0:
+    # the rate division would be NaN (an ANSI cast error downstream) —
+    # there is nothing to sample there, so the rate is 0 by definition
+    rate = F.when(
+        F.col("n_tokens") > 0,
         F.least(
             F.lit(100),
             F.greatest(
@@ -208,9 +208,14 @@ def temperature_rates(
                     / F.col("n_tokens")
                 ),
             ),
-        )
-        .cast("int")
-        .alias("rate_pct"),
+        ),
+    ).otherwise(F.lit(0))
+    return staged.select(
+        *strata,
+        "n_docs",
+        "n_tokens",
+        share.alias("temp_share"),
+        rate.cast("int").alias("rate_pct"),
     )
 
 

@@ -664,3 +664,23 @@ def test_resample_audio_decimates_and_upsamples(spark):
     assert up.checksum == sum(
         samples[(i * 8) // 16] * (i + 1) for i in range(16)
     )
+
+
+def test_temperature_rates_zero_token_stratum_is_rate_zero(spark):
+    """A stratum whose every doc has empty text has nothing to sample:
+    rate_pct is 0 by definition rather than a NaN division (which would
+    be an ANSI cast error downstream)."""
+    from hadoop_tfidf_spark.operators.sampling import temperature_rates
+
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3", "full"), (2, "", "empty"), (3, "", "empty")],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    got = {
+        r.source: (r.n_tokens, r.rate_pct)
+        for r in temperature_rates(
+            docs, tau=0.5, budget_tokens=100, strata=["source"]
+        ).collect()
+    }
+    assert got["empty"] == (0, 0)
+    assert got["full"][1] > 0
