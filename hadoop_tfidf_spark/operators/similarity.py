@@ -1583,7 +1583,7 @@ def pca_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     components: list[list[int]] | None = None,
-    score_scale: int = 10_000,
+    score_scale: int | None = None,
 ) -> DataFrame:
     """Two-stage retrieval through TRAINED PCA coordinates — the
     :func:`rp_topk` pattern with the data's own top-variance directions
@@ -1606,15 +1606,19 @@ def pca_topk(
     literals, zero shuffle; stage-1 scan touches n_components/in_dim of
     the bytes; full-width reads are ``candidates`` rows per query.
 
-    ``score_scale`` keeps the stage-1 squared distance inside BIGINT:
-    raw projected scores are ``Σ_d x_u·v_d`` with ``x_u`` in ``units``
-    and components in 1e6-units (|score| up to ~dim·5·units·1e6 ≈
-    3e12 here), so squared differences would overflow 2^63; each score
-    is floor-divided by ``score_scale`` first (one identical IEEE
-    floor(double/const) on both engines — the cut ordering is what
-    stage 1 needs, and the exact full-dim re-rank restores full
-    resolution).
+    ``score_scale`` (default: ``units``) keeps the stage-1 squared
+    distance inside BIGINT: raw projected scores are ``Σ_d x_u·v_d``
+    with ``x_u`` in ``units`` and components in 1e6-units — |score| up
+    to ~dim·|x|·units·1e6, whose squared differences overflow 2^63.
+    Each score floor-divides by ``score_scale`` first (one identical
+    IEEE floor(double/const) on both engines); dividing by ``units``
+    makes the post-scale bound ~dim·|x|·1e6 INDEPENDENT of the input
+    quantization, so the stage-1 d² stays ≤ ~n_components·(2·dim·|x|·
+    1e6)² ≈ 1e19-safe for any sane units. Stage 1 only needs the cut
+    ordering; the exact full-dim re-rank restores full resolution.
     """
+    if score_scale is None:
+        score_scale = units
     comps = (
         components
         if components is not None
