@@ -431,6 +431,12 @@ def media_phash(media: DataFrame, grid: int = 4) -> DataFrame:
     or sit within small Hamming distance; feed the output to
     :func:`phash_dedup` / :func:`phash_near_pairs`."""
 
+    if grid * grid > 63:
+        raise ValueError(
+            f"grid {grid} needs {grid * grid} bits; the BIGINT hash "
+            "holds at most 63"
+        )
+
     def hash_batches(
         batches: Iterator["pd.DataFrame"],
     ) -> Iterator["pd.DataFrame"]:
@@ -672,36 +678,6 @@ def with_audio_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
         gen_batches, schema=MEDIA_SCHEMA
     )
-
-
-def _parse_wav(buf: bytes):
-    """Walk a RIFF/WAVE byte stream: validate magics, read the PCM16
-    mono ``fmt `` chunk, return ``(sample_rate, int16-sample bytes)``.
-    Real chunk walking (any chunk order / trailing chunks tolerated,
-    sizes honored) — raises on malformed input."""
-    import struct
-
-    if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise ValueError("bad RIFF/WAVE magic")
-    pos, n = 12, len(buf)
-    sr, data = None, None
-    while pos + 8 <= n:
-        cid = buf[pos : pos + 4]
-        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-        body = buf[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt, ch, sr_, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if fmt != 1 or ch != 1 or bits != 16:
-                raise ValueError(
-                    f"unsupported WAV: fmt={fmt} channels={ch} bits={bits}"
-                )
-            sr = sr_
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
-    if sr is None or data is None:
-        raise ValueError("missing fmt/data chunk")
-    return sr, data
 
 
 def decode_audio(media: DataFrame) -> DataFrame:
