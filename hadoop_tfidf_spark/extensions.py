@@ -2437,6 +2437,210 @@ def q_sim_label_centroids(spark, sf_dir):
     return S.nearest_centroid_confusion(_emb(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# Round-10 families: audio VAD, per-source governance, n-gram novelty,
+# INT8 scalar-quantized retrieval, variance-balanced (OPQ-lite) PQ.
+# --------------------------------------------------------------------------
+
+#: Candidate budgets the SQ recall audit sweeps (stage-1 survivors per
+#: query — same shape as RP_IVFPQ_BUDGETS; the tight budget shows the
+#: resolution loss, the wide one shows it washing out).
+SQ_RECALL_BUDGETS = (15, 50)
+
+#: OPQ gate fixture: the first OPQ_HOT_DIMS of the 64 dims scaled by
+#: OPQ_HOT_SCALE (a power of two, so the double multiply is EXACT in
+#: both engines) — contiguous PQ gives subspace 0 every hot dimension,
+#: the permutation deals them one per subspace.
+OPQ_HOT_DIMS = 16
+OPQ_HOT_SCALE = 8
+OPQ_SAMPLE_N = 256
+
+
+def q_multimodal_audio_energy(spark, sf_dir):
+    """Audio frame-energy / VAD stage over the synthetic PCM16 WAVs:
+    16-sample windows, a window is active iff its energy beats the
+    mean-square threshold (8192² per sample — integer compare), per-doc
+    activity counts + trim boundaries + exact BIGINT total energy. The
+    engine walks real RIFF bytes; the oracle replays the generator
+    sawtooth analytically with the same ``i // 16`` framing."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        audio_energy,
+        with_audio_payload,
+    )
+
+    return audio_energy(with_audio_payload(_docs(spark, sf_dir)))
+
+
+def q_text_source_stats(spark, sf_dir):
+    """Per-source corpus governance dashboard: docs, tokens, mean
+    tokens/doc, distinct-word vocabulary, language spread — the
+    provenance telemetry reviewed before setting mixture weights."""
+    from hadoop_tfidf_spark.functions.text import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
+def q_text_ngram_novelty(spark, sf_dir):
+    """Per-document trigram novelty: the share of a doc's distinct
+    3-grams appearing in no other document — finer-grain duplication
+    telemetry than whole-doc dedup (spread 0.33–1.0 on the sf0.01
+    corpus, so the gate relation is far from vacuous)."""
+    from hadoop_tfidf_spark.functions.text import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
+def q_sim_topk_sq(spark, sf_dir):
+    """Two-stage retrieval through INT8 scalar quantization (the FAISS
+    SQ8 shape): stage 1 scans one signed byte per component (codes on a
+    corpus-wide vmax scale, derived from the data), stage 2 re-ranks
+    the 50 survivors by exact full-resolution integer L2. Both stages
+    BIGINT-exact; the one float step (floor(u·127/vmax)) is a single
+    IEEE double op identical in both engines."""
+    from hadoop_tfidf_spark.operators.similarity import sq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    return sq_topk(
+        emb, queries, k=SIM_K, candidates=RP_TOPK_CANDIDATES,
+        units=IVF_UNITS, in_dim=64,
+    )
+
+
+def q_sim_sq_recall(spark, sf_dir):
+    """Recall telemetry for the SQ index at two candidate budgets
+    (c15/c50) against the exact integer-L2 top-10 — the dashboard that
+    says whether 8-bit resolution loses neighbors at a given budget.
+    Unlike the JL cut (dimension collision), SQ keeps every dimension:
+    recall at the same budget should sit at or above the RP row, and
+    THAT comparison is what the paired dashboards surface."""
+    from hadoop_tfidf_spark.operators.similarity import int_l2_topk, sq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    exact = int_l2_topk(emb, queries, k=SIM_K, units=IVF_UNITS)
+    branches = []
+    for b in SQ_RECALL_BUDGETS:
+        approx = sq_topk(
+            emb, queries, k=SIM_K, candidates=b, units=IVF_UNITS, in_dim=64
+        ).select("query_id", "vec_id")
+        hits = (
+            exact.join(approx, ["query_id", "vec_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+        )
+        branches.append(
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(f"sq_c{b}").alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.lit(float(SIM_K)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _scaled_emb(spark, sf_dir):
+    """The OPQ gate fixture: first :data:`OPQ_HOT_DIMS` dimensions
+    scaled by :data:`OPQ_HOT_SCALE` (power of two ⇒ the double multiply
+    is exact, so both engines quantize identical values). On the raw
+    iid embeddings every dimension carries the same variance and the
+    permutation is a no-op by construction; the skewed fixture is the
+    deployment the allocation step exists for."""
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            * F.when(i < OPQ_HOT_DIMS, F.lit(float(OPQ_HOT_SCALE))).otherwise(
+                F.lit(1.0)
+            ),
+        ).alias("embedding"),
+    )
+
+
+def q_sim_topk_opq(spark, sf_dir):
+    """PQ ADC search in the variance-balanced permuted space (the OPQ
+    dimension-allocation step, Ge et al. 2013) over the variance-skewed
+    fixture: rank dims by exact-BIGINT variance numerators on the
+    id-prefix sample, deal them round-robin into the m subspaces,
+    then train/encode/search the standard bit-packed PQ index. The
+    oracle replays the sample stats, the ranking, the permutation AND
+    the nested per-subspace Lloyd + ADC chain."""
+    from hadoop_tfidf_spark.operators.similarity import opq_topk
+
+    return opq_topk(
+        _scaled_emb(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K, m=PQ_M,
+        pq_k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, in_dim=64,
+        sample_n=OPQ_SAMPLE_N,
+    )
+
+
+def q_sim_opq_recall(spark, sf_dir):
+    """The allocation payoff, measured: recall@10 of contiguous PQ vs
+    variance-balanced OPQ against the exact integer-L2 truth on the
+    SAME skewed fixture — contiguous splitting hands subspace 0 all
+    sixteen hot dimensions and its codebook's quantization error
+    dominates the ADC distance; the permutation deals them out. Both
+    chains and the truth replay in DuckDB."""
+    from hadoop_tfidf_spark.operators.similarity import (
+        int_l2_topk,
+        opq_topk,
+        pq_build,
+        pq_topk,
+    )
+
+    emb = _scaled_emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    exact = int_l2_topk(emb, queries, k=SIM_K, units=IVF_UNITS)
+    codes, books = pq_build(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True
+    )
+    pq_res = pq_topk(
+        emb, codes, books, SIM_QUERY_IDS, k=SIM_K, units=IVF_UNITS
+    ).select("query_id", "vec_id")
+    opq_res = opq_topk(
+        emb, SIM_QUERY_IDS, k=SIM_K, m=PQ_M, pq_k=PQ_K, iters=PQ_ITERS,
+        units=IVF_UNITS, in_dim=64, sample_n=OPQ_SAMPLE_N,
+    ).select("query_id", "vec_id")
+    branches = []
+    for method, approx in (("pq", pq_res), ("opq", opq_res)):
+        hits = (
+            exact.join(approx, ["query_id", "vec_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+        )
+        branches.append(
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.lit(float(SIM_K)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    return branches[0].unionByName(branches[1])
+
+
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
@@ -2828,6 +3032,76 @@ def _ivf_sql() -> str:
     )
 
 
+def _pq_chain_ctes(
+    dim: int, prefix: str = "", e_name: str = "e", query_ids=None
+) -> list[str]:
+    """The PQ build + ADC CTE chain (everything after the quantized
+    ``e`` relation) with every CTE name carrying ``prefix`` — so two
+    chains (e.g. contiguous PQ vs the OPQ permuted space in
+    ``sim_opq_recall``) can coexist in one query without name
+    collisions. Expects ``{e_name}(vec_id, u)``; the final CTE is
+    ``{prefix}ranked(query_id, vec_id, adc_d2, rn)``. With the default
+    prefix/e_name this is byte-identical to the chain ``_pq_sql`` has
+    always generated."""
+    sub = dim // PQ_M
+    p = prefix
+    qids = ", ".join(map(str, query_ids or SIM_QUERY_IDS))
+    ctes: list[str] = []
+    dists = []
+    for s in range(PQ_M):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(f"""{p}sub{s} AS (
+  SELECT vec_id, u[{lo}:{hi}] AS su FROM {e_name}
+)""")
+        ctes.append(f"""{p}cent{s}_0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, su AS cu
+  FROM {p}sub{s} ORDER BY vec_id LIMIT {PQ_K}
+)""")
+        for it in range(PQ_ITERS + 1):
+            ctes.append(f"""{p}assign{s}_{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT b.vec_id, c.cluster, {_int_d2_sql("b.su", "c.cu")} AS d2
+    FROM {p}sub{s} b CROSS JOIN {p}cent{s}_{it} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+)""")
+            if it < PQ_ITERS:
+                ctes.append(f"""{p}mean{s}_{it + 1} AS (
+  SELECT cluster, list(m ORDER BY d) AS cu FROM (
+    SELECT cluster, d, CAST(round(sum(x) / count(*)) AS BIGINT) AS m
+    FROM (
+      SELECT a.cluster, generate_subscripts(b.su, 1) AS d, unnest(b.su) AS x
+      FROM {p}sub{s} b JOIN {p}assign{s}_{it} a ON a.vec_id = b.vec_id
+    ) GROUP BY cluster, d
+  ) GROUP BY cluster
+)""")
+                ctes.append(f"""{p}cent{s}_{it + 1} AS (
+  SELECT c.cluster, coalesce(m.cu, c.cu) AS cu
+  FROM {p}cent{s}_{it} c LEFT JOIN {p}mean{s}_{it + 1} m ON m.cluster = c.cluster
+)""")
+        dists.append(
+            f"""SELECT q.query_id, a.vec_id, {_int_d2_sql("q.su", "c.cu")} AS d2
+    FROM {p}assign{s}_{PQ_ITERS} a
+    JOIN {p}cent{s}_{PQ_ITERS} c ON a.cluster = c.cluster
+    CROSS JOIN (SELECT vec_id AS query_id, su FROM {p}sub{s}
+                WHERE vec_id IN ({qids})) q"""
+        )
+    union = "\n    UNION ALL\n    ".join(dists)
+    ctes.append(f"""{p}alld AS (
+    {union}
+)""")
+    ctes.append(f"""{p}scored AS (
+  SELECT query_id, vec_id, CAST(sum(d2) AS BIGINT) AS adc_d2
+  FROM {p}alld WHERE vec_id <> query_id GROUP BY 1, 2
+)""")
+    ctes.append(f"""{p}ranked AS (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, vec_id) AS rn
+  FROM {p}scored
+)""")
+    return ctes
+
+
 def _pq_sql(dim: int = 64) -> str:
     """Unrolled replay of the integer micro-unit PQ build + ADC search
     (mirrors similarity.pq_build/pq_topk with m=PQ_M, k=PQ_K,
@@ -2836,7 +3110,6 @@ def _pq_sql(dim: int = 64) -> str:
     sum over subspaces of the exact integer L2 from the query subvector
     to the centroid of each vector's code — every quantity BIGINT, so
     the hash row pins the whole compressed index."""
-    sub = dim // PQ_M
     ctes = [
         f"""e AS (
   SELECT vec_id,
@@ -2845,58 +3118,7 @@ def _pq_sql(dim: int = 64) -> str:
   FROM embeddings
 )"""
     ]
-    dists = []
-    for s in range(PQ_M):
-        lo, hi = s * sub + 1, (s + 1) * sub
-        ctes.append(f"""sub{s} AS (
-  SELECT vec_id, u[{lo}:{hi}] AS su FROM e
-)""")
-        ctes.append(f"""cent{s}_0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, su AS cu
-  FROM sub{s} ORDER BY vec_id LIMIT {PQ_K}
-)""")
-        for it in range(PQ_ITERS + 1):
-            ctes.append(f"""assign{s}_{it} AS (
-  SELECT vec_id, cluster FROM (
-    SELECT b.vec_id, c.cluster, {_int_d2_sql("b.su", "c.cu")} AS d2
-    FROM sub{s} b CROSS JOIN cent{s}_{it} c
-  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
-)""")
-            if it < PQ_ITERS:
-                ctes.append(f"""mean{s}_{it + 1} AS (
-  SELECT cluster, list(m ORDER BY d) AS cu FROM (
-    SELECT cluster, d, CAST(round(sum(x) / count(*)) AS BIGINT) AS m
-    FROM (
-      SELECT a.cluster, generate_subscripts(b.su, 1) AS d, unnest(b.su) AS x
-      FROM sub{s} b JOIN assign{s}_{it} a ON a.vec_id = b.vec_id
-    ) GROUP BY cluster, d
-  ) GROUP BY cluster
-)""")
-                ctes.append(f"""cent{s}_{it + 1} AS (
-  SELECT c.cluster, coalesce(m.cu, c.cu) AS cu
-  FROM cent{s}_{it} c LEFT JOIN mean{s}_{it + 1} m ON m.cluster = c.cluster
-)""")
-        dists.append(
-            f"""SELECT q.query_id, a.vec_id, {_int_d2_sql("q.su", "c.cu")} AS d2
-    FROM assign{s}_{PQ_ITERS} a
-    JOIN cent{s}_{PQ_ITERS} c ON a.cluster = c.cluster
-    CROSS JOIN (SELECT vec_id AS query_id, su FROM sub{s}
-                WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})) q"""
-        )
-    union = "\n    UNION ALL\n    ".join(dists)
-    ctes.append(f"""alld AS (
-    {union}
-)""")
-    ctes.append("""scored AS (
-  SELECT query_id, vec_id, CAST(sum(d2) AS BIGINT) AS adc_d2
-  FROM alld WHERE vec_id <> query_id GROUP BY 1, 2
-)""")
-    ctes.append("""ranked AS (
-  SELECT query_id, vec_id, adc_d2,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY adc_d2, vec_id) AS rn
-  FROM scored
-)""")
+    ctes.extend(_pq_chain_ctes(dim))
     return (
         "WITH "
         + ",\n".join(ctes)

@@ -865,3 +865,92 @@ def bpe_token_counts(docs: DataFrame, vocab: DataFrame) -> DataFrame:
             .alias("n_fallback_words"),
         )
     )
+
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus governance dashboard: document count, total and
+    mean token counts, distinct-word vocabulary size, and language
+    spread for every ``source`` — the per-provenance telemetry a
+    curation pipeline reviews before setting mixture weights (which
+    crawls are token-heavy, which are vocabulary-poor boilerplate,
+    which carry unexpected languages).
+
+    Plan: one narrow per-doc projection (token count via a scan-stage
+    ``size(filter(split))`` — no explode) feeding a source-keyed
+    aggregation, plus ONE token explode for the distinct-vocabulary
+    count, joined back on the tiny source relation (broadcast). Two
+    shuffles total, both keyed by ``source`` with map-side partial
+    aggregation; the explode never crosses the shuffle wider than one
+    row per distinct (source, word) per partition. Sources are few and
+    docs hash-spread across them, so no skew salting is needed — the
+    heavy lifting (per-doc token counts) happens before any shuffle.
+    """
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    base = docs.select(
+        "source", "lang", F.size(words).cast("bigint").alias("_nt")
+    )
+    agg = base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("_nt") / F.count("*"), 6).alias("avg_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    vocab = (
+        docs.select("source", F.explode(words).alias("word"))
+        .groupBy("source")
+        .agg(F.countDistinct("word").cast("bigint").alias("vocab"))
+    )
+    return agg.join(F.broadcast(vocab), "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "avg_tokens",
+        F.coalesce(F.col("vocab"), F.lit(0)).cast("bigint").alias("vocab"),
+        "n_langs",
+    )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's DISTINCT
+    word ``n``-grams that appear in no other document — cross-document
+    memorization/duplication telemetry at finer grain than whole-doc
+    dedup (a doc can be 40% boilerplate shared with the rest of its
+    crawl yet never be a near-duplicate of any single other doc).
+    Output ``(doc_id, n_grams, n_shared, novelty)`` where ``n_shared``
+    counts grams with corpus document-frequency ≥ 2 and ``novelty`` =
+    ``1 − n_shared / n_grams`` (docs shorter than ``n`` words emit no
+    row — they have no n-gram to judge).
+
+    Plan: the SURVEY O8 doc-frequency shape on shingles — distinct
+    (doc, gram) pairs, one gram-keyed count, join back on the SAME key
+    (co-partitioned sort-merge join, no second wide shuffle of the
+    probe side), then a doc-keyed count. Every aggregation gets
+    map-side partial combine; nothing is ever quadratic in corpus size
+    and the gram relation is touched exactly twice.
+    """
+    from hadoop_tfidf_spark.operators.dedup import shingles
+
+    grams = (
+        shingles(docs, k=n).select("doc_id", "shingle").distinct()
+    )
+    df_ = grams.groupBy("shingle").agg(
+        F.count("*").cast("bigint").alias("_df")
+    )
+    return (
+        grams.join(df_, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.lit(1.0) - F.col("n_shared") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+    )

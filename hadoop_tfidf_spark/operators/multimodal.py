@@ -745,6 +745,106 @@ def decode_audio(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=AUDIO_DECODED_SCHEMA)
 
 
+#: Output schema of the audio frame-energy / VAD stage.
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_active", LongType()),
+        StructField("first_active", LongType()),
+        StructField("last_active", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_energy(
+    media: DataFrame, frame: int = 16, threshold_amp: int = 8192
+) -> DataFrame:
+    """Frame-energy / voice-activity stage: split the parsed samples
+    into fixed ``frame``-sample windows (tail window partial) and emit
+    per-doc activity telemetry — the silence-trim / VAD pass an audio
+    training pipeline runs before feature extraction:
+
+    - ``energy`` = Σ sample² over the whole clip (exact BIGINT,
+      associative);
+    - a window is ACTIVE iff its energy ≥ ``n_in_window ·
+      threshold_amp²`` (i.e. mean square amplitude beats the
+      threshold — integer compare, no division);
+    - ``first_active`` / ``last_active`` are the trim boundaries
+      (frame indices, NULL when the clip is all-silence).
+
+    Same 1:1 Arrow ``mapInPandas`` scan shape as :func:`decode_audio`:
+    O(batch) memory, zero shuffles, parallelism = input partitions —
+    at 100 TB this is a pure map stage over the binary column."""
+
+    def energy_batches(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        fr = int(frame)
+        thr2 = int(threshold_amp) * int(threshold_amp)
+
+        def feats(buf: bytes):
+            buf = bytes(buf)
+            if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("bad RIFF/WAVE magic")
+            pos, n = 12, len(buf)
+            sr, data = None, None
+            while pos + 8 <= n:
+                cid = buf[pos : pos + 4]
+                (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                body = buf[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt, ch, sr_, _, _, bits = struct.unpack(
+                        "<HHIIHH", body[:16]
+                    )
+                    if fmt != 1 or ch != 1 or bits != 16:
+                        raise ValueError("unsupported WAV")
+                    sr = sr_
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if sr is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            ns = len(s)
+            starts = np.arange(0, ns, fr, dtype=np.int64)
+            en = np.add.reduceat(s * s, starts) if ns else np.array([], dtype=np.int64)
+            fn = np.minimum(fr, ns - starts)
+            act = en >= fn * thr2
+            idx = np.nonzero(act)[0]
+            return (
+                int(sr),
+                ns,
+                len(starts),
+                int(act.sum()),
+                int(idx[0]) if len(idx) else None,
+                int(idx[-1]) if len(idx) else None,
+                int(en.sum()),
+            )
+
+        for pdf in batches:
+            rows = [feats(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "sample_rate", "n_samples", "n_frames", "n_active",
+                    "first_active", "last_active", "energy",
+                ],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media.mapInPandas(energy_batches, schema=AUDIO_ENERGY_SCHEMA)
+
+
 def resample_audio(media: DataFrame, target_rate: int = 4000) -> DataFrame:
     """Nearest-neighbor resample to ``target_rate`` over the parsed
     samples (``src = (out_i · n) // out_n`` with ``out_n =

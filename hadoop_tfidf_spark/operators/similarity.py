@@ -1893,3 +1893,186 @@ def int_l2_topk(
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= k)
     )
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    units: int = 1_000_000,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval through INT8 scalar quantization — the FAISS
+    ``SQ8`` deployment shape: the stored index is one signed byte per
+    component (4× smaller than float32, 8× smaller than the BIGINT
+    micro-units), stage 1 scans only those codes for each query's
+    ``candidates`` nearest by exact integer L2 in code space, stage 2
+    re-ranks the survivors by exact full-resolution integer L2. Unlike
+    the JL index (:func:`rp_topk`, distance DISTORTION bounded) the SQ
+    index keeps every dimension and loses only RESOLUTION — recall
+    degrades with quantization error, not with dimension collision.
+
+    Codes use one corpus-wide scale (the FAISS trained-range form):
+    ``code_d = floor(u_d · 127 / vmax)`` where ``vmax = max |u|`` over
+    the corpus — derived FROM THE DATA with one scalar aggregation (the
+    legitimate collect kind; at 100 TB compute it on a sample and pass
+    any fixed calibration through the same formula). The multiply and
+    divide happen in one IEEE double expression (exact: |u|·127 ≪ 2^53)
+    so the floor replays bit-identically in any engine, and queries
+    quantize against the SAME corpus vmax (asymmetric calibration —
+    queries never shift the scale).
+
+    Every distance in both stages is an exact BIGINT sum, so the full
+    two-stage ranking including id tie-breaks is oracle-replayable.
+    Output ``(query_id, vec_id, d2_u, rn)`` — the :func:`rp_topk` /
+    :func:`int_l2_topk` shape.
+
+    Scale: stage 1 touches 1 byte/component of a scan-only index, no
+    joins wider than the broadcast query relation; stage 2 reads
+    ``candidates`` full-width rows per query. The vmax aggregation is
+    one map-side-combined ``max`` — a single scalar crosses the wire.
+    """
+    base = embeddings.select(
+        id_col,
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "sq_topk").alias(
+            "_u"
+        ),
+    )
+    vmax_row = base.agg(
+        F.max(
+            F.array_max(F.transform(F.col("_u"), lambda x: F.abs(x)))
+        ).alias("m")
+    ).first()
+    vmax = max(1, int(vmax_row["m"] or 0))
+
+    def _codes(ucol: Column) -> Column:
+        return F.transform(
+            ucol,
+            lambda x: F.floor((x * F.lit(127.0)) / F.lit(float(vmax))).cast(
+                "bigint"
+            ),
+        )
+
+    index = base.select(id_col, _codes(F.col("_u")).alias("_sq"))
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "sq_topk").alias(
+            "_qu"
+        ),
+    ).select("query_id", "_qu", _codes(F.col("_qu")).alias("_qsq"))
+    return _coarse_then_exact(
+        base, index, qp, k, candidates, id_col, "_sq", "_qsq"
+    )
+
+
+def opq_permutation(
+    embeddings: DataFrame,
+    m: int = 4,
+    in_dim: int = 64,
+    units: int = 1_000_000,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Variance-balanced coordinate permutation — the OPQ idea (Ge et
+    al. 2013, "Optimized Product Quantization") restricted to its
+    dimension-ALLOCATION step, which is the part that composes with the
+    exact-integer PQ trainer: rank dimensions by variance and deal them
+    round-robin into the ``m`` subspaces, so no subspace hoards the
+    high-variance coordinates (contiguous splitting gives subspace 0
+    all the hot dimensions and its codebook's quantization error
+    dominates the ADC distance). The full OPQ learns a rotation; the
+    permutation is the rotation restricted to coordinate axes — free to
+    apply (a projection reorder, no arithmetic) and enough to balance
+    per-subspace variance, which is the objective the paper optimizes.
+
+    All-integer and sample-deterministic, so the DuckDB oracle replays
+    it: variance numerators are exact BIGINTs ``n·Σx² − (Σx)²`` over
+    micro-units of the first ``sample_n`` rows by id (the train-sample
+    contract every build in this module follows; the dim-sized stats
+    collect is the legitimate kind), ranking ties break to the lower
+    dimension, and rank ``r`` goes to subspace ``r % m`` position
+    ``r // m``. Returns the 0-based permutation ``perm[j] = source dim
+    of output position j`` in subspace-major order."""
+    base = (
+        embeddings.orderBy(id_col)
+        .limit(sample_n)
+        .select(
+            _quantized_dim_checked(
+                F.col(vec_col), units, in_dim, "opq_permutation"
+            ).alias("_u")
+        )
+    )
+    stats = (
+        base.select(F.posexplode(F.col("_u")).alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        )
+        .collect()
+    )
+    if len(stats) != in_dim:
+        raise ValueError(
+            f"opq_permutation: got stats for {len(stats)} dims, "
+            f"expected {in_dim}"
+        )
+    var_num = {
+        int(r["d"]): int(r["n"]) * int(r["s2"]) - int(r["s1"]) * int(r["s1"])
+        for r in stats
+    }
+    ranked = sorted(range(in_dim), key=lambda d: (-var_num[d], d))
+    sub = in_dim // m
+    return [ranked[p * m + s] for s in range(m) for p in range(sub)]
+
+
+def opq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 4,
+    pq_k: int = 16,
+    iters: int = 1,
+    units: int = 1_000_000,
+    in_dim: int = 64,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    perm: list[int] | None = None,
+) -> DataFrame:
+    """PQ ADC search in the variance-balanced permuted space: permute
+    coordinates (:func:`opq_permutation` — trained on the id-prefix
+    sample unless ``perm`` is passed), then train/encode/search the
+    standard bit-packed PQ index (:func:`pq_build` / :func:`pq_topk`)
+    over the permuted vectors. Distances are permutation-invariant, so
+    the ADC result approximates the SAME true L2 as plain PQ — only the
+    per-subspace quantization error budget changes, which is the whole
+    point. Output ``(query_id, vec_id, adc_d2, rn)`` — the
+    :func:`pq_topk` shape.
+
+    Scale: the permutation is a zero-cost projection reorder fused into
+    the encode scan; everything else is exactly the PQ cost model
+    (compressed scan + driver-side m×k ADC tables)."""
+    if perm is None:
+        perm = opq_permutation(
+            embeddings, m=m, in_dim=in_dim, units=units, sample_n=sample_n,
+            id_col=id_col, vec_col=vec_col,
+        )
+    permuted = embeddings.select(
+        id_col,
+        F.array(*[F.col(vec_col).getItem(int(p)) for p in perm]).alias(
+            vec_col
+        ),
+    )
+    codes, books = pq_build(
+        permuted, m=m, k=pq_k, iters=iters, units=units,
+        id_col=id_col, vec_col=vec_col, pack=True,
+    )
+    return pq_topk(
+        permuted, codes, books, query_ids, k=k, units=units,
+        id_col=id_col, vec_col=vec_col,
+    )
