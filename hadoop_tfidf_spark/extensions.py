@@ -2474,10 +2474,13 @@ def q_multimodal_audio_energy(spark, sf_dir):
 def q_text_source_stats(spark, sf_dir):
     """Per-source corpus governance dashboard: docs, tokens, mean
     tokens/doc, distinct-word vocabulary, language spread — the
-    provenance telemetry reviewed before setting mixture weights."""
+    provenance telemetry reviewed before setting mixture weights.
+    Reads the raw table directly: the stats need the ``source`` and
+    ``lang`` provenance columns that ``_docs``'s narrow (doc_id, text)
+    projection prunes away."""
     from hadoop_tfidf_spark.functions.text import source_stats
 
-    return source_stats(_docs(spark, sf_dir))
+    return source_stats(_tbl(spark, sf_dir, "documents"))
 
 
 def q_text_ngram_novelty(spark, sf_dir):
@@ -2644,42 +2647,84 @@ def q_sim_opq_recall(spark, sf_dir):
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
-# oracle-backed query's newest driver row stays fresh. Round-9 composition:
-#   1) the eight brand-new round-9 queries (the RP-space residual IVFADC
-#      retrieval + its candidate-budget recall sweep, the byte-fallback
-#      BPE accounting of a held-out corpus slice, the image-modality
-#      perceptual-dedup trio — frame-0 average hash over parsed pixel
-#      bytes, phash-window exact dedup, banded Hamming near-pair join —
-#      and the temperature-mixture pair: n^tau per-source rates under a
-#      token budget + the materialized stratified sample),
-#   2) the three round-8 late additions that were registered past-cap and
-#      have never held a driver row (sim_rp_topk, sim_rp_recall,
-#      streaming_dsir — the repo rule: past-cap newcomers rotate in-window
-#      the NEXT round at the latest),
-#   3) every query whose code or semantics changed this round: the
-#      recall curve (now on the clustered straddling-query fixture), both
-#      span-dedup paths (single-pass window tagging), the four BPE
-#      consumers of the byte-fallback vocab join that carry changed
-#      columns, the DSIR pair over the
-#      now-dense ratio tables, the semantic curate pipeline (anti-join
-#      drop-set semantics), and sim_rp_project behind the new dimension
-#      assertion (sim_rp_distortion — same assertion, results provably
-#      unchanged, r8 row green — cedes its slot to the phash trio and
-#      sits first past-cap),
-#   4) the twenty-two entries whose newest rows dated from r05 — the
-#      whole backlog the round-8 verdict listed (simhash pairs, sql
-#      top-100, doc-sim, salted df, int8, pii, hash_sample, dedup_exact,
-#      the r5 relational/events block, components, embedding-dup,
-#      brute/LSH top-k, token stats, lang-id, customers-without-orders,
-#      revenue-by-region),
-#   5) (the two stale-est r7-row fillers — the full-dim residual IVFADC
-#      and the curate→pack flagship — were displaced by the phash trio
-#      and lead the round-10 rotation backlog instead).
-# Everything r8-green cedes its slot this round and rides CORRECTNESS_r08
-# rows + LOCAL_CHECK_r09.md; the 2 structurally no-oracle entries
+# oracle-backed query's newest driver row stays fresh. Round-11 composition:
+#   1) the seven queries built in round 10 but registered only now (the
+#      audio frame-energy/VAD stage, the per-source governance dashboard,
+#      the trigram-novelty telemetry, the INT8 scalar-quantized two-stage
+#      retrieval + its candidate-budget recall audit, and the OPQ
+#      variance-balanced PQ + its pq-vs-opq recall payoff row) — each with
+#      a full DuckDB oracle landed this round,
+#   2) the four round-9 late additions that have NEVER held a driver row
+#      (sim_pca_topk, streaming_phash_dedup, multimodal_audio_decode,
+#      multimodal_audio_resample — the past-cap-newcomer rule, one round
+#      overdue; COVERAGE.md called them the round-10 rotation priority),
+#   3) the entire fourteen-entry cohort whose newest driver rows date
+#      from r06 (asof_last_purchase, dedup_exact_apply,
+#      dedup_near_canonical, dedup_simhash, the four events windows,
+#      rel_pricing_summary, rel_top_customers, search_bm25,
+#      text_ngram_freq, text_quality, text_stratified_sample),
+#   4) sixteen of the r07-row cohort, oldest-debt first: the two fillers
+#      the round-9 rotation displaced (sim_topk_ivfpq_res,
+#      pipeline_curate_pack), the compressed-index pair
+#      (sim_topk_ivfpq, sim_topk_pq), the curation flagship
+#      (pipeline_curate), the MinHash pair + fuzzy + jaccard, the packing
+#      pair, C4, LM score, self-dedup, chunk, repetition.
+# Everything r10-green cedes its slot this round and rides
+# CORRECTNESS_r10 rows + LOCAL_CHECK_r11.md; the remaining r07-row
+# entries (the r7 relational/events block, contamination/decontaminate,
+# fingerprint, lm_histogram, cooccurrence_capped, asof_next_event) lead
+# the round-12 rotation backlog. The 2 structurally no-oracle entries
 # (HLL/GK sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- round-9 brand-new --
+    # -- round-10 work, registered + oracle-gated this round --
+    "multimodal_audio_energy": q_multimodal_audio_energy,
+    "text_source_stats": q_text_source_stats,
+    "text_ngram_novelty": q_text_ngram_novelty,
+    "sim_topk_sq": q_sim_topk_sq,
+    "sim_sq_recall": q_sim_sq_recall,
+    "sim_topk_opq": q_sim_topk_opq,
+    "sim_opq_recall": q_sim_opq_recall,
+    # -- round-9 late additions, never driver-rowed until now --
+    "sim_pca_topk": q_sim_pca_topk,
+    "streaming_phash_dedup": q_streaming_phash_dedup,
+    "multimodal_audio_decode": q_multimodal_audio_decode,
+    "multimodal_audio_resample": q_multimodal_audio_resample,
+    # -- r6-row cohort (stale-est rows in the ledger) --
+    "asof_last_purchase": q_asof_last_purchase,
+    "dedup_exact_apply": q_dedup_exact_apply,
+    "dedup_near_canonical": q_dedup_near_canonical,
+    "dedup_simhash": q_dedup_simhash,
+    "events_hopping": q_events_hopping,
+    "events_moving_avg": q_events_moving_avg,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers": q_rel_top_customers,
+    "search_bm25": q_search_bm25,
+    "text_ngram_freq": q_text_ngram_freq,
+    "text_quality": q_text_quality,
+    "text_stratified_sample": q_text_stratified_sample,
+    # -- r7-row cohort, oldest-debt leads --
+    "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
+    "pipeline_curate_pack": q_pipeline_curate_pack,
+    "sim_topk_ivfpq": q_sim_topk_ivfpq,
+    "sim_topk_pq": q_sim_topk_pq,
+    "pipeline_curate": q_pipeline_curate,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_capped": q_dedup_minhash_capped,
+    "dedup_fuzzy": q_dedup_fuzzy,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_pack_sequences": q_text_pack_sequences,
+    "text_pack_shuffled": q_text_pack_shuffled,
+    "text_c4_filters": q_text_c4_filters,
+    "text_lm_score": q_text_lm_score,
+    "text_self_dedup": q_text_self_dedup,
+    "text_chunk": q_text_chunk,
+    "text_repetition": q_text_repetition,
+    # ---- past the 50-slot cap from here down ----
+    # r7/r8/r10-green cohorts riding their newest rows + the
+    # per-round local full drive; the 2 structurally no-oracle
+    # entries close the registry.
     "sim_topk_rp_ivfpq": q_sim_topk_rp_ivfpq,
     "sim_rp_ivfpq_recall": q_sim_rp_ivfpq_recall,
     "text_bpe_tokens_holdout": q_text_bpe_tokens_holdout,
@@ -2688,11 +2733,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
     "text_mixture_temperature": q_text_mixture_temperature,
     "text_mixture_sample": q_text_mixture_sample,
-    # -- round-8 late additions, never driver-rowed until now --
     "sim_rp_topk": q_sim_rp_topk,
     "sim_rp_recall": q_sim_rp_recall,
     "streaming_dsir": q_streaming_dsir,
-    # -- round-9 code/semantics-touched --
     "sim_recall_curve": q_sim_recall_curve,
     "dedup_span_exact": q_dedup_span_exact,
     "dedup_span_sliding": q_dedup_span_sliding,
@@ -2701,7 +2744,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_dsir_select": q_text_dsir_select,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
     "sim_rp_project": q_sim_rp_project,
-    # -- r5-row cohort (stale-est rows in the ledger) --
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "sql_tfidf_top100": q_sql_tfidf_top100,
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
@@ -2724,29 +2766,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "rel_customers_without_orders": q_rel_customers_without_orders,
     "rel_revenue_by_region": q_rel_revenue_by_region,
-    # ---- past the 50-slot cap from here down ----
-    # round-8-green cohort ceding slots + long-stable entries;
-    # the 2 structurally no-oracle entries close the registry.
-    # sim_pca_topk, streaming_phash_dedup, and the audio pair are
-    # round-9 LATE additions (window already full of mandated entries)
-    # — FIRST round-10 rotation priority per the past-cap-newcomer
-    # rule; LOCAL_CHECK_r09 carries their evidence.
-    "sim_pca_topk": q_sim_pca_topk,
-    "streaming_phash_dedup": q_streaming_phash_dedup,
-    "multimodal_audio_decode": q_multimodal_audio_decode,
-    "multimodal_audio_resample": q_multimodal_audio_resample,
-    # sim_rp_distortion sits FIRST past-cap: its only round-9 change is
-    # an added dimension assertion (results provably unchanged, r8 row
-    # green). text_pack_bpe / text_mixture_bpe likewise ceded: they
-    # consume only the n_bpe_tokens column, which the byte-fallback
-    # left-join rewrite provably leaves value-identical on the train
-    # corpus (r8 rows green, local drive re-proves). The two r7-row
-    # fillers follow, displaced by the phash trio + mixture pair.
     "sim_rp_distortion": q_sim_rp_distortion,
     "text_pack_bpe": q_text_pack_bpe,
     "text_mixture_bpe": q_text_mixture_bpe,
-    "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
-    "pipeline_curate_pack": q_pipeline_curate_pack,
     "sim_recall_audit": q_sim_recall_audit,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_capped": q_dedup_semantic_capped,
@@ -2779,23 +2801,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "events_user_extremes": q_events_user_extremes,
     "text_cooccurrence_capped": q_text_cooccurrence_capped,
-    "sim_topk_ivfpq": q_sim_topk_ivfpq,
-    "sim_topk_pq": q_sim_topk_pq,
-    "text_pack_sequences": q_text_pack_sequences,
-    "text_pack_shuffled": q_text_pack_shuffled,
-    "text_c4_filters": q_text_c4_filters,
-    "text_self_dedup": q_text_self_dedup,
-    "dedup_fuzzy": q_dedup_fuzzy,
-    "text_chunk": q_text_chunk,
-    "text_repetition": q_text_repetition,
     "text_fingerprint": q_text_fingerprint,
-    "text_lm_score": q_text_lm_score,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_contamination": q_text_contamination,
     "text_decontaminate": q_text_decontaminate,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_capped": q_dedup_minhash_capped,
-    "pipeline_curate": q_pipeline_curate,
     "rel_event_pivot": q_rel_event_pivot,
     "rel_region_year_cube": q_rel_region_year_cube,
     "rel_repeat_customers": q_rel_repeat_customers,
@@ -2812,20 +2820,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_join": q_events_interval_join,
     "asof_next_event": q_asof_next_event,
     "text_lm_histogram": q_text_lm_histogram,
-    "search_bm25": q_search_bm25,
-    "text_stratified_sample": q_text_stratified_sample,
-    "dedup_near_canonical": q_dedup_near_canonical,
-    "text_ngram_freq": q_text_ngram_freq,
-    "dedup_exact_apply": q_dedup_exact_apply,
-    "dedup_simhash": q_dedup_simhash,
-    "text_quality": q_text_quality,
-    "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_top_customers": q_rel_top_customers,
-    "events_tumbling": q_events_tumbling,
-    "events_sessionize": q_events_sessionize,
-    "events_moving_avg": q_events_moving_avg,
-    "events_hopping": q_events_hopping,
-    "asof_last_purchase": q_asof_last_purchase,
+    # -- structurally no-oracle (rows-only) --
     "rel_approx_distinct": q_rel_approx_distinct,
     "sim_topk_pandas": q_sim_topk_pandas,
 }
@@ -3124,6 +3119,217 @@ def _pq_sql(dim: int = 64) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT query_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn"
         f" FROM ranked WHERE rn <= {SIM_K}"
+    )
+
+
+def _sq_ctes(budgets) -> tuple[list[str], list[str]]:
+    """The INT8 scalar-quantization replay (mirrors similarity.sq_topk
+    with units=IVF_UNITS over the raw embeddings): quantize to
+    micro-units, derive the corpus-wide ``vmax = max |u|`` with one
+    scalar aggregation, code every vector as ``floor(u·127/vmax)``
+    (single IEEE double expression — identical in both engines), then
+    for each candidate budget the two-stage chain: top-``b`` per query
+    by exact integer L2 in CODE space, exact full-resolution integer
+    L2 re-rank of those survivors. Returns ``(ctes, approx_names)``
+    where ``approx_names[i]`` is the CTE holding the budget-``i``
+    top-:data:`SIM_K` result ``(query_id, vec_id, d2_u, rn)``."""
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    ctes = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+)""",
+        """vm AS (
+  SELECT greatest(1, max(list_max(list_transform(u, x -> abs(x))))) AS vmax
+  FROM e
+)""",
+        """c AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(u, x -> CAST(floor((x * 127.0) / vm.vmax)
+                                     AS BIGINT)) AS sq
+  FROM e, vm
+)""",
+    ]
+    names = []
+    for b in budgets:
+        ctes.append(f"""cand{b} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, cb.vec_id,
+           {_int_d2_sql("cb.sq", "q.sq")} AS d2c
+    FROM c cb CROSS JOIN (SELECT * FROM c WHERE vec_id IN ({qids})) q
+    WHERE cb.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2c, vec_id) <= {b}
+)""")
+        ctes.append(f"""approx{b} AS (
+  SELECT query_id, vec_id, d2_u, rn FROM (
+    SELECT cand{b}.query_id, cand{b}.vec_id,
+           CAST({_int_d2_sql("ec.u", "eq.u")} AS BIGINT) AS d2_u,
+           row_number() OVER (PARTITION BY cand{b}.query_id
+                              ORDER BY {_int_d2_sql("ec.u", "eq.u")},
+                                       cand{b}.vec_id) AS rn
+    FROM cand{b}
+    JOIN e ec ON ec.vec_id = cand{b}.vec_id
+    JOIN e eq ON eq.vec_id = cand{b}.query_id
+  ) WHERE rn <= {SIM_K}
+)""")
+        names.append(f"approx{b}")
+    return ctes, names
+
+
+def _sq_topk_sql() -> str:
+    """Two-stage SQ retrieval replay — the gate row for ``sim_topk_sq``
+    (candidates=:data:`RP_TOPK_CANDIDATES`)."""
+    ctes, names = _sq_ctes([RP_TOPK_CANDIDATES])
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, d2_u, CAST(rn AS INTEGER) AS rn"
+        f" FROM {names[0]}"
+    )
+
+
+def _sq_recall_sql() -> str:
+    """SQ recall replay at the :data:`SQ_RECALL_BUDGETS` candidate
+    budgets against the exact integer-L2 top-:data:`SIM_K` (the
+    ``int_l2_topk`` chain over the same micro-units)."""
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    ctes, names = _sq_ctes(SQ_RECALL_BUDGETS)
+    ctes.append(f"""exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, eb.vec_id,
+           {_int_d2_sql("eb.u", "q.u")} AS d2
+    FROM e eb CROSS JOIN (SELECT * FROM e WHERE vec_id IN ({qids})) q
+    WHERE eb.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) <= {SIM_K}
+)""")
+    branches = []
+    for b, name in zip(SQ_RECALL_BUDGETS, names):
+        ctes.append(f"""hits{b} AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e SEMI JOIN {name} a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)""")
+        branches.append(
+            f"""SELECT 'sq_c{b}' AS method, q AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(SIM_K)}, 6) AS recall
+FROM (SELECT unnest([{qids}]) AS q) LEFT JOIN hits{b} h ON h.query_id = q"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(branches)
+    )
+
+
+#: DuckDB text of the OPQ gate fixture (``_scaled_emb`` + micro-unit
+#: quantization): cast to double, scale the first OPQ_HOT_DIMS dims by
+#: the power-of-two OPQ_HOT_SCALE (exact in IEEE), round to units.
+_OPQ_EU_CTE = f"""eu AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        (x, i) -> CAST(round(x * CASE WHEN i <= {OPQ_HOT_DIMS}
+                                                      THEN {float(OPQ_HOT_SCALE)}
+                                                      ELSE 1.0 END
+                                             * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+)"""
+
+
+def _opq_perm_ctes() -> list[str]:
+    """The variance-balanced permutation replay (mirrors
+    similarity.opq_permutation): exact BIGINT variance numerators
+    ``n·Σx² − (Σx)²`` per dimension over the first
+    :data:`OPQ_SAMPLE_N` rows by id, rank descending with ties to the
+    lower dimension, deal rank ``r`` to output position
+    ``(r % m)·sub + r // m`` (subspace-major), then rebuild each
+    vector's micro-unit list in permuted order (quantization commutes
+    with the reorder, so permuting ``u`` equals quantizing the permuted
+    doubles). Expects ``eu(vec_id, u)``; emits ``pe(vec_id, u)``."""
+    sub = 64 // PQ_M
+    return [
+        f"""samp AS (
+  SELECT u FROM eu ORDER BY vec_id LIMIT {OPQ_SAMPLE_N}
+)""",
+        """dstats AS (
+  SELECT d, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2 FROM (
+    SELECT generate_subscripts(u, 1) - 1 AS d, unnest(u) AS x FROM samp
+  ) GROUP BY d
+)""",
+        """rankd AS (
+  SELECT d, row_number() OVER (ORDER BY n * s2 - s1 * s1 DESC, d) - 1 AS r
+  FROM dstats
+)""",
+        f"""pmap AS (
+  SELECT d AS src, (r % {PQ_M}) * {sub} + (r // {PQ_M}) AS j FROM rankd
+)""",
+        """pe AS MATERIALIZED (
+  SELECT vec_id, list(x ORDER BY j) AS u FROM (
+    SELECT xs.vec_id, pmap.j, xs.x
+    FROM (SELECT vec_id, generate_subscripts(u, 1) - 1 AS d, unnest(u) AS x
+          FROM eu) xs
+    JOIN pmap ON pmap.src = xs.d
+  ) GROUP BY vec_id
+)""",
+    ]
+
+
+def _opq_topk_sql() -> str:
+    """OPQ ADC replay: the scaled fixture, the permutation chain, then
+    the standard PQ build + ADC CTEs (:func:`_pq_chain_ctes`) over the
+    permuted micro-units."""
+    ctes = [_OPQ_EU_CTE]
+    ctes.extend(_opq_perm_ctes())
+    ctes.extend(_pq_chain_ctes(64, prefix="o", e_name="pe"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn"
+        f" FROM oranked WHERE rn <= {SIM_K}"
+    )
+
+
+def _opq_recall_sql() -> str:
+    """Contiguous-PQ vs OPQ recall replay on the skewed fixture: the
+    exact integer-L2 truth over the scaled micro-units, the contiguous
+    PQ chain (prefix ``p``) straight over ``eu``, the OPQ chain
+    (prefix ``o``) over the permuted ``pe`` — both via
+    :func:`_pq_chain_ctes`, which exists precisely so the two can
+    share one query — then per-method hit counts."""
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    ctes = [_OPQ_EU_CTE]
+    ctes.extend(_opq_perm_ctes())
+    ctes.extend(_pq_chain_ctes(64, prefix="p", e_name="eu"))
+    ctes.extend(_pq_chain_ctes(64, prefix="o", e_name="pe"))
+    ctes.append(f"""exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, eb.vec_id,
+           {_int_d2_sql("eb.u", "q.u")} AS d2
+    FROM eu eb CROSS JOIN (SELECT * FROM eu WHERE vec_id IN ({qids})) q
+    WHERE eb.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) <= {SIM_K}
+)""")
+    branches = []
+    for method, p in (("pq", "p"), ("opq", "o")):
+        ctes.append(f"""{p}hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e SEMI JOIN (SELECT query_id, vec_id FROM {p}ranked
+                          WHERE rn <= {SIM_K}) a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)""")
+        branches.append(
+            f"""SELECT '{method}' AS method, q AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(SIM_K)}, 6) AS recall
+FROM (SELECT unnest([{qids}]) AS q) LEFT JOIN {p}hits h ON h.query_id = q"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(branches)
     )
 
 
@@ -5897,3 +6103,106 @@ SELECT doc_id, split, CAST(bucket AS BIGINT) AS bucket,
 FROM packed""",
 )
 
+
+
+# --------------------------------------------------------------------------
+# Round-10 family oracles: audio VAD, source governance, n-gram novelty,
+# INT8 scalar quantization, OPQ dimension allocation.
+# --------------------------------------------------------------------------
+
+# Frame-energy / VAD replay: the analytic generator sawtooth (the same
+# formula with_audio_payload and the audio_decode oracle share), framed
+# by i // 16, a frame ACTIVE iff its energy >= n_in_frame · 8192²
+# (integer compare — threshold_amp² = 67108864), trim boundaries as the
+# min/max active frame index (NULL when all-silence).
+EXTENSION_ORACLE_SQL["multimodal_audio_energy"] = """
+WITH d AS (SELECT doc_id, length(text) AS L FROM documents),
+a AS (
+  SELECT doc_id, 4000 * (1 + L % 3) AS sr, 64 + doc_id % 101 AS n,
+         (doc_id % 256) * 131 AS base
+  FROM d
+),
+si AS (SELECT doc_id, sr, n, base, unnest(range(n)) AS i FROM a),
+s AS (
+  SELECT doc_id, sr, n, i // 16 AS f,
+         ((base + 17 * i) % 65536 - 32768) AS v
+  FROM si
+),
+fr AS (
+  SELECT doc_id, sr, n, f, count(*) AS fn, sum(v * v) AS fe
+  FROM s GROUP BY doc_id, sr, n, f
+),
+fa AS (
+  SELECT doc_id, sr, n, f, fe, (fe >= fn * 67108864) AS active FROM fr
+)
+SELECT doc_id,
+       CAST(max(sr) AS BIGINT) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(min(CASE WHEN active THEN f END) AS BIGINT) AS first_active,
+       CAST(max(CASE WHEN active THEN f END) AS BIGINT) AS last_active,
+       CAST(sum(fe) AS BIGINT) AS energy
+FROM fa GROUP BY doc_id
+"""
+
+# Per-source governance: doc/token counts and mean on the space-split
+# non-empty words, distinct-word vocabulary via one unnest, distinct
+# languages — the text.source_stats aggregation replayed 1:1.
+EXTENSION_ORACLE_SQL["text_source_stats"] = """
+WITH b AS (
+  SELECT source, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS nt
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+         round(sum(nt) / count(*), 6) AS avg_tokens,
+         count(DISTINCT lang) AS n_langs
+  FROM b GROUP BY source
+),
+v AS (
+  SELECT source, count(DISTINCT word) AS vocab FROM (
+    SELECT source,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY source
+)
+SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+       CAST(a.n_tokens AS BIGINT) AS n_tokens, a.avg_tokens,
+       CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab,
+       CAST(a.n_langs AS BIGINT) AS n_langs
+FROM agg a LEFT JOIN v ON v.source = a.source
+"""
+
+# Trigram novelty: the minhash oracle's shingle CTE (distinct word
+# 3-grams per doc), one gram-keyed document-frequency count, join back
+# on the gram, per-doc shares — text.ngram_novelty replayed 1:1 (docs
+# shorter than 3 words emit no row on both sides).
+EXTENSION_ORACLE_SQL["text_ngram_novelty"] = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+shingle AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+    FROM words WHERE len(w) >= 3
+  )
+),
+gdf AS (SELECT shingle, count(*) AS df FROM shingle GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       round(1.0 - sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+         AS novelty
+FROM shingle s JOIN gdf ON gdf.shingle = s.shingle
+GROUP BY s.doc_id
+"""
+
+EXTENSION_ORACLE_SQL["sim_topk_sq"] = _sq_topk_sql()
+EXTENSION_ORACLE_SQL["sim_sq_recall"] = _sq_recall_sql()
+EXTENSION_ORACLE_SQL["sim_topk_opq"] = _opq_topk_sql()
+EXTENSION_ORACLE_SQL["sim_opq_recall"] = _opq_recall_sql()
