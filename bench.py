@@ -107,9 +107,12 @@ HEADLINE = [
     "sim_pca_topk",
     # INT8 scalar-quantized retrieval (the 1-byte/component scan index —
     # the vmax aggregation + code scan is exactly the shape that can
-    # silently regress) and the OPQ train+encode (sample stats collect +
-    # permuted PQ build)
-    "sim_topk_sq", "sim_topk_opq",
+    # silently regress), the OPQ train+encode (sample stats collect +
+    # permuted PQ build), and the OPQ×residual-IVFADC composition (the
+    # full compressed-index build in the permuted space)
+    "sim_topk_sq", "sim_topk_opq", "sim_topk_opq_ivfpq",
+    # IVF-SQ8 (coarse cells + byte-coded residuals — probe-bounded scan)
+    "sim_topk_ivfsq",
     # multimodal (Arrow mapInPandas path; phash_dedup = the perceptual
     # hash scan + the phash-window image dedup; audio_decode = the
     # RIFF-chunk walk over PCM16 WAVs; audio_energy = the frame-energy/

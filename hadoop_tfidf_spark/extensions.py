@@ -2699,7 +2699,11 @@ def q_sim_topk_opq_ivfpq(spark, sf_dir):
         k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
         embeddings=emb, residual=True,
     )
-    emb.unpersist()  # build collects done — see q_sim_topk_ivfpq
+    # The permuted projection STAYS persisted through execution — the
+    # stored-index surrogate, exactly the rp_ivfpq precedent (SCALE.md):
+    # unpersisted, every distance lambda inlines the 64-getItem array
+    # construction and re-evaluates it per element (measured 10.6s vs
+    # 2.0s for the same search on this fixture).
     return out
 
 
@@ -2752,9 +2756,78 @@ def q_sim_opq_ivfpq_recall(spark, sf_dir):
                 ).alias("recall"),
             )
         )
+    # Both fixture relations stay persisted through execution (the
+    # stored-index surrogate rule — see q_sim_topk_opq_ivfpq): the
+    # recall plan references each side's vectors in the codes join, the
+    # probe AND the exact-truth re-rank, and an unpersisted permuted
+    # projection re-inlines its 64-getItem array per distance lambda.
+    return branches[0].unionByName(branches[1])
+
+
+def q_sim_topk_ivfsq(spark, sf_dir):
+    """IVF-SQ8 retrieval (the FAISS IndexIVFScalarQuantizer shape): the
+    middle rung of the quantization ladder — coarse IVF cells bound the
+    scan to ~nprobe/coarse_k of the corpus, residuals stored at one
+    signed byte per component on a corpus-wide vmax scale (no codebooks
+    to train), stage-1 integer L2 in code space within probed cells,
+    exact full-resolution re-rank of the survivors. Every ranking
+    BIGINT-exact; the oracle replays coarse Lloyd + residual + vmax +
+    codes + probe + both stages unrolled."""
+    return S.ivfsq_topk(
+        _emb(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K,
+        candidates=RP_TOPK_CANDIDATES, nprobe=IVF_NPROBE,
+        coarse_k=IVF_K, coarse_iters=IVF_ITERS, units=IVF_UNITS, in_dim=64,
+    )
+
+
+def q_sim_ivfsq_recall(spark, sf_dir):
+    """IVF-SQ recall at the same c15/c50 budgets as ``sim_sq_recall``
+    against the same exact integer-L2 truth — the paired dashboard
+    that prices the probe: flat SQ scans every code, IVF-SQ scans only
+    probed cells, and the recall delta at equal budget IS the cost of
+    the cells the probe skipped. Builds ONCE
+    (:func:`similarity.ivfsq_build`) and searches the prebuilt index at
+    both budgets — the production sweep shape."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    exact = S.int_l2_topk(emb, queries, k=SIM_K, units=IVF_UNITS)
+    index, cents, vmax = S.ivfsq_build(
+        emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        units=IVF_UNITS, in_dim=64,
+    )
+    index = index.persist(StorageLevel.MEMORY_AND_DISK)
+    branches = []
+    for b in SQ_RECALL_BUDGETS:
+        approx = S.ivfsq_topk(
+            emb, SIM_QUERY_IDS, k=SIM_K, candidates=b, nprobe=IVF_NPROBE,
+            units=IVF_UNITS, in_dim=64,
+            index=index, centroids=cents, vmax=vmax,
+        ).select("query_id", "vec_id")
+        hits = (
+            exact.join(approx, ["query_id", "vec_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+        )
+        branches.append(
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(f"ivfsq_c{b}").alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.lit(float(SIM_K)),
+                    6,
+                ).alias("recall"),
+            )
+        )
     out = branches[0].unionByName(branches[1])
-    scaled.unpersist()
-    permuted.unpersist()
+    emb.unpersist()
     return out
 
 
@@ -2800,9 +2873,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_sq_recall": q_sim_sq_recall,
     "sim_topk_opq": q_sim_topk_opq,
     "sim_opq_recall": q_sim_opq_recall,
-    # -- round-11 brand-new: OPQ composed with the residual IVFADC --
+    # -- round-11 brand-new: OPQ composed with the residual IVFADC,
+    #    and IVF-SQ8 (coarse cells + byte-coded residuals) --
     "sim_topk_opq_ivfpq": q_sim_topk_opq_ivfpq,
     "sim_opq_ivfpq_recall": q_sim_opq_ivfpq_recall,
+    "sim_topk_ivfsq": q_sim_topk_ivfsq,
+    "sim_ivfsq_recall": q_sim_ivfsq_recall,
     # -- round-9 late additions, never driver-rowed until now --
     "sim_pca_topk": q_sim_pca_topk,
     "streaming_phash_dedup": q_streaming_phash_dedup,
@@ -2836,15 +2912,16 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pack_sequences": q_text_pack_sequences,
     "text_pack_shuffled": q_text_pack_shuffled,
     "text_c4_filters": q_text_c4_filters,
+    # ---- past the 50-slot cap from here down ----
+    # text_lm_score / text_self_dedup / text_chunk / text_repetition
+    # ceded their window slots to the round-11 OPQ-IVFADC and IVF-SQ
+    # pairs (past-cap newcomers would break the rotation rule; these
+    # four are r7-row but code-unchanged and lead the round-12 backlog).
+    # Then the r7/r8/r10-green cohorts riding their newest rows + the
+    # per-round local full drive; the 2 structurally no-oracle entries
+    # close the registry.
     "text_lm_score": q_text_lm_score,
     "text_self_dedup": q_text_self_dedup,
-    # ---- past the 50-slot cap from here down ----
-    # text_chunk / text_repetition ceded their window slots to the
-    # round-11 OPQ-IVFADC pair (past-cap newcomers would break the
-    # rotation rule; these two are r7-row but code-unchanged and lead
-    # the round-12 backlog). Then the r7/r8/r10-green cohorts riding
-    # their newest rows + the per-round local full drive; the 2
-    # structurally no-oracle entries close the registry.
     "text_chunk": q_text_chunk,
     "text_repetition": q_text_repetition,
     "sim_topk_rp_ivfpq": q_sim_topk_rp_ivfpq,
@@ -6429,3 +6506,158 @@ EXTENSION_ORACLE_SQL["sim_topk_opq_ivfpq"] = _ivfpq_sql(
     residual=True, e_body=_opq_perm_vec_body()
 )
 EXTENSION_ORACLE_SQL["sim_opq_ivfpq_recall"] = _opq_ivfpq_recall_sql()
+
+
+# --------------------------------------------------------------------------
+# IVF-SQ8 oracles: coarse IVF cells + INT8 scalar-quantized residuals.
+# --------------------------------------------------------------------------
+
+def _ivfsq_ctes(budgets) -> tuple[list[str], list[str]]:
+    """Unrolled IVF-SQ8 replay (mirrors similarity.ivfsq_build/
+    ivfsq_topk): the coarse integer Lloyd of the IVF oracle, the
+    residual projection, the corpus-wide residual ``vmax`` scalar, the
+    ``floor(r·127/vmax)`` byte codes, the integer probe of IVF_NPROBE
+    cells per query with the query's residual coded PER PROBED CELL on
+    the same scale, then per budget the stage-1 code-space cut
+    restricted to probed cells and the exact full-resolution re-rank.
+    Returns ``(ctes, approx_names)`` like :func:`_sq_ctes`."""
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    ctes = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+)""",
+        f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u
+  FROM e ORDER BY vec_id LIMIT {IVF_K}
+)""",
+    ]
+    for it in range(IVF_ITERS + 1):
+        ctes.append(f"""assign{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster, {_int_d2_sql("e.u", "c.u")} AS d2
+    FROM e CROSS JOIN cent{it} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+)""")
+        if it < IVF_ITERS:
+            ctes.append(f"""mean{it + 1} AS (
+  SELECT cluster, list(m ORDER BY d) AS u FROM (
+    SELECT cluster, d, CAST(round(sum(x) / count(*)) AS BIGINT) AS m
+    FROM (
+      SELECT a.cluster, generate_subscripts(e.u, 1) AS d, unnest(e.u) AS x
+      FROM e JOIN assign{it} a ON a.vec_id = e.vec_id
+    ) GROUP BY cluster, d
+  ) GROUP BY cluster
+)""")
+            ctes.append(f"""cent{it + 1} AS (
+  SELECT c.cluster, coalesce(m.u, c.u) AS u
+  FROM cent{it} c LEFT JOIN mean{it + 1} m ON m.cluster = c.cluster
+)""")
+    final = IVF_ITERS
+    ctes.append(f"""qv AS (
+  SELECT vec_id AS query_id, u AS q_u FROM e WHERE vec_id IN ({qids})
+)""")
+    ctes.append(f"""probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.cluster, {_int_d2_sql("q.q_u", "c.u")} AS d2
+    FROM qv q CROSS JOIN cent{final} c
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2, cluster)
+    <= {IVF_NPROBE}
+)""")
+    ctes.append(f"""res AS MATERIALIZED (
+  SELECT e.vec_id, a.cluster,
+         list_transform(generate_series(1, 64), i -> e.u[i] - c.u[i]) AS r
+  FROM e JOIN assign{final} a ON a.vec_id = e.vec_id
+  JOIN cent{final} c ON c.cluster = a.cluster
+)""")
+    ctes.append("""vm AS (
+  SELECT greatest(1, max(list_max(list_transform(r, x -> abs(x))))) AS vmax
+  FROM res
+)""")
+    ctes.append("""codes AS MATERIALIZED (
+  SELECT vec_id, cluster,
+         list_transform(r, x -> CAST(floor((x * 127.0) / vm.vmax)
+                                     AS BIGINT)) AS sq
+  FROM res, vm
+)""")
+    ctes.append(f"""qcodes AS (
+  SELECT q.query_id, p.cluster,
+         list_transform(generate_series(1, 64),
+                        i -> CAST(floor(((q.q_u[i] - c.u[i]) * 127.0)
+                                        / vm.vmax) AS BIGINT)) AS qsq
+  FROM qv q JOIN probe p ON p.query_id = q.query_id
+  JOIN cent{final} c ON c.cluster = p.cluster, vm
+)""")
+    ctes.append(f"""s1 AS (
+  SELECT qc.query_id, c.vec_id, {_int_d2_sql("c.sq", "qc.qsq")} AS d2c
+  FROM codes c JOIN qcodes qc ON qc.cluster = c.cluster
+  WHERE c.vec_id <> qc.query_id
+)""")
+    names = []
+    for b in budgets:
+        ctes.append(f"""cand{b} AS (
+  SELECT query_id, vec_id FROM s1
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY d2c, vec_id) <= {b}
+)""")
+        ctes.append(f"""approx{b} AS (
+  SELECT query_id, vec_id, d2_u, rn FROM (
+    SELECT cand{b}.query_id, cand{b}.vec_id,
+           CAST({_int_d2_sql("ec.u", "eq.u")} AS BIGINT) AS d2_u,
+           row_number() OVER (PARTITION BY cand{b}.query_id
+                              ORDER BY {_int_d2_sql("ec.u", "eq.u")},
+                                       cand{b}.vec_id) AS rn
+    FROM cand{b}
+    JOIN e ec ON ec.vec_id = cand{b}.vec_id
+    JOIN e eq ON eq.vec_id = cand{b}.query_id
+  ) WHERE rn <= {SIM_K}
+)""")
+        names.append(f"approx{b}")
+    return ctes, names
+
+
+def _ivfsq_topk_sql() -> str:
+    ctes, names = _ivfsq_ctes([RP_TOPK_CANDIDATES])
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, d2_u, CAST(rn AS INTEGER) AS rn"
+        f" FROM {names[0]}"
+    )
+
+
+def _ivfsq_recall_sql() -> str:
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    ctes, names = _ivfsq_ctes(SQ_RECALL_BUDGETS)
+    ctes.append(f"""exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, eb.vec_id,
+           {_int_d2_sql("eb.u", "q.u")} AS d2
+    FROM e eb CROSS JOIN (SELECT * FROM e WHERE vec_id IN ({qids})) q
+    WHERE eb.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) <= {SIM_K}
+)""")
+    branches = []
+    for b, name in zip(SQ_RECALL_BUDGETS, names):
+        ctes.append(f"""hits{b} AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e SEMI JOIN {name} a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)""")
+        branches.append(
+            f"""SELECT 'ivfsq_c{b}' AS method, q AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(SIM_K)}, 6) AS recall
+FROM (SELECT unnest([{qids}]) AS q) LEFT JOIN hits{b} h ON h.query_id = q"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(branches)
+    )
+
+
+EXTENSION_ORACLE_SQL["sim_topk_ivfsq"] = _ivfsq_topk_sql()
+EXTENSION_ORACLE_SQL["sim_ivfsq_recall"] = _ivfsq_recall_sql()

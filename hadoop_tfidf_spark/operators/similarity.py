@@ -26,6 +26,8 @@ Scale design (100 TB of embeddings):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1979,24 +1981,190 @@ def sq_topk(
             id_col=id_col, vec_col=vec_col,
         )
     vmax = max(1, int(vmax))
-
-    def _codes(ucol: Column) -> Column:
-        return F.transform(
-            ucol,
-            lambda x: F.floor((x * F.lit(127.0)) / F.lit(float(vmax))).cast(
-                "bigint"
-            ),
-        )
-
-    index = base.select(id_col, _codes(F.col("_u")).alias("_sq"))
+    index = base.select(id_col, _sq_codes(F.col("_u"), vmax).alias("_sq"))
     qp = queries.select(
         F.col(id_col).alias("query_id"),
         _quantized_dim_checked(F.col(vec_col), units, in_dim, "sq_topk").alias(
             "_qu"
         ),
-    ).select("query_id", "_qu", _codes(F.col("_qu")).alias("_qsq"))
+    ).select("query_id", "_qu", _sq_codes(F.col("_qu"), vmax).alias("_qsq"))
     return _coarse_then_exact(
         base, index, qp, k, candidates, id_col, "_sq", "_qsq"
+    )
+
+
+def _sq_codes(col: Column, vmax: int) -> Column:
+    """INT8 code transform ``floor(x·127/vmax)`` per element — ONE IEEE
+    double multiply-divide-floor, bit-identical in any engine (|x|·127
+    ≪ 2^53 for micro-unit inputs)."""
+    return F.transform(
+        col,
+        lambda x: F.floor((x * F.lit(127.0)) / F.lit(float(vmax))).cast(
+            "bigint"
+        ),
+    )
+
+
+def ivfsq_build(
+    embeddings: DataFrame,
+    coarse_k: int = 16,
+    coarse_iters: int = 2,
+    units: int = 1_000_000,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vmax: int | None = None,
+) -> tuple[DataFrame, list[list[int]], int]:
+    """IVF-SQ8 index build (the FAISS ``IndexIVFScalarQuantizer``
+    shape): coarse-quantize with :func:`ivf_build`, then store each
+    vector's RESIDUAL from its coarse centroid as one signed byte per
+    component — ``floor(r·127/vmax)`` on a single corpus-wide residual
+    scale. Where :func:`ivfpq_build_residual` compresses to m codes
+    (8 bytes) with codebook lookups, IVF-SQ keeps every dimension at
+    byte resolution (64 bytes here): less compression, no codebooks to
+    train, and distances in code space are plain integer L2 — the
+    middle rung of the quantization ladder (flat SQ → IVF-SQ → IVFADC).
+
+    Returns ``(index, centroids, vmax)`` where ``index`` is the stored
+    relation ``(id, cluster, _sq array<bigint>)`` — at scale one byte
+    per component plus a cluster id per vector. ``vmax`` defaults to
+    the exact residual abs-max via one scalar aggregation; pass a
+    precomputed calibration to skip that scan (the ``vmax=``/
+    ``ratios=``/``perm=`` trainer pattern). All arithmetic after the
+    one IEEE floor is integer, so build + search replay in DuckDB.
+
+    Scale: the residual projection is zero-shuffle (broadcast centroid
+    literals); the vmax aggregation ships one BIGINT."""
+    assigned, cents = ivf_build(
+        embeddings, k=coarse_k, iters=coarse_iters,
+        id_col=id_col, vec_col=vec_col, units=units,
+    )
+    cent_arr = F.array(
+        *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
+    )
+    u = _quantized_dim_checked(F.col(vec_col), units, in_dim, "ivfsq_build")
+    res = assigned.select(
+        id_col,
+        "cluster",
+        F.zip_with(
+            u,
+            F.element_at(cent_arr, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        ).alias("_r"),
+    )
+    if vmax is None:
+        row = res.agg(
+            F.max(
+                F.array_max(F.transform(F.col("_r"), lambda x: F.abs(x)))
+            ).alias("m")
+        ).first()
+        vmax = int(row["m"] or 0)
+    vmax = max(1, int(vmax))
+    index = res.select(id_col, "cluster", _sq_codes(F.col("_r"), vmax).alias("_sq"))
+    return index, cents, vmax
+
+
+def ivfsq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    candidates: int = 50,
+    nprobe: int = 2,
+    coarse_k: int = 16,
+    coarse_iters: int = 2,
+    units: int = 1_000_000,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+    centroids: list[list[int]] | None = None,
+    vmax: int | None = None,
+) -> DataFrame:
+    """Probe-bounded two-stage search over the IVF-SQ8 index: per query
+    probe the ``nprobe`` integer-nearest coarse cells (driver-side over
+    the tiny centroid matrix, :func:`ivfpq_topk`'s pattern), take the
+    query's residual wrt EACH probed cell coded on the SAME corpus
+    vmax, stage-1 rank that cell's members by exact integer L2 in code
+    space, cut to ``candidates`` per query, then stage-2 re-rank the
+    survivors by exact full-resolution integer L2. Versus the flat
+    :func:`sq_topk` scan the probe bounds stage-1 to ~nprobe/coarse_k
+    of the corpus; versus IVFADC the per-cell scan reads bytes, not
+    codebook lookups. Every ranking BIGINT-exact with id tie-breaks →
+    fully DuckDB-replayable. Output ``(query_id, vec_id, d2_u, rn)`` —
+    the family shape.
+
+    Pass ``index``/``centroids``/``vmax`` (an :func:`ivfsq_build`
+    result) to search a prebuilt index — a recall sweep over several
+    budgets then builds once and scans only codes per budget.
+
+    Scale: stage 1 is ONE broadcast equi-join of the (queries×nprobe)
+    probe relation on ``cluster`` over a byte-per-component scan;
+    stage 2 reads ``candidates`` full-width rows per query; the probe
+    itself is driver-side math on a coarse_k×dim matrix."""
+    if index is None or centroids is None or vmax is None:
+        index, centroids, vmax = ivfsq_build(
+            embeddings, coarse_k=coarse_k, coarse_iters=coarse_iters,
+            units=units, in_dim=in_dim, id_col=id_col, vec_col=vec_col,
+            vmax=vmax,
+        )
+    base = embeddings.select(
+        id_col,
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "ivfsq_topk")
+        .alias("_u"),
+    )
+    q_rows = (
+        base.where(F.col(id_col).isin([int(x) for x in query_ids]))
+        .collect()
+    )
+    scale = float(max(1, int(vmax)))
+    probe_rows = []
+    for r in q_rows:
+        qu = [int(x) for x in r["_u"]]
+        d2s = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qu, c)), ci)
+            for ci, c in enumerate(centroids)
+        )
+        for _, ci in d2s[:nprobe]:
+            qsq = [
+                int(math.floor((a - b) * 127.0 / scale))
+                for a, b in zip(qu, centroids[ci])
+            ]
+            probe_rows.append((int(r[id_col]), int(ci), qsq))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id BIGINT, cluster INT, qsq ARRAY<BIGINT>"
+    )
+    stage1 = (
+        index.join(F.broadcast(probes), "cluster")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            _int_d2(F.col("_sq"), F.col("qsq")).alias("_d2c"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy("_d2c", id_col)
+    cand = (
+        stage1.withColumn("_crn", F.row_number().over(w1))
+        .where(F.col("_crn") <= candidates)
+        .select("query_id", id_col)
+    )
+    qp = base.where(
+        F.col(id_col).isin([int(x) for x in query_ids])
+    ).select(F.col(id_col).alias("query_id"), F.col("_u").alias("_qu"))
+    rerank = (
+        base.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qp), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            _int_d2(F.col("_u"), F.col("_qu")).alias("d2_u"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2_u", id_col)
+    return (
+        rerank.withColumn("rn", F.row_number().over(w2).cast("int"))
+        .where(F.col("rn") <= k)
     )
 
 

@@ -141,3 +141,81 @@ def test_opq_permutation_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         opq_permutation(emb, m=4, in_dim=6, sample_n=1)
+
+
+# ------------------------------------------------- IVF-SQ8 index
+
+
+def _ivfsq_emb(spark):
+    rows = [
+        (i, [((i * 37 + d * 11) % 17 - 8) / 9.0 for d in range(8)])
+        for i in range(48)
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+def test_ivfsq_full_probe_full_budget_equals_exact(spark):
+    """With every cell probed and an uncut candidate budget, the
+    two-stage IVF-SQ ranking must collapse to the exact integer-L2
+    ranking (stage 1 can then only reorder candidates that stage 2
+    re-ranks exactly)."""
+    from hadoop_tfidf_spark.operators.similarity import (
+        int_l2_topk,
+        ivfsq_topk,
+    )
+
+    emb = _ivfsq_emb(spark)
+    queries = emb.where(F.col("vec_id") < 2)
+    exact = int_l2_topk(emb, queries, k=5, units=1000)
+    got = ivfsq_topk(
+        emb, [0, 1], k=5, candidates=100, nprobe=4, coarse_k=4,
+        coarse_iters=1, units=1000, in_dim=8,
+    )
+    key = lambda r: (r["query_id"], r["rn"], r["vec_id"], r["d2_u"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exact.collect()))
+
+
+def test_ivfsq_prebuilt_index_matches_internal_build(spark):
+    from hadoop_tfidf_spark.operators.similarity import ivfsq_build, ivfsq_topk
+
+    emb = _ivfsq_emb(spark)
+    internal = ivfsq_topk(
+        emb, [0, 1], k=5, candidates=10, nprobe=2, coarse_k=4,
+        coarse_iters=1, units=1000, in_dim=8,
+    ).collect()
+    index, cents, vmax = ivfsq_build(
+        emb, coarse_k=4, coarse_iters=1, units=1000, in_dim=8
+    )
+    prebuilt = ivfsq_topk(
+        emb, [0, 1], k=5, candidates=10, nprobe=2, units=1000, in_dim=8,
+        index=index, centroids=cents, vmax=vmax,
+    ).collect()
+    assert sorted(map(tuple, internal)) == sorted(map(tuple, prebuilt))
+
+
+def test_ivfsq_codes_are_bytes_and_probe_bounds_scan(spark):
+    """The stored index is one signed byte per component (codes in
+    [-127, 127] by construction of the corpus-wide vmax), and a
+    1-probe search only returns members of the probed cells."""
+    from hadoop_tfidf_spark.operators.similarity import ivfsq_build, ivfsq_topk
+
+    emb = _ivfsq_emb(spark)
+    index, cents, vmax = ivfsq_build(
+        emb, coarse_k=4, coarse_iters=1, units=1000, in_dim=8
+    )
+    rng = index.select(
+        F.min(F.array_min("_sq")).alias("lo"),
+        F.max(F.array_max("_sq")).alias("hi"),
+    ).first()
+    assert -127 <= rng["lo"] and rng["hi"] <= 127
+    got = ivfsq_topk(
+        emb, [0], k=5, candidates=100, nprobe=1, units=1000, in_dim=8,
+        index=index, centroids=cents, vmax=vmax,
+    )
+    probed = {
+        r["cluster"]
+        for r in index.join(
+            got.select("vec_id"), "vec_id", "leftsemi"
+        ).select("cluster").collect()
+    }
+    assert len(probed) == 1
