@@ -112,7 +112,9 @@ HEADLINE = [
     # full compressed-index build in the permuted space)
     "sim_topk_sq", "sim_topk_opq", "sim_topk_opq_ivfpq",
     # IVF-SQ8 (coarse cells + byte-coded residuals — probe-bounded scan)
-    "sim_topk_ivfsq",
+    # and binary quantization (sign bits + Hamming — the 8-bytes/vector
+    # zero-training tier)
+    "sim_topk_ivfsq", "sim_topk_bq",
     # multimodal (Arrow mapInPandas path; phash_dedup = the perceptual
     # hash scan + the phash-window image dedup; audio_decode = the
     # RIFF-chunk walk over PCM16 WAVs; audio_energy = the frame-energy/

@@ -2831,6 +2831,65 @@ def q_sim_ivfsq_recall(spark, sf_dir):
     return out
 
 
+def q_sim_topk_bq(spark, sf_dir):
+    """Binary-quantization retrieval — the extreme rung of the
+    quantization ladder: 1 sign bit per component (8 bytes/vector at
+    dim 64, zero trained state — no vmax, no codebooks, no sample),
+    stage-1 Hamming over the packed words, exact integer-L2 re-rank.
+    The oracle replays the pack and both stages bit-for-bit."""
+    from hadoop_tfidf_spark.operators.similarity import bq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    return bq_topk(
+        emb, queries, k=SIM_K, candidates=RP_TOPK_CANDIDATES,
+        units=IVF_UNITS, in_dim=64,
+    )
+
+
+def q_sim_bq_recall(spark, sf_dir):
+    """BQ recall at the same c15/c50 budgets and exact truth as the
+    SQ/IVF-SQ rows — the fourth column of the quantization-ladder
+    dashboard (BQ 1 bit vs SQ 8 bits vs IVF-SQ probed bytes vs PQ
+    codebook bytes): what recall does the 8× byte cut from SQ8 to
+    sign-bits give up at a fixed candidate budget? Builds the packed
+    index ONCE and scans it per budget."""
+    from hadoop_tfidf_spark.operators.similarity import bq_build, bq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    exact = S.int_l2_topk(emb, queries, k=SIM_K, units=IVF_UNITS)
+    index = bq_build(emb, units=IVF_UNITS, in_dim=64)
+    branches = []
+    for b in SQ_RECALL_BUDGETS:
+        approx = bq_topk(
+            emb, queries, k=SIM_K, candidates=b, units=IVF_UNITS,
+            in_dim=64, index=index,
+        ).select("query_id", "vec_id")
+        hits = (
+            exact.join(approx, ["query_id", "vec_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+        )
+        branches.append(
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(f"bq_c{b}").alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.lit(float(SIM_K)),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    return branches[0].unionByName(branches[1])
+
+
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
@@ -2879,6 +2938,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_opq_ivfpq_recall": q_sim_opq_ivfpq_recall,
     "sim_topk_ivfsq": q_sim_topk_ivfsq,
     "sim_ivfsq_recall": q_sim_ivfsq_recall,
+    "sim_topk_bq": q_sim_topk_bq,
+    "sim_bq_recall": q_sim_bq_recall,
     # -- round-9 late additions, never driver-rowed until now --
     "sim_pca_topk": q_sim_pca_topk,
     "streaming_phash_dedup": q_streaming_phash_dedup,
@@ -2910,16 +2971,17 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fuzzy": q_dedup_fuzzy,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_pack_sequences": q_text_pack_sequences,
+    # ---- past the 50-slot cap from here down ----
+    # text_pack_shuffled / text_c4_filters / text_lm_score /
+    # text_self_dedup / text_chunk / text_repetition ceded their window
+    # slots to the round-11 OPQ-IVFADC, IVF-SQ and BQ pairs (past-cap
+    # newcomers would break the rotation rule; these six are r7-row but
+    # code-unchanged and lead the round-12 backlog). Then the r7/r8/
+    # r10-green cohorts riding their newest rows + the per-round local
+    # full drive; the 2 structurally no-oracle entries close the
+    # registry.
     "text_pack_shuffled": q_text_pack_shuffled,
     "text_c4_filters": q_text_c4_filters,
-    # ---- past the 50-slot cap from here down ----
-    # text_lm_score / text_self_dedup / text_chunk / text_repetition
-    # ceded their window slots to the round-11 OPQ-IVFADC and IVF-SQ
-    # pairs (past-cap newcomers would break the rotation rule; these
-    # four are r7-row but code-unchanged and lead the round-12 backlog).
-    # Then the r7/r8/r10-green cohorts riding their newest rows + the
-    # per-round local full drive; the 2 structurally no-oracle entries
-    # close the registry.
     "text_lm_score": q_text_lm_score,
     "text_self_dedup": q_text_self_dedup,
     "text_chunk": q_text_chunk,
@@ -6661,3 +6723,106 @@ FROM (SELECT unnest([{qids}]) AS q) LEFT JOIN hits{b} h ON h.query_id = q"""
 
 EXTENSION_ORACLE_SQL["sim_topk_ivfsq"] = _ivfsq_topk_sql()
 EXTENSION_ORACLE_SQL["sim_ivfsq_recall"] = _ivfsq_recall_sql()
+
+
+# --------------------------------------------------------------------------
+# Binary-quantization oracles: sign-bit pack + Hamming stage 1.
+# --------------------------------------------------------------------------
+
+def _bq_ctes(budgets) -> tuple[list[str], list[str]]:
+    """Binary-quantization replay (mirrors similarity.bq_build/bq_topk):
+    sign bit per micro-unit component packed into two 32-bit BIGINT
+    words, stage-1 total Hamming (Σ bit_count(xor)) per budget, exact
+    full-resolution integer-L2 re-rank — every step integer, zero
+    trained state. Returns ``(ctes, approx_names)`` like
+    :func:`_sq_ctes`."""
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    ham = (
+        "CAST(list_sum(list_transform(generate_series(1, 2), "
+        "i -> bit_count(xor(cb.bq[i], q.bq[i])))) AS BIGINT)"
+    )
+    ctes = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+)""",
+        """b AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(generate_series(0, 1), w ->
+           CAST(list_sum(list_transform(generate_series(0, 31), j ->
+             CASE WHEN u[w * 32 + j + 1] >= 0 THEN (1::BIGINT << j)
+                  ELSE 0::BIGINT END)) AS BIGINT)) AS bq
+  FROM e
+)""",
+    ]
+    names = []
+    for b in budgets:
+        ctes.append(f"""cand{b} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, cb.vec_id, {ham} AS dh
+    FROM b cb CROSS JOIN (SELECT * FROM b WHERE vec_id IN ({qids})) q
+    WHERE cb.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY dh, vec_id) <= {b}
+)""")
+        ctes.append(f"""approx{b} AS (
+  SELECT query_id, vec_id, d2_u, rn FROM (
+    SELECT cand{b}.query_id, cand{b}.vec_id,
+           CAST({_int_d2_sql("ec.u", "eq.u")} AS BIGINT) AS d2_u,
+           row_number() OVER (PARTITION BY cand{b}.query_id
+                              ORDER BY {_int_d2_sql("ec.u", "eq.u")},
+                                       cand{b}.vec_id) AS rn
+    FROM cand{b}
+    JOIN e ec ON ec.vec_id = cand{b}.vec_id
+    JOIN e eq ON eq.vec_id = cand{b}.query_id
+  ) WHERE rn <= {SIM_K}
+)""")
+        names.append(f"approx{b}")
+    return ctes, names
+
+
+def _bq_topk_sql() -> str:
+    ctes, names = _bq_ctes([RP_TOPK_CANDIDATES])
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, d2_u, CAST(rn AS INTEGER) AS rn"
+        f" FROM {names[0]}"
+    )
+
+
+def _bq_recall_sql() -> str:
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    ctes, names = _bq_ctes(SQ_RECALL_BUDGETS)
+    ctes.append(f"""exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, eb.vec_id,
+           {_int_d2_sql("eb.u", "q.u")} AS d2
+    FROM e eb CROSS JOIN (SELECT * FROM e WHERE vec_id IN ({qids})) q
+    WHERE eb.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) <= {SIM_K}
+)""")
+    branches = []
+    for b, name in zip(SQ_RECALL_BUDGETS, names):
+        ctes.append(f"""hits{b} AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM exact e SEMI JOIN {name} a
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+)""")
+        branches.append(
+            f"""SELECT 'bq_c{b}' AS method, q AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {float(SIM_K)}, 6) AS recall
+FROM (SELECT unnest([{qids}]) AS q) LEFT JOIN hits{b} h ON h.query_id = q"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(branches)
+    )
+
+
+EXTENSION_ORACLE_SQL["sim_topk_bq"] = _bq_topk_sql()
+EXTENSION_ORACLE_SQL["sim_bq_recall"] = _bq_recall_sql()

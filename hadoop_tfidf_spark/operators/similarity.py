@@ -1535,20 +1535,24 @@ def _coarse_then_exact(
     id_col: str,
     coarse_col: str,
     qcoarse_col: str,
+    coarse_dist=None,
 ) -> DataFrame:
     """The shared two-stage ranking of :func:`rp_topk` / :func:`pca_topk`:
     stage 1 scans only the compact ``coarse_col`` index for each query's
-    ``candidates`` nearest by exact integer L2; stage 2 re-ranks those
+    ``candidates`` nearest by ``coarse_dist`` (default: exact integer
+    L2; :func:`bq_topk` passes Hamming); stage 2 re-ranks those
     ids alone by exact full-dimension L2 over ``base._u`` (both joins
     broadcast the tiny candidate/query relations). Output
     ``(query_id, vec_id, d2_u, rn)``."""
+    if coarse_dist is None:
+        coarse_dist = _int_d2
     stage1 = (
         index.crossJoin(F.broadcast(qp.select("query_id", qcoarse_col)))
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,
-            _int_d2(F.col(coarse_col), F.col(qcoarse_col)).alias("_d2c"),
+            coarse_dist(F.col(coarse_col), F.col(qcoarse_col)).alias("_d2c"),
         )
     )
     w1 = Window.partitionBy("query_id").orderBy("_d2c", id_col)
@@ -1990,6 +1994,126 @@ def sq_topk(
     ).select("query_id", "_qu", _sq_codes(F.col("_qu"), vmax).alias("_qsq"))
     return _coarse_then_exact(
         base, index, qp, k, candidates, id_col, "_sq", "_qsq"
+    )
+
+
+def _bq_words(ucol: Column, in_dim: int) -> Column:
+    """Pack the SIGN bits of an ``array<bigint>`` micro-unit vector into
+    ``ceil(in_dim/32)`` BIGINT words (bit ``j`` of word ``w`` = 1 iff
+    ``u[32w+j] >= 0``). 32 bits per word keeps every packed value
+    positive and every pack sum far from BIGINT overflow, so the
+    arithmetic is identical in engines that wrap (JVM) and engines that
+    check (DuckDB). ``ucol`` must be a STAGED column reference (not an
+    inline transform) — the 32 getItems per word re-evaluate an inlined
+    expression per reference."""
+    n_words = (in_dim + 31) // 32
+    words = []
+    for w in range(n_words):
+        term = None
+        for j in range(32):
+            d = 32 * w + j
+            if d >= in_dim:
+                break
+            bit = (
+                F.when(ucol.getItem(d) >= 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+            )
+            t = F.shiftleft(bit, j).cast("bigint")
+            term = t if term is None else term + t
+        words.append(term)
+    return F.array(*words)
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    """Total Hamming distance between two equal-length ``array<bigint>``
+    packed-word columns: Σ popcount(xor) — pure integer, identical in
+    any engine."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda p, q: F.bit_count(p.bitwiseXOR(q)).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def bq_build(
+    embeddings: DataFrame,
+    units: int = 1_000_000,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization index build — the extreme rung of the
+    quantization ladder (1 bit per component; for in_dim=64 the whole
+    stored vector is TWO 32-bit words = 8 bytes, the same footprint as
+    a packed PQ code but with zero training): each component contributes
+    its micro-unit SIGN bit. Fully stateless — no vmax, no codebooks,
+    no sample — so the index composes with streaming ingest and never
+    needs recalibration as the corpus grows. Returns the stored
+    relation ``(id, _bq array<bigint>)``.
+
+    Scale: one zero-shuffle projection; the pack is a plain codegen
+    expression (no Python, no shuffle)."""
+    base = embeddings.select(
+        id_col,
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "bq_build")
+        .alias("_u"),
+    )
+    return base.select(id_col, _bq_words(F.col("_u"), in_dim).alias("_bq"))
+
+
+def bq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    units: int = 1_000_000,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage retrieval through BINARY quantization (the
+    sign-bit/Hamming shape modern vector stores ship as their cheapest
+    tier): stage 1 scans the 1-bit-per-component packed index ranking
+    by total Hamming distance (Σ popcount(xor) over the packed words —
+    for mean-centered data the sign pattern is a locality-sensitive
+    sketch of direction, and Hamming approximates angular distance);
+    stage 2 re-ranks the ``candidates`` survivors by exact
+    full-resolution integer L2. Versus :func:`sq_topk` this reads 1/8
+    the index bytes and needs NO calibration scan at all; the price is
+    a coarser stage-1 ordering, which the recall row
+    (``sim_bq_recall``) prices against the same truth at the same
+    budgets. Both stages integer-exact with id tie-breaks → fully
+    DuckDB-replayable. Output ``(query_id, vec_id, d2_u, rn)`` — the
+    family shape. Pass ``index`` (a :func:`bq_build` result) to scan a
+    prebuilt index.
+
+    Scale: stage 1 touches ceil(in_dim/32) BIGINTs per vector — a
+    popcount-xor codegen scan with a broadcast query relation; stage 2
+    reads ``candidates`` full-width rows per query."""
+    base = embeddings.select(
+        id_col,
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "bq_topk")
+        .alias("_u"),
+    )
+    if index is None:
+        index = bq_build(
+            embeddings, units=units, in_dim=in_dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "bq_topk")
+        .alias("_qu"),
+    ).select(
+        "query_id", "_qu", _bq_words(F.col("_qu"), in_dim).alias("_qbq")
+    )
+    return _coarse_then_exact(
+        base, index, qp, k, candidates, id_col, "_bq", "_qbq",
+        coarse_dist=_hamming,
     )
 
 

@@ -219,3 +219,57 @@ def test_ivfsq_codes_are_bytes_and_probe_bounds_scan(spark):
         ).select("cluster").collect()
     }
     assert len(probed) == 1
+
+
+# ------------------------------------------------- binary quantization
+
+
+def test_bq_pack_hand_computed(spark):
+    """Pin the packed words: dims 0..7 alternating +/− micro-units →
+    bits 10101010… per construction (bit j of word 0 = 1 iff u_j >= 0;
+    quantized 0 counts as non-negative)."""
+    from hadoop_tfidf_spark.operators.similarity import bq_build
+
+    vec = [(0.001 if d % 2 == 0 else -0.001) for d in range(8)]
+    emb = spark.createDataFrame(
+        [(0, vec)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    r = bq_build(emb, units=1000, in_dim=8).first()
+    want = sum(1 << j for j in range(0, 8, 2))
+    assert list(r["_bq"]) == [want]
+
+
+def test_bq_full_budget_equals_exact(spark):
+    """With the candidate budget covering the corpus, the BQ two-stage
+    ranking collapses to the exact integer-L2 ranking."""
+    from hadoop_tfidf_spark.operators.similarity import bq_topk, int_l2_topk
+
+    emb = _ivfsq_emb(spark)
+    queries = emb.where(F.col("vec_id") < 2)
+    exact = int_l2_topk(emb, queries, k=5, units=1000)
+    got = bq_topk(emb, queries, k=5, candidates=100, units=1000, in_dim=8)
+    key = lambda r: (r["query_id"], r["rn"], r["vec_id"], r["d2_u"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exact.collect()))
+
+
+def test_bq_hamming_matches_python_popcount(spark):
+    """Stage-1 Hamming over packed words == the per-dimension sign
+    disagreement count from an independent pure-Python replay."""
+    from hadoop_tfidf_spark.operators.similarity import bq_build
+
+    emb = _ivfsq_emb(spark)
+    packed = {r["vec_id"]: list(r["_bq"]) for r in
+              bq_build(emb, units=1000, in_dim=8).collect()}
+    raw = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def signs(v):
+        return [1 if round(x * 1000) >= 0 else 0 for x in v]
+
+    import itertools
+    for a, b in itertools.islice(itertools.combinations(sorted(raw), 2), 60):
+        want = sum(x != y for x, y in zip(signs(raw[a]), signs(raw[b])))
+        got = sum(
+            bin(wa ^ wb).count("1")
+            for wa, wb in zip(packed[a], packed[b])
+        )
+        assert got == want
