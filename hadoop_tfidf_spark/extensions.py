@@ -2315,6 +2315,80 @@ def q_streaming_mixture_weights(spark, sf_dir):
     )
 
 
+def q_streaming_source_stats(spark, sf_dir):
+    """STREAMING per-source governance under the strong gate: the
+    provenance dashboard maintained DURING ingest. Docs arrive as a
+    4-file stream; two complete-mode aggregations accumulate (1) per
+    (source, lang) doc/token counts — strata-sized state, the
+    ``streaming_mixture_weights`` shape — and (2) per (source, word)
+    presence for the distinct-vocabulary column — vocabulary-sized
+    state, the ``streaming_incremental_df`` ledger class (at 100 TB the
+    vocab ledger windows by arrival partition and merges downstream,
+    same caveat as streaming DSIR). The drained relations finish with
+    the identical batch arithmetic (sums, count-of-lang-rows, round 6,
+    vocab join), so the result must hash-match the
+    ``text_source_stats`` oracle verbatim: the governance numbers a
+    curation pipeline reviews mid-crawl equal the numbers at rest."""
+    import uuid
+
+    from hadoop_tfidf_spark.streaming.windows import (
+        run_to_completion,
+        staged_source,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    base = staged_source(
+        ("documents", sf_dir, "full4"),
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_srcstream_",
+    )
+
+    def _stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base)
+        )
+
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tag = uuid.uuid4().hex[:8]
+    counts = run_to_completion(
+        _stream()
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(words)).cast("bigint").alias("n_tokens"),
+        ),
+        f"srcstats_{tag}",
+        output_mode="complete",
+    )
+    vocab_rows = run_to_completion(
+        _stream()
+        .select("source", F.explode(words).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("_n")),
+        f"srcvocab_{tag}",
+        output_mode="complete",
+    )
+    agg = counts.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.sum("n_docs"), 6).alias("avg_tokens"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    vocab = vocab_rows.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("vocab")
+    )
+    return agg.join(F.broadcast(vocab), "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "avg_tokens",
+        F.coalesce(F.col("vocab"), F.lit(0)).cast("bigint").alias("vocab"),
+        "n_langs",
+    )
+
+
 def q_streaming_phash_dedup(spark, sf_dir):
     """STREAMING perceptual image dedup under the strong gate: docs
     arrive as a 4-file stream, each micro-batch synthesizes payloads
@@ -2940,6 +3014,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfsq_recall": q_sim_ivfsq_recall,
     "sim_topk_bq": q_sim_topk_bq,
     "sim_bq_recall": q_sim_bq_recall,
+    "streaming_source_stats": q_streaming_source_stats,
     # -- round-9 late additions, never driver-rowed until now --
     "sim_pca_topk": q_sim_pca_topk,
     "streaming_phash_dedup": q_streaming_phash_dedup,
@@ -2970,16 +3045,17 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_capped": q_dedup_minhash_capped,
     "dedup_fuzzy": q_dedup_fuzzy,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "text_pack_sequences": q_text_pack_sequences,
     # ---- past the 50-slot cap from here down ----
-    # text_pack_shuffled / text_c4_filters / text_lm_score /
-    # text_self_dedup / text_chunk / text_repetition ceded their window
-    # slots to the round-11 OPQ-IVFADC, IVF-SQ and BQ pairs (past-cap
-    # newcomers would break the rotation rule; these six are r7-row but
+    # text_pack_sequences / text_pack_shuffled / text_c4_filters /
+    # text_lm_score / text_self_dedup / text_chunk / text_repetition
+    # ceded their window slots to the round-11 OPQ-IVFADC, IVF-SQ and
+    # BQ pairs + the streaming governance twin (past-cap newcomers
+    # would break the rotation rule; these seven are r7-row but
     # code-unchanged and lead the round-12 backlog). Then the r7/r8/
     # r10-green cohorts riding their newest rows + the per-round local
     # full drive; the 2 structurally no-oracle entries close the
     # registry.
+    "text_pack_sequences": q_text_pack_sequences,
     "text_pack_shuffled": q_text_pack_shuffled,
     "text_c4_filters": q_text_c4_filters,
     "text_lm_score": q_text_lm_score,
@@ -6826,3 +6902,10 @@ FROM (SELECT unnest([{qids}]) AS q) LEFT JOIN hits{b} h ON h.query_id = q"""
 
 EXTENSION_ORACLE_SQL["sim_topk_bq"] = _bq_topk_sql()
 EXTENSION_ORACLE_SQL["sim_bq_recall"] = _bq_recall_sql()
+
+
+# The streaming governance twin must equal the batch dashboard verbatim
+# — same oracle text as text_source_stats.
+EXTENSION_ORACLE_SQL["streaming_source_stats"] = EXTENSION_ORACLE_SQL[
+    "text_source_stats"
+]
