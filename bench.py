@@ -63,8 +63,9 @@ HEADLINE = [
     # end-to-end corpus curation (lang→quality→dedup→near-dup→split)
     # and its training-ready extension (+ split-aware sequence packing)
     "pipeline_curate", "pipeline_curate_pack", "pipeline_curate_semantic",
-    # modern ranking (Okapi BM25 over the same corpus + query literals)
-    "search_bm25",
+    # modern ranking (Okapi BM25 over the same corpus + query literals;
+    # hybrid RRF = lexical DQ6 rank fused with the vector index)
+    "search_bm25", "search_hybrid_rrf",
     # dedup family (minhash twice: free-running + megabucket cap engaged,
     # so the 100 TB safety valve's sizes-agg + filter-join has a timing row)
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_capped",

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_tfidf_spark.corpus import load_docs
@@ -2964,6 +2964,79 @@ def q_sim_bq_recall(spark, sf_dir):
     return branches[0].unionByName(branches[1])
 
 
+#: RRF constant (Cormack et al. 2009 — 60 is the canonical choice),
+#: lexical candidate depth, and fused output depth.
+RRF_K = 60
+RRF_LEX_TOPN = 20
+RRF_TOPK = 10
+
+
+def q_search_hybrid_rrf(spark, sf_dir):
+    """HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    of the reference's lexical TF-IDF ranking with the vector index:
+    the modern search deployment a TF-IDF user upgrades to without
+    discarding the lexical side. Per query: the lexical top-20 from the
+    core DQ6 ranking (reference Rank semantics, score-desc/doc-id
+    tie-break) full-outer-joins the exact integer-L2 top-10 for the
+    query's mapped embedding (``SEARCH_QUERIES[i] ↔ SIM_QUERY_IDS[i]``;
+    the fixture convention ``vec_id ≡ doc_id`` the semantic curate
+    pipeline already uses), fused score = Σ 1/(60+rank) over the lists
+    the doc appears in — a FIXED two-term expression, so the double
+    arithmetic replays bit-identically — and the fused top-10 ranks
+    with (score desc, doc_id) tie-breaks. NULL ``r_lex``/``r_sem``
+    surface which list each hit came from.
+
+    Scale: both inputs are already top-k-bounded per query (the
+    rankings do the heavy lifting; fusion touches ≤30 rows per query),
+    so the fusion join — a sort-merge, since Spark cannot broadcast a
+    FULL outer side — and its window run over (queries × 30) rows
+    regardless of corpus size."""
+    from hadoop_tfidf_spark.declared import SEARCH_QUERIES, q_rank
+
+    vec_ids = SIM_QUERY_IDS[: len(SEARCH_QUERIES)]
+    lex = (
+        q_rank(spark, sf_dir)
+        .where(F.col("rnk") <= RRF_LEX_TOPN)
+        .select("query_id", "doc_id", F.col("rnk").cast("bigint").alias("r_lex"))
+    )
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id").isin(vec_ids))
+    qmap = spark.createDataFrame(
+        [(qid, int(v)) for (qid, _), v in zip(SEARCH_QUERIES, vec_ids)],
+        "query_id STRING, qvec_id BIGINT",
+    )
+    sem = (
+        S.int_l2_topk(emb, queries, k=SIM_K, units=IVF_UNITS)
+        .select(
+            F.col("query_id").alias("qvec_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.col("rn").cast("bigint").alias("r_sem"),
+        )
+        .join(F.broadcast(qmap), "qvec_id")
+        .select("query_id", "doc_id", "r_sem")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= RRF_TOPK)
+    )
+
+
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
@@ -3015,6 +3088,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_bq": q_sim_topk_bq,
     "sim_bq_recall": q_sim_bq_recall,
     "streaming_source_stats": q_streaming_source_stats,
+    "search_hybrid_rrf": q_search_hybrid_rrf,
     # -- round-9 late additions, never driver-rowed until now --
     "sim_pca_topk": q_sim_pca_topk,
     "streaming_phash_dedup": q_streaming_phash_dedup,
@@ -3044,17 +3118,17 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_capped": q_dedup_minhash_capped,
     "dedup_fuzzy": q_dedup_fuzzy,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     # ---- past the 50-slot cap from here down ----
-    # text_pack_sequences / text_pack_shuffled / text_c4_filters /
-    # text_lm_score / text_self_dedup / text_chunk / text_repetition
-    # ceded their window slots to the round-11 OPQ-IVFADC, IVF-SQ and
-    # BQ pairs + the streaming governance twin (past-cap newcomers
-    # would break the rotation rule; these seven are r7-row but
-    # code-unchanged and lead the round-12 backlog). Then the r7/r8/
-    # r10-green cohorts riding their newest rows + the per-round local
-    # full drive; the 2 structurally no-oracle entries close the
-    # registry.
+    # dedup_ngram_jaccard / text_pack_sequences / text_pack_shuffled /
+    # text_c4_filters / text_lm_score / text_self_dedup / text_chunk /
+    # text_repetition ceded their window slots to the round-11
+    # OPQ-IVFADC, IVF-SQ and BQ pairs + the streaming governance twin +
+    # the hybrid RRF fusion (past-cap newcomers would break the
+    # rotation rule; these eight are r7-row but code-unchanged and lead
+    # the round-12 backlog). Then the r7/r8/r10-green cohorts riding
+    # their newest rows + the per-round local full drive; the 2
+    # structurally no-oracle entries close the registry.
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_pack_sequences": q_text_pack_sequences,
     "text_pack_shuffled": q_text_pack_shuffled,
     "text_c4_filters": q_text_c4_filters,
@@ -6909,3 +6983,76 @@ EXTENSION_ORACLE_SQL["sim_bq_recall"] = _bq_recall_sql()
 EXTENSION_ORACLE_SQL["streaming_source_stats"] = EXTENSION_ORACLE_SQL[
     "text_source_stats"
 ]
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval oracle: lexical TF-IDF rank ⊕ vector rank via RRF.
+# --------------------------------------------------------------------------
+
+def _hybrid_rrf_sql() -> str:
+    """RRF replay: the core search_rel chain ranks the lexical side
+    with the DQ6 ordering, the exact integer-L2 chain ranks the
+    semantic side for each query's mapped embedding, and the fusion is
+    the same fixed two-term ``1/(60+r)`` expression + top-10 window."""
+    from hadoop_tfidf_spark.declared import SEARCH_QUERIES
+
+    vec_ids = SIM_QUERY_IDS[: len(SEARCH_QUERIES)]
+    qmap = ", ".join(
+        f"('{qid}', {int(v)})"
+        for (qid, _), v in zip(SEARCH_QUERIES, vec_ids)
+    )
+    qvec_ids = ", ".join(str(int(v)) for v in vec_ids)
+    return (
+        _CORE_CTES
+        + f"""
+, lexr AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS BIGINT)
+           AS r_lex
+  FROM search_rel
+  QUALIFY r_lex <= {RRF_LEX_TOPN}
+),
+ev AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+),
+qmap AS (SELECT * FROM (VALUES {qmap}) AS m(query_id, qvec_id)),
+semr AS (
+  SELECT m.query_id, s.vec_id AS doc_id, s.r_sem
+  FROM (
+    SELECT query_id AS qvec_id, vec_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY d2, vec_id) AS BIGINT) AS r_sem
+    FROM (
+      SELECT q.vec_id AS query_id, eb.vec_id,
+             {_int_d2_sql("eb.u", "q.u")} AS d2
+      FROM ev eb CROSS JOIN (SELECT * FROM ev
+                             WHERE vec_id IN ({qvec_ids})) q
+      WHERE eb.vec_id <> q.vec_id
+    )
+    QUALIFY r_sem <= {SIM_K}
+  ) s JOIN qmap m ON m.qvec_id = s.qvec_id
+),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.r_lex, s.r_sem,
+         round(coalesce(1.0 / ({RRF_K} + l.r_lex), 0.0)
+               + coalesce(1.0 / ({RRF_K} + s.r_sem), 0.0), 6) AS rrf_score
+  FROM lexr l FULL JOIN semr s
+    ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, r_lex, r_sem, rrf_score, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rnk
+  FROM fused
+) WHERE rnk <= {RRF_TOPK}
+"""
+    )
+
+
+EXTENSION_ORACLE_SQL["search_hybrid_rrf"] = _hybrid_rrf_sql()

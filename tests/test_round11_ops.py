@@ -273,3 +273,59 @@ def test_bq_hamming_matches_python_popcount(spark):
             for wa, wb in zip(packed[a], packed[b])
         )
         assert got == want
+
+
+# ------------------------------------------------- hybrid RRF fusion
+
+
+def test_hybrid_rrf_hand_computed(spark, tmp_path):
+    """Fuse hand-built rankings through the declared query's arithmetic:
+    a doc in both lists must score 1/(60+r_lex) + 1/(60+r_sem); a doc in
+    one list scores its single term; ordering breaks ties by doc_id."""
+    from hadoop_tfidf_spark.extensions import RRF_K
+
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id STRING, doc_id BIGINT, r_lex BIGINT"
+    )
+    sem = spark.createDataFrame(
+        [("q", 2, 1), ("q", 3, 2)], "query_id STRING, doc_id BIGINT, r_sem BIGINT"
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0)
+            ),
+            6,
+        ).alias("s"),
+    )
+    got = {r["doc_id"]: r["s"] for r in fused.collect()}
+    assert got[1] == round(1 / 61, 6)
+    assert got[2] == round(1 / 62 + 1 / 61, 6)
+    assert got[3] == round(1 / 62, 6)
+
+
+def test_hybrid_rrf_query_shape(spark):
+    """The declared query returns RRF_TOPK rows per lexical query, rnk
+    dense from 1, scores non-increasing, and every row flags at least
+    one source list."""
+    from hadoop_tfidf_spark.extensions import (
+        RRF_TOPK,
+        q_search_hybrid_rrf,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    rows = q_search_hybrid_rrf(spark, SF_DIR_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(len(v) for v in by_q.values()) == {RRF_TOPK}
+    for v in by_q.values():
+        v.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in v] == list(range(1, RRF_TOPK + 1))
+        scores = [r["rrf_score"] for r in v]
+        assert scores == sorted(scores, reverse=True)
+        assert all(
+            r["r_lex"] is not None or r["r_sem"] is not None for r in v
+        )
