@@ -33,6 +33,9 @@ Usage::
     python -m hadoop_tfidf_spark.cli project       IN OUT --method rp|pca
                   [--out-dim K] [--in-dim D] [--whiten]
     python -m hadoop_tfidf_spark.cli compact       IN OUT [--target-file-mb N]
+    python -m hadoop_tfidf_spark.cli knn           IN OUT --query-ids 0,1
+                  [--knn-index brute|bq|sq|ivfsq] [--k K]
+                  [--candidates C] [--nprobe P] [--units U]
 
 ``curate`` is engine surface beyond the reference (the north-star
 training-data pipeline): lang-id → quality filter → exact dedup → LSH
@@ -68,6 +71,14 @@ deployment; ``--n-buckets`` must match training). ``--save-ratios``
 persists the trained table for exactly that reuse; ``--exclude-target``
 drops the target slice itself from the selection (select NEW data that
 looks like the target).
+
+``knn`` is vector search over an embeddings parquet (``vec_id``,
+``embedding``): exact integer-L2 (``brute``) or the quantization-ladder
+tiers — binary sign-bit/Hamming (``bq``), flat INT8 scalar quantization
+(``sq``), IVF-SQ8 probed byte-coded residuals (``ivfsq``) — each a
+stage-1 cut + exact re-rank writing the family shape ``(query_id,
+vec_id, d2_u, rn)``. One-shot build+search; production splits them via
+the ``bq_build``/``ivfsq_build`` API.
 
 ``IN`` is a text directory (file-per-document, the reference's input
 shape) or a parquet path with (doc_id, text) columns.
@@ -108,7 +119,7 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="hadoop_tfidf_spark")
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
-        "curate", "select", "bpe-train", "project", "compact",
+        "curate", "select", "bpe-train", "project", "compact", "knn",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -172,6 +183,20 @@ def main(argv: list[str] | None = None) -> None:
                    help="project (rp): expected embedding dimension")
     p.add_argument("--whiten", action="store_true",
                    help="project (pca): divide scores by sqrt-eigenvalues")
+    p.add_argument("--query-ids", default=None, metavar="ID,ID,...",
+                   help="knn: comma-separated vec_ids to search for")
+    p.add_argument("--knn-index", dest="knn_index", default="brute",
+                   choices=["brute", "bq", "sq", "ivfsq"],
+                   help="knn: index tier — exact integer-L2 scan, binary "
+                        "sign-bit/Hamming, flat INT8 SQ, or IVF-SQ8 "
+                        "(probed byte-coded residuals)")
+    p.add_argument("--k", type=int, default=10, help="knn: results per query")
+    p.add_argument("--candidates", type=int, default=50,
+                   help="knn: stage-1 survivors per query (bq/sq/ivfsq)")
+    p.add_argument("--nprobe", type=int, default=2,
+                   help="knn (ivfsq): coarse cells probed per query")
+    p.add_argument("--units", type=int, default=1_000_000,
+                   help="knn: micro-unit quantization scale")
     args = p.parse_args(argv)
 
     if args.tool == "project" and args.method is None:
@@ -180,6 +205,16 @@ def main(argv: list[str] | None = None) -> None:
         p.error("project: --whiten applies to --method pca only")
     if args.tool == "bpe-train" and args.merges <= 0:
         p.error("bpe-train: --merges must be positive")
+
+    if args.tool == "knn":
+        if not args.query_ids:
+            p.error("knn: --query-ids ID,ID,... is required")
+        try:
+            knn_ids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+        except ValueError:
+            p.error(f"knn: --query-ids must be integers, got {args.query_ids!r}")
+        if not knn_ids:
+            p.error("knn: --query-ids is empty")
 
     if args.tool == "select":
         # argparse-level contract checks (no Spark session needed to fail)
@@ -198,6 +233,37 @@ def main(argv: list[str] | None = None) -> None:
     from hadoop_tfidf_spark.tfidf import doc_word_count, term_frequency, tfidf
 
     spark = get_spark(app_name=f"hadoop_tfidf_spark_{args.tool}")
+
+    if args.tool == "knn":
+        # IN is an embeddings parquet (vec_id, embedding); OUT gets the
+        # family-shape result (query_id, vec_id, d2_u, rn). One-shot
+        # build+search — production splits build from search via the
+        # bq_build/ivfsq_build API and passes the stored index in.
+        from hadoop_tfidf_spark.operators import similarity as S
+
+        emb = spark.read.parquet(args.input)
+        in_dim = len(emb.select("embedding").first()["embedding"])
+        queries = emb.where(F.col("vec_id").isin(knn_ids))
+        if args.knn_index == "brute":
+            out = S.int_l2_topk(emb, queries, k=args.k, units=args.units)
+        elif args.knn_index == "bq":
+            out = S.bq_topk(
+                emb, queries, k=args.k, candidates=args.candidates,
+                units=args.units, in_dim=in_dim,
+            )
+        elif args.knn_index == "sq":
+            out = S.sq_topk(
+                emb, queries, k=args.k, candidates=args.candidates,
+                units=args.units, in_dim=in_dim,
+            )
+        else:  # ivfsq
+            out = S.ivfsq_topk(
+                emb, knn_ids, k=args.k, candidates=args.candidates,
+                nprobe=args.nprobe, units=args.units, in_dim=in_dim,
+            )
+        _write(out, args.output, args.format)
+        spark.stop()
+        return
 
     if args.tool == "compact":
         # table maintenance, not a query: IN is a parquet table of ANY

@@ -2389,6 +2389,46 @@ def q_streaming_source_stats(spark, sf_dir):
     )
 
 
+def q_streaming_bq_index(spark, sf_dir):
+    """STREAMING ANN index ingest under the strong gate: the
+    binary-quantization pack is stateless and training-free (no vmax,
+    no codebooks — the property the BQ docstring claims makes it
+    compose with streaming ingest; this row PROVES it), so the packed
+    index is maintained by a pure append-mode map over a 4-file
+    embedding stream — zero aggregation state — and the drained rows
+    must hash-match the one-shot batch :func:`similarity.bq_build`
+    replay verbatim: the index built during ingest IS the index built
+    at rest, bit for bit."""
+    import uuid
+
+    from hadoop_tfidf_spark.operators.similarity import bq_build
+    from hadoop_tfidf_spark.streaming.windows import (
+        run_to_completion,
+        staged_source,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = staged_source(
+        ("embeddings", sf_dir, "full4"),
+        lambda p: emb.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_bqstream_",
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    packed = bq_build(stream, units=IVF_UNITS, in_dim=64)
+    drained = run_to_completion(
+        packed, f"bqidx_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return drained.select(
+        "vec_id",
+        F.col("_bq").getItem(0).alias("bq_w0"),
+        F.col("_bq").getItem(1).alias("bq_w1"),
+    )
+
+
 def q_streaming_phash_dedup(spark, sf_dir):
     """STREAMING perceptual image dedup under the strong gate: docs
     arrive as a 4-file stream, each micro-batch synthesizes payloads
@@ -3089,6 +3129,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_bq_recall": q_sim_bq_recall,
     "streaming_source_stats": q_streaming_source_stats,
     "search_hybrid_rrf": q_search_hybrid_rrf,
+    "streaming_bq_index": q_streaming_bq_index,
     # -- round-9 late additions, never driver-rowed until now --
     "sim_pca_topk": q_sim_pca_topk,
     "streaming_phash_dedup": q_streaming_phash_dedup,
@@ -3117,17 +3158,18 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_curate": q_pipeline_curate,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_capped": q_dedup_minhash_capped,
-    "dedup_fuzzy": q_dedup_fuzzy,
     # ---- past the 50-slot cap from here down ----
-    # dedup_ngram_jaccard / text_pack_sequences / text_pack_shuffled /
-    # text_c4_filters / text_lm_score / text_self_dedup / text_chunk /
-    # text_repetition ceded their window slots to the round-11
-    # OPQ-IVFADC, IVF-SQ and BQ pairs + the streaming governance twin +
-    # the hybrid RRF fusion (past-cap newcomers would break the
-    # rotation rule; these eight are r7-row but code-unchanged and lead
-    # the round-12 backlog). Then the r7/r8/r10-green cohorts riding
-    # their newest rows + the per-round local full drive; the 2
-    # structurally no-oracle entries close the registry.
+    # dedup_fuzzy / dedup_ngram_jaccard / text_pack_sequences /
+    # text_pack_shuffled / text_c4_filters / text_lm_score /
+    # text_self_dedup / text_chunk / text_repetition ceded their window
+    # slots to the round-11 OPQ-IVFADC, IVF-SQ and BQ pairs + the
+    # streaming governance/index twins + the hybrid RRF fusion
+    # (past-cap newcomers would break the rotation rule; these nine are
+    # r7-row but code-unchanged and lead the round-12 backlog). Then
+    # the r7/r8/r10-green cohorts riding their newest rows + the
+    # per-round local full drive; the 2 structurally no-oracle entries
+    # close the registry.
+    "dedup_fuzzy": q_dedup_fuzzy,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_pack_sequences": q_text_pack_sequences,
     "text_pack_shuffled": q_text_pack_shuffled,
@@ -7056,3 +7098,24 @@ FROM (
 
 
 EXTENSION_ORACLE_SQL["search_hybrid_rrf"] = _hybrid_rrf_sql()
+
+
+# Streaming BQ index ingest == the one-shot batch pack, bit for bit
+# (the b CTE of the BQ replay, words surfaced as scalar columns).
+EXTENSION_ORACLE_SQL["streaming_bq_index"] = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, 1), w ->
+           CAST(list_sum(list_transform(generate_series(0, 31), j ->
+             CASE WHEN u[w * 32 + j + 1] >= 0 THEN (1::BIGINT << j)
+                  ELSE 0::BIGINT END)) AS BIGINT)) AS bq
+  FROM e
+)
+SELECT vec_id, bq[1] AS bq_w0, bq[2] AS bq_w1 FROM b
+"""

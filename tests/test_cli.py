@@ -487,3 +487,46 @@ def test_cli_project_rejects_bad_flags(tmp_path):
         )
         assert res.returncode == 2, (tool, extra, res.stderr[-500:])
         assert f"{tool}:" in res.stderr
+
+
+def test_knn_brute_and_bq(spark, tmp_path):
+    """knn end-to-end: brute exact search returns k rows per query in
+    the family shape; the bq tier with an uncut budget must agree with
+    brute exactly (stage 2 re-ranks exactly)."""
+    emb_path = str(tmp_path / "emb.parquet")
+    rows = [
+        (i, [((i * 29 + d * 13) % 19 - 9) / 10.0 for d in range(8)])
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(emb_path)
+
+    out_b = str(tmp_path / "knn_brute")
+    _run("knn", emb_path, out_b, "--query-ids", "0,1", "--k", "5",
+         "--units", "1000")
+    brute = sorted(duckdb.sql(
+        f"SELECT query_id, rn, vec_id, d2_u FROM '{out_b}/*.parquet'"
+    ).fetchall())
+    assert len(brute) == 10
+    assert {r[0] for r in brute} == {0, 1}
+
+    out_q = str(tmp_path / "knn_bq")
+    _run("knn", emb_path, out_q, "--query-ids", "0,1", "--k", "5",
+         "--knn-index", "bq", "--candidates", "100", "--units", "1000")
+    bq = sorted(duckdb.sql(
+        f"SELECT query_id, rn, vec_id, d2_u FROM '{out_q}/*.parquet'"
+    ).fetchall())
+    assert bq == brute
+
+
+def test_knn_rejects_missing_query_ids(tmp_path):
+    import subprocess
+
+    cmd = [sys.executable, "-m", "hadoop_tfidf_spark.cli", "knn",
+           "in.parquet", str(tmp_path / "o")]
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=60, cwd="/root/repo"
+    )
+    assert res.returncode != 0
+    assert "--query-ids" in res.stderr
