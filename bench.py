@@ -42,6 +42,13 @@ REGRESSION_FACTOR = 1.5
 REGRESSION_FLOOR_S = 0.25
 REGRESSION_LOOKBACK = 2
 
+#: Queries whose CONSTRUCTION runs eager index builds (Lloyd collects,
+#: permutation training) that the noop-write timer never sees but the
+#: bench pays per trial: one trial each, so the full-set wall stays
+#: bounded as the headline grows. Their timed stage is a deterministic
+#: scan whose min-of-1 noise the tripwire retry pass absorbs.
+SINGLE_TRIAL = {"sim_topk_opq_ivfpq", "sim_topk_ivfsq"}
+
 #: Queries whose SEMANTICS changed in a given round: timings from rounds
 #: BEFORE the marker measure a different computation, so the tripwire
 #: skips those baselines (comparisons resume the round after the change
@@ -160,7 +167,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
     for name in names:
         best = None
-        for _ in range(trials):
+        for _ in range(1 if name in SINGLE_TRIAL else trials):
             df = queries[name](spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
