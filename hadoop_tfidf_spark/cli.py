@@ -36,6 +36,7 @@ Usage::
     python -m hadoop_tfidf_spark.cli knn           IN OUT --query-ids 0,1
                   [--knn-index brute|bq|sq|ivfsq] [--k K]
                   [--candidates C] [--nprobe P] [--units U]
+    python -m hadoop_tfidf_spark.cli explain       QUERY SF_DIR
 
 ``curate`` is engine surface beyond the reference (the north-star
 training-data pipeline): lang-id → quality filter → exact dedup → LSH
@@ -120,6 +121,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
         "curate", "select", "bpe-train", "project", "compact", "knn",
+        "explain",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -233,6 +235,29 @@ def main(argv: list[str] | None = None) -> None:
     from hadoop_tfidf_spark.tfidf import doc_word_count, term_frequency, tfidf
 
     spark = get_spark(app_name=f"hadoop_tfidf_spark_{args.tool}")
+
+    if args.tool == "explain":
+        # IN is a declared-query name (any __spark_entry__.queries()
+        # key); OUT is the sf directory to plan against. Executes the
+        # query and prints its post-AQE physical-plan operator census as
+        # one JSON line — the per-query slice of tools/gen_plans_doc.py
+        # for interactive plan-shape review ("did my filter push down?").
+        import dataclasses
+        import json
+
+        import __spark_entry__ as entrymod
+        from hadoop_tfidf_spark.plans import plan_stats
+
+        qs = entrymod.queries()
+        if args.input not in qs:
+            p.error(
+                f"explain: unknown query {args.input!r} "
+                f"({len(qs)} registered — see COVERAGE.md)"
+            )
+        stats = plan_stats(qs[args.input](spark, args.output))
+        print(json.dumps({"query": args.input, **dataclasses.asdict(stats)}))
+        spark.stop()
+        return
 
     if args.tool == "knn":
         # IN is an embeddings parquet (vec_id, embedding); OUT gets the

@@ -530,3 +530,30 @@ def test_knn_rejects_missing_query_ids(tmp_path):
     )
     assert res.returncode != 0
     assert "--query-ids" in res.stderr
+
+
+def test_explain_emits_plan_census(tmp_path):
+    """explain prints one JSON census line for a declared query and
+    rejects unknown names at argparse level."""
+    import json
+    import os
+
+    cmd = [sys.executable, "-m", "hadoop_tfidf_spark.cli", "explain",
+           "doc_word_count", "/root/testdata/sf0.001"]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["query"] == "doc_word_count"
+    assert d["cartesian_products"] == 0 and d["shuffle_exchanges"] >= 1
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "hadoop_tfidf_spark.cli", "explain",
+         "no_such_query", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert bad.returncode != 0 and "unknown query" in bad.stderr
