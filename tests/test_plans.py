@@ -326,3 +326,49 @@ def test_rank_topk_is_take_ordered_not_global_sort(stats_of):
     s = stats_of("rank")
     assert s.window_group_limits == 0
     assert s.cartesian_products == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["sim_topk_sq", "sim_topk_bq", "sim_topk_ivfsq", "sim_topk_opq_ivfpq"]
+)
+def test_quantization_ladder_plans_no_cartesian_wgl_pushdown(stats_of, name):
+    """Every quantization-ladder retrieval keeps the zero-cartesian
+    invariant and both of its per-query top-k windows (stage-1 cut +
+    exact re-rank, or the ADC rank) get the pre-shuffle Partial
+    WindowGroupLimit — losing either turns a bounded exchange
+    corpus-sized."""
+    s = stats_of(name)
+    assert s.cartesian_products == 0
+    assert s.partial_window_group_limits >= 1
+    assert s.window_group_limits > s.partial_window_group_limits
+
+
+def test_ivfsq_probe_is_broadcast_equi_join(stats_of):
+    """IVF-SQ stage 1 reaches cell members through a BROADCAST equi-join
+    of the (queries × nprobe) probe relation on the cluster id — never a
+    nested-loop scan of the corpus (the flat SQ/BQ scans use the
+    documented small-queries broadcast NLJ instead; the probe is exactly
+    what buys IVF-SQ out of it)."""
+    s = stats_of("sim_topk_ivfsq")
+    assert s.broadcast_hash_joins >= 1
+    assert s.nested_loop_joins == 0
+
+
+def test_streaming_bq_index_is_pure_map(stats_of):
+    """The streaming BQ index build is a stateless append-mode map: the
+    drained batch relation shows zero shuffles, zero joins — the
+    property that lets the index ride ingest with no reprocessing."""
+    s = stats_of("streaming_bq_index")
+    assert s.shuffle_exchanges == 0
+    assert s.cartesian_products == 0
+    assert s.broadcast_hash_joins == 0 and s.sort_merge_joins == 0
+
+
+def test_hybrid_rrf_fusion_no_cartesian(stats_of):
+    """RRF fusion: the full-outer fusion join is over two top-k-bounded
+    relations (a tiny sort-merge — Spark cannot broadcast a FULL outer
+    side); nothing cartesian anywhere in the composed lexical + vector
+    plan."""
+    s = stats_of("search_hybrid_rrf")
+    assert s.cartesian_products == 0
+    assert s.partial_window_group_limits >= 1
