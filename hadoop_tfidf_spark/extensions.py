@@ -3004,6 +3004,50 @@ def q_sim_bq_recall(spark, sf_dir):
     return branches[0].unionByName(branches[1])
 
 
+def q_text_source_quality(spark, sf_dir):
+    """Per-source QUALITY governance — the second half of the
+    provenance dashboard (``text_source_stats`` counts tokens; this
+    row says whether each source is worth its tokens): per source the
+    doc count, the corpus quality-score mass and mean, and the C4
+    rule-gate keep count and rate. The per-doc quality double is
+    carried as exact micro-units (``round(quality·1e6)`` — one
+    round-trip of an already-6dp value, so the BIGINT is engine-exact
+    and the source SUM is order-independent); the mean divides two
+    exact integers in one IEEE op. Plan: two zero-shuffle scan stages
+    (quality + C4 flags) joined doc_id-keyed, one source-keyed agg."""
+    from hadoop_tfidf_spark.functions.text import (
+        c4_quality_filters,
+        quality_score,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    narrow = docs.select("doc_id", "text")
+    q = quality_score(narrow).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0)
+        .cast("bigint")
+        .alias("_qu"),
+    )
+    c4 = c4_quality_filters(narrow).select(
+        "doc_id", F.col("keep").cast("bigint").alias("_keep")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(c4, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_qu").cast("bigint").alias("sum_quality_u"),
+            F.round(
+                F.sum("_qu") / (F.count("*") * F.lit(1_000_000.0)), 6
+            ).alias("avg_quality"),
+            F.sum("_keep").cast("bigint").alias("n_keep"),
+            F.round(F.sum("_keep") / F.count("*"), 6).alias("keep_rate"),
+        )
+    )
+
+
 #: RRF constant (Cormack et al. 2009 — 60 is the canonical choice),
 #: lexical candidate depth, and fused output depth.
 RRF_K = 60
@@ -3130,6 +3174,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_source_stats": q_streaming_source_stats,
     "search_hybrid_rrf": q_search_hybrid_rrf,
     "streaming_bq_index": q_streaming_bq_index,
+    "text_source_quality": q_text_source_quality,
     # -- round-9 late additions, never driver-rowed until now --
     "sim_pca_topk": q_sim_pca_topk,
     "streaming_phash_dedup": q_streaming_phash_dedup,
@@ -3157,18 +3202,18 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_pq": q_sim_topk_pq,
     "pipeline_curate": q_pipeline_curate,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_minhash_capped": q_dedup_minhash_capped,
     # ---- past the 50-slot cap from here down ----
-    # dedup_fuzzy / dedup_ngram_jaccard / text_pack_sequences /
-    # text_pack_shuffled / text_c4_filters / text_lm_score /
-    # text_self_dedup / text_chunk / text_repetition ceded their window
-    # slots to the round-11 OPQ-IVFADC, IVF-SQ and BQ pairs + the
-    # streaming governance/index twins + the hybrid RRF fusion
-    # (past-cap newcomers would break the rotation rule; these nine are
-    # r7-row but code-unchanged and lead the round-12 backlog). Then
-    # the r7/r8/r10-green cohorts riding their newest rows + the
-    # per-round local full drive; the 2 structurally no-oracle entries
-    # close the registry.
+    # dedup_minhash_capped / dedup_fuzzy / dedup_ngram_jaccard /
+    # text_pack_sequences / text_pack_shuffled / text_c4_filters /
+    # text_lm_score / text_self_dedup / text_chunk / text_repetition
+    # ceded their window slots to the round-11 OPQ-IVFADC, IVF-SQ and
+    # BQ pairs + the streaming governance/index twins + the hybrid RRF
+    # fusion + the source-quality roll-up (past-cap newcomers would
+    # break the rotation rule; these ten are r7-row but code-unchanged
+    # and lead the round-12 backlog). Then the r7/r8/r10-green cohorts
+    # riding their newest rows + the per-round local full drive; the 2
+    # structurally no-oracle entries close the registry.
+    "dedup_minhash_capped": q_dedup_minhash_capped,
     "dedup_fuzzy": q_dedup_fuzzy,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_pack_sequences": q_text_pack_sequences,
@@ -7118,4 +7163,28 @@ b AS (
   FROM e
 )
 SELECT vec_id, bq[1] AS bq_w0, bq[2] AS bq_w1 FROM b
+"""
+
+
+# Per-source quality governance: the per-doc quality and C4-keep
+# replays nested verbatim, rolled up source-keyed with the exact
+# micro-unit quality mass.
+EXTENSION_ORACLE_SQL["text_source_quality"] = f"""
+WITH q AS MATERIALIZED (
+{EXTENSION_ORACLE_SQL["text_quality"]}
+),
+c AS MATERIALIZED (
+{EXTENSION_ORACLE_SQL["text_c4_filters"]}
+),
+d AS (SELECT doc_id, source FROM documents)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_quality_u,
+       round(sum(CAST(round(q.quality * 1000000) AS BIGINT))
+             / (count(*) * 1000000.0), 6) AS avg_quality,
+       CAST(sum(c.keep) AS BIGINT) AS n_keep,
+       round(sum(c.keep) / count(*), 6) AS keep_rate
+FROM d JOIN q USING (doc_id) JOIN c USING (doc_id)
+GROUP BY d.source
 """
