@@ -3155,64 +3155,14 @@ def q_search_hybrid_rrf(spark, sf_dir):
 # the round-12 rotation backlog. The 2 structurally no-oracle entries
 # (HLL/GK sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- round-10 work, registered + oracle-gated this round --
-    "multimodal_audio_energy": q_multimodal_audio_energy,
-    "text_source_stats": q_text_source_stats,
-    "text_ngram_novelty": q_text_ngram_novelty,
-    "sim_topk_sq": q_sim_topk_sq,
-    "sim_sq_recall": q_sim_sq_recall,
-    "sim_topk_opq": q_sim_topk_opq,
-    "sim_opq_recall": q_sim_opq_recall,
-    # -- round-11 brand-new: OPQ composed with the residual IVFADC,
-    #    and IVF-SQ8 (coarse cells + byte-coded residuals) --
-    "sim_topk_opq_ivfpq": q_sim_topk_opq_ivfpq,
-    "sim_opq_ivfpq_recall": q_sim_opq_ivfpq_recall,
-    "sim_topk_ivfsq": q_sim_topk_ivfsq,
-    "sim_ivfsq_recall": q_sim_ivfsq_recall,
-    "sim_topk_bq": q_sim_topk_bq,
-    "sim_bq_recall": q_sim_bq_recall,
-    "streaming_source_stats": q_streaming_source_stats,
-    "search_hybrid_rrf": q_search_hybrid_rrf,
-    "streaming_bq_index": q_streaming_bq_index,
-    "text_source_quality": q_text_source_quality,
-    # -- round-9 late additions, never driver-rowed until now --
-    "sim_pca_topk": q_sim_pca_topk,
-    "streaming_phash_dedup": q_streaming_phash_dedup,
-    "multimodal_audio_decode": q_multimodal_audio_decode,
-    "multimodal_audio_resample": q_multimodal_audio_resample,
-    # -- r6-row cohort (stale-est rows in the ledger) --
-    "asof_last_purchase": q_asof_last_purchase,
-    "dedup_exact_apply": q_dedup_exact_apply,
-    "dedup_near_canonical": q_dedup_near_canonical,
-    "dedup_simhash": q_dedup_simhash,
-    "events_hopping": q_events_hopping,
-    "events_moving_avg": q_events_moving_avg,
-    "events_sessionize": q_events_sessionize,
-    "events_tumbling": q_events_tumbling,
-    "rel_pricing_summary": q_rel_pricing_summary,
-    "rel_top_customers": q_rel_top_customers,
-    "search_bm25": q_search_bm25,
-    "text_ngram_freq": q_text_ngram_freq,
-    "text_quality": q_text_quality,
-    "text_stratified_sample": q_text_stratified_sample,
-    # -- r7-row cohort, oldest-debt leads --
-    "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
-    "pipeline_curate_pack": q_pipeline_curate_pack,
-    "sim_topk_ivfpq": q_sim_topk_ivfpq,
-    "sim_topk_pq": q_sim_topk_pq,
-    "pipeline_curate": q_pipeline_curate,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    # ---- past the 50-slot cap from here down ----
-    # dedup_minhash_capped / dedup_fuzzy / dedup_ngram_jaccard /
-    # text_pack_sequences / text_pack_shuffled / text_c4_filters /
-    # text_lm_score / text_self_dedup / text_chunk / text_repetition
-    # ceded their window slots to the round-11 OPQ-IVFADC, IVF-SQ and
-    # BQ pairs + the streaming governance/index twins + the hybrid RRF
-    # fusion + the source-quality roll-up (past-cap newcomers would
-    # break the rotation rule; these ten are r7-row but code-unchanged
-    # and lead the round-12 backlog). Then the r7/r8/r10-green cohorts
-    # riding their newest rows + the per-round local full drive; the 2
-    # structurally no-oracle entries close the registry.
+    # ------------------------------------------------------------------
+    # ROUND-12 GATE WINDOW (first 41 extension slots; 9 core precede).
+    # Policy: rotate the stale-est driver rows in, newest-rowed cohorts
+    # cede their slots on their fresh CORRECTNESS rows + the per-round
+    # local full drive. New queries register IN-window (past-cap
+    # newcomers break the rotation rule).
+    # ------------------------------------------------------------------
+    # -- the 10 r7-row entries displaced by the round-11 newcomers --
     "dedup_minhash_capped": q_dedup_minhash_capped,
     "dedup_fuzzy": q_dedup_fuzzy,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3223,101 +3173,154 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_self_dedup": q_text_self_dedup,
     "text_chunk": q_text_chunk,
     "text_repetition": q_text_repetition,
-    "sim_topk_rp_ivfpq": q_sim_topk_rp_ivfpq,
-    "sim_rp_ivfpq_recall": q_sim_rp_ivfpq_recall,
-    "text_bpe_tokens_holdout": q_text_bpe_tokens_holdout,
+    # -- the rest of the r7-row cohort (whole cohort rotates this round) --
+    "asof_next_event": q_asof_next_event,
+    "events_click_purchase": q_events_click_purchase,
+    "events_interval_join": q_events_interval_join,
+    "events_json_props": q_events_json_props,
+    "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
+    "rel_acctbal_rollup": q_rel_acctbal_rollup,
+    "rel_event_pivot": q_rel_event_pivot,
+    "rel_grouping_sets": q_rel_grouping_sets,
+    "rel_lapsed_customers": q_rel_lapsed_customers,
+    "rel_order_calendar": q_rel_order_calendar,
+    "rel_order_gaps": q_rel_order_gaps,
+    "rel_percentiles": q_rel_percentiles,
+    "rel_price_bands": q_rel_price_bands,
+    "rel_region_year_cube": q_rel_region_year_cube,
+    "rel_repeat_customers": q_rel_repeat_customers,
+    "text_contamination": q_text_contamination,
+    "text_cooccurrence_capped": q_text_cooccurrence_capped,
+    "text_decontaminate": q_text_decontaminate,
+    "text_fingerprint": q_text_fingerprint,
+    "text_lm_histogram": q_text_lm_histogram,
+    # -- r8-cohort fill, alphabetical (the last three cede their slots
+    #    to the round-12 new queries as they land) --
+    "asof_last_purchase_30d": q_asof_last_purchase_30d,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "dedup_corpus_diff": q_dedup_corpus_diff,
+    "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_capped": q_dedup_semantic_capped,
+    "events_range_frame": q_events_range_frame,
+    "events_user_extremes": q_events_user_extremes,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
+    # ---- past the 50-slot cap from here down ----
+    # Ordered by cohort freshness: remaining r8 rows, then the r10
+    # cohort, then the r11 cohort (greenest rows last); the 2
+    # structurally no-oracle entries close the registry. All hold green
+    # rows in their cohort's CORRECTNESS file + the per-round local
+    # full drive (tools/check_correctness.py).
+    # -- r8 cohort remainder --
+    "sim_label_centroids": q_sim_label_centroids,
+    "sim_pca_components": q_sim_pca_components,
+    "sim_pca_project": q_sim_pca_project,
+    "sim_recall_audit": q_sim_recall_audit,
+    "sim_rp_distortion": q_sim_rp_distortion,
+    "sim_topk_ivf": q_sim_topk_ivf,
+    "sim_topk_pandas_bounds": q_sim_topk_pandas_bounds,
+    "streaming_c4_filter": q_streaming_c4_filter,
+    "streaming_decontaminate": q_streaming_decontaminate,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "streaming_incremental_df": q_streaming_incremental_df,
+    "streaming_interval_join": q_streaming_interval_join,
+    "streaming_mixture_weights": q_streaming_mixture_weights,
+    "streaming_search": q_streaming_search,
+    "streaming_session": q_streaming_session,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
+    "streaming_tumbling": q_streaming_tumbling,
+    "text_bpe_pairs": q_text_bpe_pairs,
+    "text_bpe_vocab": q_text_bpe_vocab,
+    "text_cooccurrence": q_text_cooccurrence,
+    "text_mixture_bpe": q_text_mixture_bpe,
+    "text_mixture_weights": q_text_mixture_weights,
+    "text_pack_bpe": q_text_pack_bpe,
+    # -- r10 cohort --
+    "dedup_components": q_dedup_components,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_exact": q_dedup_exact,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_span_exact": q_dedup_span_exact,
+    "dedup_span_sliding": q_dedup_span_sliding,
+    "doc_frequency_salted": q_doc_frequency_salted,
+    "doc_similarity_tfidf": q_doc_similarity_tfidf,
+    "events_time_rollup": q_events_time_rollup,
     "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
-    "text_mixture_temperature": q_text_mixture_temperature,
-    "text_mixture_sample": q_text_mixture_sample,
-    "sim_rp_topk": q_sim_rp_topk,
-    "sim_rp_recall": q_sim_rp_recall,
-    "streaming_dsir": q_streaming_dsir,
-    "sim_recall_curve": q_sim_recall_curve,
-    "dedup_span_exact": q_dedup_span_exact,
-    "dedup_span_sliding": q_dedup_span_sliding,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "text_dsir": q_text_dsir,
-    "text_dsir_select": q_text_dsir_select,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
-    "sim_rp_project": q_sim_rp_project,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "sql_tfidf_top100": q_sql_tfidf_top100,
-    "doc_similarity_tfidf": q_doc_similarity_tfidf,
-    "doc_frequency_salted": q_doc_frequency_salted,
-    "sim_quantize_int8": q_sim_quantize_int8,
-    "text_pii_redact": q_text_pii_redact,
-    "text_hash_sample": q_text_hash_sample,
-    "dedup_exact": q_dedup_exact,
+    "rel_customers_without_orders": q_rel_customers_without_orders,
+    "rel_market_share": q_rel_market_share,
     "rel_orders_above_avg": q_rel_orders_above_avg,
     "rel_parts_with_shipments": q_rel_parts_with_shipments,
-    "rel_status_priority": q_rel_status_priority,
     "rel_returned_top": q_rel_returned_top,
-    "events_time_rollup": q_events_time_rollup,
-    "rel_market_share": q_rel_market_share,
-    "dedup_components": q_dedup_components,
-    "dedup_embedding": q_dedup_embedding,
+    "rel_revenue_by_region": q_rel_revenue_by_region,
+    "rel_status_priority": q_rel_status_priority,
+    "sim_quantize_int8": q_sim_quantize_int8,
+    "sim_recall_curve": q_sim_recall_curve,
+    "sim_rp_ivfpq_recall": q_sim_rp_ivfpq_recall,
+    "sim_rp_project": q_sim_rp_project,
+    "sim_rp_recall": q_sim_rp_recall,
+    "sim_rp_topk": q_sim_rp_topk,
     "sim_topk_brute": q_sim_topk_brute,
     "sim_topk_lsh": q_sim_topk_lsh,
-    "text_token_stats": q_text_token_stats,
+    "sim_topk_rp_ivfpq": q_sim_topk_rp_ivfpq,
+    "sql_tfidf_top100": q_sql_tfidf_top100,
+    "streaming_dsir": q_streaming_dsir,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "text_bpe_tokens_holdout": q_text_bpe_tokens_holdout,
+    "text_dsir": q_text_dsir,
+    "text_dsir_select": q_text_dsir_select,
+    "text_hash_sample": q_text_hash_sample,
     "text_lang_id": q_text_lang_id,
-    "rel_customers_without_orders": q_rel_customers_without_orders,
-    "rel_revenue_by_region": q_rel_revenue_by_region,
-    "sim_rp_distortion": q_sim_rp_distortion,
-    "text_pack_bpe": q_text_pack_bpe,
-    "text_mixture_bpe": q_text_mixture_bpe,
-    "sim_recall_audit": q_sim_recall_audit,
-    "dedup_semantic": q_dedup_semantic,
-    "dedup_semantic_capped": q_dedup_semantic_capped,
-    "text_bpe_pairs": q_text_bpe_pairs,
-    "text_bpe_vocab": q_text_bpe_vocab,
-    "sim_pca_components": q_sim_pca_components,
-    "sim_pca_project": q_sim_pca_project,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    "streaming_mixture_weights": q_streaming_mixture_weights,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_frames": q_multimodal_frames,
-    "streaming_decontaminate": q_streaming_decontaminate,
-    "streaming_c4_filter": q_streaming_c4_filter,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
-    "streaming_search": q_streaming_search,
-    "streaming_incremental_df": q_streaming_incremental_df,
-    "streaming_interval_join": q_streaming_interval_join,
-    "streaming_tumbling": q_streaming_tumbling,
-    "streaming_session": q_streaming_session,
-    "streaming_stateful_totals": q_streaming_stateful_totals,
-    "sim_topk_ivf": q_sim_topk_ivf,
-    "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
-    "sim_topk_pandas_bounds": q_sim_topk_pandas_bounds,
-    "text_cooccurrence": q_text_cooccurrence,
-    "dedup_corpus_diff": q_dedup_corpus_diff,
-    "text_mixture_weights": q_text_mixture_weights,
-    "sim_label_centroids": q_sim_label_centroids,
-    "events_range_frame": q_events_range_frame,
-    "asof_last_purchase_30d": q_asof_last_purchase_30d,
-    "events_user_extremes": q_events_user_extremes,
-    "text_cooccurrence_capped": q_text_cooccurrence_capped,
-    "text_fingerprint": q_text_fingerprint,
-    "text_contamination": q_text_contamination,
-    "text_decontaminate": q_text_decontaminate,
-    "rel_event_pivot": q_rel_event_pivot,
-    "rel_region_year_cube": q_rel_region_year_cube,
-    "rel_repeat_customers": q_rel_repeat_customers,
-    "rel_acctbal_rollup": q_rel_acctbal_rollup,
-    "events_json_props": q_events_json_props,
-    "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
-    "events_click_purchase": q_events_click_purchase,
-    "rel_order_calendar": q_rel_order_calendar,
-    "rel_grouping_sets": q_rel_grouping_sets,
-    "rel_order_gaps": q_rel_order_gaps,
-    "rel_lapsed_customers": q_rel_lapsed_customers,
-    "rel_price_bands": q_rel_price_bands,
-    "rel_percentiles": q_rel_percentiles,
-    "events_interval_join": q_events_interval_join,
-    "asof_next_event": q_asof_next_event,
-    "text_lm_histogram": q_text_lm_histogram,
+    "text_mixture_sample": q_text_mixture_sample,
+    "text_mixture_temperature": q_text_mixture_temperature,
+    "text_pii_redact": q_text_pii_redact,
+    "text_token_stats": q_text_token_stats,
+    # -- r11 cohort (rotated out on fresh CORRECTNESS_r11 rows) --
+    "asof_last_purchase": q_asof_last_purchase,
+    "dedup_exact_apply": q_dedup_exact_apply,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_near_canonical": q_dedup_near_canonical,
+    "dedup_simhash": q_dedup_simhash,
+    "events_hopping": q_events_hopping,
+    "events_moving_avg": q_events_moving_avg,
+    "events_sessionize": q_events_sessionize,
+    "events_tumbling": q_events_tumbling,
+    "multimodal_audio_decode": q_multimodal_audio_decode,
+    "multimodal_audio_energy": q_multimodal_audio_energy,
+    "multimodal_audio_resample": q_multimodal_audio_resample,
+    "pipeline_curate": q_pipeline_curate,
+    "pipeline_curate_pack": q_pipeline_curate_pack,
+    "rel_pricing_summary": q_rel_pricing_summary,
+    "rel_top_customers": q_rel_top_customers,
+    "search_bm25": q_search_bm25,
+    "search_hybrid_rrf": q_search_hybrid_rrf,
+    "sim_bq_recall": q_sim_bq_recall,
+    "sim_ivfsq_recall": q_sim_ivfsq_recall,
+    "sim_opq_ivfpq_recall": q_sim_opq_ivfpq_recall,
+    "sim_opq_recall": q_sim_opq_recall,
+    "sim_pca_topk": q_sim_pca_topk,
+    "sim_sq_recall": q_sim_sq_recall,
+    "sim_topk_bq": q_sim_topk_bq,
+    "sim_topk_ivfpq": q_sim_topk_ivfpq,
+    "sim_topk_ivfpq_res": q_sim_topk_ivfpq_res,
+    "sim_topk_ivfsq": q_sim_topk_ivfsq,
+    "sim_topk_opq": q_sim_topk_opq,
+    "sim_topk_opq_ivfpq": q_sim_topk_opq_ivfpq,
+    "sim_topk_pq": q_sim_topk_pq,
+    "sim_topk_sq": q_sim_topk_sq,
+    "streaming_bq_index": q_streaming_bq_index,
+    "streaming_phash_dedup": q_streaming_phash_dedup,
+    "streaming_source_stats": q_streaming_source_stats,
+    "text_ngram_freq": q_text_ngram_freq,
+    "text_ngram_novelty": q_text_ngram_novelty,
+    "text_quality": q_text_quality,
+    "text_source_quality": q_text_source_quality,
+    "text_source_stats": q_text_source_stats,
+    "text_stratified_sample": q_text_stratified_sample,
     # -- structurally no-oracle (rows-only) --
     "rel_approx_distinct": q_rel_approx_distinct,
     "sim_topk_pandas": q_sim_topk_pandas,
