@@ -3121,39 +3121,242 @@ def q_search_hybrid_rrf(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Round-12 queries: the unified quantization-tier frontier, the update-mode
+# streaming governance twin, and the malformed-payload keep contract.
+# --------------------------------------------------------------------------
+
+#: Frontier config: one shared candidate budget for the two-stage tiers
+#: (sq / ivfsq / bq re-rank the stage-1 top-FRONTIER_BUDGET exactly; the
+#: PQ-family tiers are pure ADC rankings with no re-rank stage), and the
+#: per-vector byte accounting at dim 64 — cell ids 2 bytes (coarse_k <=
+#: 65536), PQ codes log2(PQ_K) = 4 bits each bit-packed, sign bits 1/8
+#: byte; codebooks / centroids / the OPQ permutation are global index
+#: metadata, not per-vector bytes.
+FRONTIER_BUDGET = 50
+PQ_CODE_BYTES = (PQ_M * (PQ_K.bit_length() - 1)) // 8
+TIER_BYTES = {
+    "sq": 64,
+    "ivfsq": 64 + 2,
+    "pq": PQ_CODE_BYTES,
+    "ivfpq_res": PQ_CODE_BYTES + 2,
+    "opq_ivfpq": PQ_CODE_BYTES + 2,
+    "bq": 64 // 8,
+}
+
+
+def q_sim_tier_frontier(spark, sf_dir):
+    """The unified recall-vs-bytes frontier — the ONE table a user
+    picking a quantization tier actually wants: every tier of the
+    ladder (flat SQ8, IVF-SQ8, flat PQ, residual IVFADC, OPQ-composed
+    residual IVFADC, binary quantization) searched over the SAME
+    variance-skewed fixture (:func:`_scaled_emb` — the deployment where
+    the tiers genuinely differ; on iid data they collapse together)
+    against the SAME exact integer-L2 top-10 truth, one row per tier:
+    ``(tier, bytes_per_vec, n_hits, recall)`` with hits summed over the
+    five gate queries. The two-stage tiers run at one shared candidate
+    budget (:data:`FRONTIER_BUDGET`); the PQ-family tiers rank by pure
+    ADC distance. Scale: each tier chain is the already-audited
+    gate-query plan (blocked/probed stage 1, candidates-bounded exact
+    re-rank); the frontier adds only six count aggregates over
+    top-k-bounded relations, so its cost IS the sum of the tier
+    searches at any corpus size. The oracle replays all six chains in
+    one query via scoped nested-WITH subqueries against one shared
+    truth CTE."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _scaled_emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    permuted = _opq_permuted_emb(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    exact = S.int_l2_topk(emb, queries, k=SIM_K, units=IVF_UNITS).select(
+        "query_id", "vec_id"
+    )
+
+    approx: dict[str, DataFrame] = {}
+    vmax = S.sq_vmax(emb, units=IVF_UNITS, in_dim=64)
+    approx["sq"] = S.sq_topk(
+        emb, queries, k=SIM_K, candidates=FRONTIER_BUDGET,
+        units=IVF_UNITS, in_dim=64, vmax=vmax,
+    )
+    approx["ivfsq"] = S.ivfsq_topk(
+        emb, SIM_QUERY_IDS, k=SIM_K, candidates=FRONTIER_BUDGET,
+        nprobe=IVF_NPROBE, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        units=IVF_UNITS, in_dim=64,
+    )
+    codes, books = S.pq_build(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True
+    )
+    approx["pq"] = S.pq_topk(
+        emb, codes, books, SIM_QUERY_IDS, k=SIM_K, units=IVF_UNITS
+    )
+    for method, base in (("ivfpq_res", emb), ("opq_ivfpq", permuted)):
+        assigned, cents, rcodes, rbooks = S.ivfpq_build_residual(
+            base, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+            m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
+        )
+        approx[method] = S.ivfpq_topk(
+            assigned, cents, rcodes, rbooks, SIM_QUERY_IDS,
+            k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
+            embeddings=base, residual=True,
+        )
+    approx["bq"] = S.bq_topk(
+        emb, queries, k=SIM_K, candidates=FRONTIER_BUDGET,
+        units=IVF_UNITS, in_dim=64,
+    )
+
+    denom = float(SIM_K * len(SIM_QUERY_IDS))
+    rows = []
+    for tier, adf in approx.items():
+        hits = exact.join(
+            adf.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "leftsemi",
+        ).agg(F.count("*").cast("bigint").alias("n_hits"))
+        rows.append(
+            hits.select(
+                F.lit(tier).alias("tier"),
+                F.lit(TIER_BYTES[tier]).cast("bigint").alias("bytes_per_vec"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(denom), 6).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    # Both fixture relations stay persisted through execution — the
+    # stored-index surrogate rule (see q_sim_topk_opq_ivfpq).
+    return out
+
+
+#: Every doc_id ≡ AUDIO_POISON_RES (mod AUDIO_POISON_MOD) has its WAV
+#: payload truncated to the first AUDIO_POISON_BYTES bytes — cutting
+#: mid-RIFF-magic, so the parser's "bad RIFF/WAVE magic" guard fires
+#: deterministically. A modulo rule (not one literal id) so the poison
+#: density stays constant as the corpus scales.
+AUDIO_POISON_MOD = 250
+AUDIO_POISON_RES = 83
+AUDIO_POISON_BYTES = 11
+
+
+def q_multimodal_audio_keep(spark, sf_dir):
+    """The 100 TB malformed-payload contract UNDER THE GATE: the audio
+    corpus with every poisoned payload (see :data:`AUDIO_POISON_MOD`)
+    truncated mid-header, decoded with ``errors="keep"`` — good rows
+    must stay byte-identical to ``multimodal_audio_decode``'s features
+    (the oracle reuses that row's analytic replay verbatim), poisoned
+    rows surface NULL features plus the deterministic ``err`` string
+    instead of failing the stage. The strict default (``errors=
+    "raise"``) on the same corpus is test-pinned to fail — this row
+    proves the production mode, the tests pin the contrast."""
+    from hadoop_tfidf_spark.operators.multimodal import (
+        decode_audio,
+        with_audio_payload,
+    )
+
+    media = with_audio_payload(_docs(spark, sf_dir))
+    poisoned = media.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % AUDIO_POISON_MOD == AUDIO_POISON_RES,
+            F.expr(f"substring(payload, 1, {AUDIO_POISON_BYTES})"),
+        ).otherwise(F.col("payload")),
+    )
+    return decode_audio(poisoned, errors="keep")
+
+
+def q_streaming_source_stats_update(spark, sf_dir):
+    """UPDATE-mode streaming governance — the production variant of
+    ``streaming_source_stats``: instead of a complete-mode drain that
+    re-emits the FULL ledger every trigger (fine as a gate twin, wrong
+    at 100 TB output), each micro-batch emits only the (source, lang)
+    rows whose counts CHANGED, and ``foreachBatch`` upserts them into a
+    durable parquet ledger keyed by batch id — the foreachBatch+MERGE
+    deployment shape. Final state = latest row per key (one window over
+    the ledger, ledger size ≤ triggers × strata, never corpus-sized);
+    finished with the same per-source arithmetic as the batch
+    dashboard, so the hash row proves upsert-reconstructed state ==
+    state at rest. Vocab is deliberately out of scope here (the
+    complete-mode twin covers it); this row's subject is the update
+    OUTPUT contract."""
+    import uuid
+
+    from hadoop_tfidf_spark.streaming.windows import (
+        staged_source,
+        staging_dir,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    base = staged_source(
+        ("documents", sf_dir, "full4"),
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_srcstream_",
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    counts = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(words)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    run = staging_dir(prefix=f"spark_graft_srcupd_{uuid.uuid4().hex[:8]}_")
+    sink, ckpt = f"{run}/ledger", f"{run}/ckpt"
+
+    def upsert(batch_df, batch_id):
+        # Production: MERGE INTO the governance table on (source, lang).
+        # The gate twin appends with the batch id so the ledger keeps
+        # the upsert ORDER and the reader takes the latest row per key.
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    ledger = spark.read.parquet(sink)
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.col("_batch_id").desc()
+    )
+    final = (
+        ledger.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_batch_id")
+    )
+    return final.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.sum("n_docs"), 6).alias("avg_tokens"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+
+
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
-# oracle-backed query's newest driver row stays fresh. Round-11 composition:
-#   1) the seven queries built in round 10 but registered only now (the
-#      audio frame-energy/VAD stage, the per-source governance dashboard,
-#      the trigram-novelty telemetry, the INT8 scalar-quantized two-stage
-#      retrieval + its candidate-budget recall audit, and the OPQ
-#      variance-balanced PQ + its pq-vs-opq recall payoff row) — each with
-#      a full DuckDB oracle landed this round — plus the round-11
-#      brand-new OPQ×residual-IVFADC composition and its
-#      contiguous-vs-permuted recall row,
-#   2) the four round-9 late additions that have NEVER held a driver row
-#      (sim_pca_topk, streaming_phash_dedup, multimodal_audio_decode,
-#      multimodal_audio_resample — the past-cap-newcomer rule, one round
-#      overdue; COVERAGE.md called them the round-10 rotation priority),
-#   3) the entire fourteen-entry cohort whose newest driver rows date
-#      from r06 (asof_last_purchase, dedup_exact_apply,
-#      dedup_near_canonical, dedup_simhash, the four events windows,
-#      rel_pricing_summary, rel_top_customers, search_bm25,
-#      text_ngram_freq, text_quality, text_stratified_sample),
-#   4) sixteen of the r07-row cohort, oldest-debt first: the two fillers
-#      the round-9 rotation displaced (sim_topk_ivfpq_res,
-#      pipeline_curate_pack), the compressed-index pair
-#      (sim_topk_ivfpq, sim_topk_pq), the curation flagship
-#      (pipeline_curate), the MinHash pair + fuzzy + jaccard, the packing
-#      pair, C4, LM score, self-dedup, chunk, repetition.
-# Everything r10-green cedes its slot this round and rides
-# CORRECTNESS_r10 rows + LOCAL_CHECK_r11.md; the remaining r07-row
-# entries (the r7 relational/events block, contamination/decontaminate,
-# fingerprint, lm_histogram, cooccurrence_capped, asof_next_event) lead
-# the round-12 rotation backlog. The 2 structurally no-oracle entries
-# (HLL/GK sketches, BLAS ulp) close the registry.
+# oracle-backed query's newest driver row stays fresh. Round-12 composition:
+#   1) the ENTIRE 30-entry r7-row cohort — the stale-est recorded rows,
+#      led by the ten entries the round-11 newcomers displaced, then the
+#      rest of the r7 block alphabetically,
+#   2) the round-12 new queries (newcomers register in-window):
+#      sim_tier_frontier, streaming_source_stats_update,
+#      multimodal_audio_keep,
+#   3) r8-cohort fill, alphabetical (next-oldest debt).
+# Everything r10/r11-green cedes its slot and rides its cohort's
+# CORRECTNESS rows + LOCAL_CHECK_r11.md; past-cap entries are grouped by
+# cohort freshness. The 2 structurally no-oracle entries (HLL/GK
+# sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     # ROUND-12 GATE WINDOW (first 41 extension slots; 9 core precede).
@@ -3194,8 +3397,11 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate": q_text_decontaminate,
     "text_fingerprint": q_text_fingerprint,
     "text_lm_histogram": q_text_lm_histogram,
-    # -- r8-cohort fill, alphabetical (the last three cede their slots
-    #    to the round-12 new queries as they land) --
+    # -- round-12 new queries (newcomers register in-window) --
+    "sim_tier_frontier": q_sim_tier_frontier,
+    "streaming_source_stats_update": q_streaming_source_stats_update,
+    "multimodal_audio_keep": q_multimodal_audio_keep,
+    # -- r8-cohort fill, alphabetical (next-oldest debt) --
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "dedup_corpus_diff": q_dedup_corpus_diff,
@@ -3204,9 +3410,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_frame": q_events_range_frame,
     "events_user_extremes": q_events_user_extremes,
     "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
-    "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
     # ---- past the 50-slot cap from here down ----
     # Ordered by cohort freshness: remaining r8 rows, then the r10
     # cohort, then the r11 cohort (greenest rows last); the 2
@@ -3214,6 +3417,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows in their cohort's CORRECTNESS file + the per-round local
     # full drive (tools/check_correctness.py).
     # -- r8 cohort remainder --
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_pca_components": q_sim_pca_components,
     "sim_pca_project": q_sim_pca_project,
@@ -3623,7 +3829,32 @@ def _pq_sql(dim: int = 64) -> str:
     )
 
 
-def _sq_ctes(budgets) -> tuple[list[str], list[str]]:
+def _micro_e_cte(vec_body: str | None = None) -> str:
+    """The shared micro-unit quantization CTE ``e(vec_id, u)`` the
+    SQ/IVF-SQ/BQ replays open with. ``vec_body=None`` reads the raw
+    ``embeddings`` table (byte-identical to the text these replays have
+    always generated); passing a ``(vec_id, vec DOUBLE[])`` relation
+    body (e.g. :func:`_opq_scaled_vec_body`) retargets the whole chain
+    at a derived fixture — how the tier-frontier oracle runs all six
+    tiers over one corpus."""
+    if vec_body is None:
+        return f"""e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM embeddings
+)"""
+    return f"""e AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(vec,
+                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM ({vec_body})
+)"""
+
+
+def _sq_ctes(
+    budgets, vec_body: str | None = None
+) -> tuple[list[str], list[str]]:
     """The INT8 scalar-quantization replay (mirrors similarity.sq_topk
     with units=IVF_UNITS over the raw embeddings): quantize to
     micro-units, derive the corpus-wide ``vmax = max |u|`` with one
@@ -3636,12 +3867,7 @@ def _sq_ctes(budgets) -> tuple[list[str], list[str]]:
     top-:data:`SIM_K` result ``(query_id, vec_id, d2_u, rn)``."""
     qids = ", ".join(map(str, SIM_QUERY_IDS))
     ctes = [
-        f"""e AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
-  FROM embeddings
-)""",
+        _micro_e_cte(vec_body),
         """vm AS (
   SELECT greatest(1, max(list_max(list_transform(u, x -> abs(x))))) AS vmax
   FROM e
@@ -6814,7 +7040,9 @@ EXTENSION_ORACLE_SQL["sim_opq_ivfpq_recall"] = _opq_ivfpq_recall_sql()
 # IVF-SQ8 oracles: coarse IVF cells + INT8 scalar-quantized residuals.
 # --------------------------------------------------------------------------
 
-def _ivfsq_ctes(budgets) -> tuple[list[str], list[str]]:
+def _ivfsq_ctes(
+    budgets, vec_body: str | None = None
+) -> tuple[list[str], list[str]]:
     """Unrolled IVF-SQ8 replay (mirrors similarity.ivfsq_build/
     ivfsq_topk): the coarse integer Lloyd of the IVF oracle, the
     residual projection, the corpus-wide residual ``vmax`` scalar, the
@@ -6825,12 +7053,7 @@ def _ivfsq_ctes(budgets) -> tuple[list[str], list[str]]:
     Returns ``(ctes, approx_names)`` like :func:`_sq_ctes`."""
     qids = ", ".join(map(str, SIM_QUERY_IDS))
     ctes = [
-        f"""e AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
-  FROM embeddings
-)""",
+        _micro_e_cte(vec_body),
         f"""cent0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u
   FROM e ORDER BY vec_id LIMIT {IVF_K}
@@ -6969,7 +7192,9 @@ EXTENSION_ORACLE_SQL["sim_ivfsq_recall"] = _ivfsq_recall_sql()
 # Binary-quantization oracles: sign-bit pack + Hamming stage 1.
 # --------------------------------------------------------------------------
 
-def _bq_ctes(budgets) -> tuple[list[str], list[str]]:
+def _bq_ctes(
+    budgets, vec_body: str | None = None
+) -> tuple[list[str], list[str]]:
     """Binary-quantization replay (mirrors similarity.bq_build/bq_topk):
     sign bit per micro-unit component packed into two 32-bit BIGINT
     words, stage-1 total Hamming (Σ bit_count(xor)) per budget, exact
@@ -6982,12 +7207,7 @@ def _bq_ctes(budgets) -> tuple[list[str], list[str]]:
         "i -> bit_count(xor(cb.bq[i], q.bq[i])))) AS BIGINT)"
     )
     ctes = [
-        f"""e AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-                        x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
-  FROM embeddings
-)""",
+        _micro_e_cte(vec_body),
         """b AS MATERIALIZED (
   SELECT vec_id,
          list_transform(generate_series(0, 1), w ->
@@ -7190,4 +7410,141 @@ SELECT d.source,
        round(sum(c.keep) / count(*), 6) AS keep_rate
 FROM d JOIN q USING (doc_id) JOIN c USING (doc_id)
 GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-12 oracles: the tier frontier, the update-mode governance twin,
+# and the malformed-payload keep contract.
+# --------------------------------------------------------------------------
+
+def _frontier_sql() -> str:
+    """All six quantization-tier replays composed into ONE query: each
+    tier's full chain (the byte-identical builders its own gate row
+    uses, retargeted at the skewed fixture via ``vec_body=``/
+    ``e_body=``) runs inside its own scoped nested-WITH subquery, the
+    shared exact integer-L2 truth materializes once, and each branch
+    reduces to one ``(tier, bytes_per_vec, n_hits, recall)`` row."""
+    scaled = _opq_scaled_vec_body()
+    qids = ", ".join(map(str, SIM_QUERY_IDS))
+    denom = float(SIM_K * len(SIM_QUERY_IDS))
+
+    def chain(ctes, final_select):
+        return "WITH " + ",\n".join(ctes) + "\n" + final_select
+
+    sq_ctes, sq_names = _sq_ctes([FRONTIER_BUDGET], vec_body=scaled)
+    ivfsq_ctes, ivfsq_names = _ivfsq_ctes([FRONTIER_BUDGET], vec_body=scaled)
+    bq_ctes, bq_names = _bq_ctes([FRONTIER_BUDGET], vec_body=scaled)
+    pq_ctes = [_OPQ_EU_CTE] + _pq_chain_ctes(64, prefix="p", e_name="eu")
+    tiers = {
+        "sq": chain(
+            sq_ctes, f"SELECT query_id, vec_id FROM {sq_names[0]}"
+        ),
+        "ivfsq": chain(
+            ivfsq_ctes, f"SELECT query_id, vec_id FROM {ivfsq_names[0]}"
+        ),
+        "pq": chain(
+            pq_ctes,
+            f"SELECT query_id, vec_id FROM pranked WHERE rn <= {SIM_K}",
+        ),
+        "ivfpq_res": _ivfpq_sql(residual=True, e_body=scaled),
+        "opq_ivfpq": _ivfpq_sql(
+            residual=True, e_body=_opq_perm_vec_body()
+        ),
+        "bq": chain(
+            bq_ctes, f"SELECT query_id, vec_id FROM {bq_names[0]}"
+        ),
+    }
+    tier_ctes = ",\n".join(
+        f"t_{t} AS MATERIALIZED (\n{sql}\n)" for t, sql in tiers.items()
+    )
+    branches = "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS tier,
+       CAST({TIER_BYTES[t]} AS BIGINT) AS bytes_per_vec,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits / {denom}, 6) AS recall
+FROM (SELECT count(*) AS n_hits
+      FROM exact e SEMI JOIN t_{t} a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id)"""
+        for t in tiers
+    )
+    return f"""
+WITH {tier_ctes},
+e2 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(vec, x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
+  FROM ({scaled})
+),
+exact AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, eb.vec_id,
+           {_int_d2_sql("eb.u", "q.u")} AS d2
+    FROM e2 eb CROSS JOIN (SELECT * FROM e2 WHERE vec_id IN ({qids})) q
+    WHERE eb.vec_id <> q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, vec_id) <= {SIM_K}
+)
+{branches}
+"""
+
+
+EXTENSION_ORACLE_SQL["sim_tier_frontier"] = _frontier_sql()
+
+
+# Update-mode governance twin: upsert-reconstructed final state must
+# equal the batch per-source roll-up (the (source, lang)-grain slice of
+# the text_source_stats arithmetic; vocab is the complete-mode twin's
+# subject).
+EXTENSION_ORACLE_SQL["streaming_source_stats_update"] = """
+WITH b AS (
+  SELECT source, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS nt
+  FROM documents
+),
+g AS (
+  SELECT source, lang, count(*) AS n_docs, sum(nt) AS n_tokens
+  FROM b GROUP BY source, lang
+)
+SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) / sum(n_docs), 6) AS avg_tokens,
+       CAST(count(*) AS BIGINT) AS n_langs
+FROM g GROUP BY source
+"""
+
+
+# Malformed-payload keep contract: the multimodal_audio_decode analytic
+# replay verbatim for the good rows; poisoned doc_ids (the modulo rule)
+# carry NULL features + the deterministic parser error string the
+# truncation triggers (11 bytes cuts mid-"WAVE" magic).
+EXTENSION_ORACLE_SQL["multimodal_audio_keep"] = f"""
+WITH d AS (SELECT doc_id, length(text) AS L FROM documents),
+a AS (
+  SELECT doc_id, 4000 * (1 + L % 3) AS sr, 64 + doc_id % 101 AS n,
+         (doc_id % 256) * 131 AS base
+  FROM d
+),
+si AS (SELECT doc_id, sr, n, base, unnest(range(n)) AS i FROM a),
+s AS (
+  SELECT doc_id, sr, n, ((base + 17 * i) % 65536 - 32768) AS v FROM si
+),
+feat AS (
+  SELECT doc_id,
+         CAST(44 + 2 * max(n) AS BIGINT) AS n_bytes,
+         CAST(max(sr) AS BIGINT) AS sample_rate,
+         CAST(max(n) AS BIGINT) AS n_samples,
+         CAST(sum(v) AS BIGINT) AS sum_samples,
+         CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN bad THEN NULL ELSE n_bytes END AS n_bytes,
+       CASE WHEN bad THEN NULL ELSE sample_rate END AS sample_rate,
+       CASE WHEN bad THEN NULL ELSE n_samples END AS n_samples,
+       CASE WHEN bad THEN NULL ELSE sum_samples END AS sum_samples,
+       CASE WHEN bad THEN NULL ELSE sum_abs END AS sum_abs,
+       CASE WHEN bad THEN 'ValueError: bad RIFF/WAVE magic' END AS err
+FROM (SELECT *, doc_id % {AUDIO_POISON_MOD} = {AUDIO_POISON_RES} AS bad
+      FROM feat)
 """

@@ -1,0 +1,173 @@
+"""Round-12 pins: the unified quantization-tier frontier, the
+update-mode streaming governance twin, and the poisoned-corpus
+``errors="keep"`` gate row (good rows byte-equal the strict decode,
+the poisoned rows surface their ``err``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+# ------------------------------------------------ tier frontier
+
+
+@pytest.fixture(scope="module")
+def frontier_rows(spark):
+    from hadoop_tfidf_spark.extensions import q_sim_tier_frontier
+
+    return {
+        r["tier"]: r
+        for r in q_sim_tier_frontier(spark, SF_DIR_SMOKE).collect()
+    }
+
+
+def test_frontier_covers_all_six_tiers(frontier_rows):
+    from hadoop_tfidf_spark.extensions import TIER_BYTES
+
+    assert set(frontier_rows) == set(TIER_BYTES) == {
+        "sq", "ivfsq", "pq", "ivfpq_res", "opq_ivfpq", "bq",
+    }
+
+
+def test_frontier_bytes_accounting(frontier_rows):
+    """bytes/vec follows the documented accounting: 1 B/dim SQ codes,
+    2 B cell ids, 4-bit PQ codes (PQ_K=16), 1 bit/dim signs."""
+    from hadoop_tfidf_spark.extensions import PQ_CODE_BYTES, TIER_BYTES
+
+    assert PQ_CODE_BYTES == 2
+    assert TIER_BYTES["sq"] == 64
+    assert TIER_BYTES["ivfsq"] == 66
+    assert TIER_BYTES["ivfpq_res"] == TIER_BYTES["opq_ivfpq"] == 4
+    assert TIER_BYTES["bq"] == 8
+    for tier, row in frontier_rows.items():
+        assert row["bytes_per_vec"] == TIER_BYTES[tier]
+
+
+def test_frontier_recall_is_hits_over_denominator(frontier_rows):
+    from hadoop_tfidf_spark.extensions import SIM_K, SIM_QUERY_IDS
+
+    denom = SIM_K * len(SIM_QUERY_IDS)
+    for row in frontier_rows.values():
+        assert 0 <= row["n_hits"] <= denom
+        assert row["recall"] == pytest.approx(
+            round(row["n_hits"] / denom, 6)
+        )
+
+
+def test_frontier_sq_dominates_its_own_compressions(frontier_rows):
+    """Structural ordering that must hold on ANY corpus: flat SQ8 at a
+    c50 budget re-ranks a superset of the candidates every other
+    two-stage tier can see at the same budget, and 8-bit codes resolve
+    strictly finer than 1-bit signs — so sq's recall is the frontier's
+    ceiling (every tier trades its bytes against that ceiling)."""
+    sq = frontier_rows["sq"]["recall"]
+    for tier in ("ivfsq", "bq"):
+        assert frontier_rows[tier]["recall"] <= sq
+
+
+# ------------------------------------------------ audio keep gate row
+
+
+def test_audio_keep_good_rows_match_strict_decode(spark):
+    """errors="keep" over the poisoned corpus: non-poisoned rows carry
+    EXACTLY the strict decode's features (same values, err NULL)."""
+    from hadoop_tfidf_spark.extensions import (
+        AUDIO_POISON_MOD,
+        AUDIO_POISON_RES,
+        q_multimodal_audio_decode,
+        q_multimodal_audio_keep,
+    )
+
+    keep = {
+        r["doc_id"]: r
+        for r in q_multimodal_audio_keep(spark, SF_DIR_SMOKE).collect()
+    }
+    strict = {
+        r["doc_id"]: r
+        for r in q_multimodal_audio_decode(spark, SF_DIR_SMOKE).collect()
+    }
+    assert set(keep) == set(strict)
+    cols = ["n_bytes", "sample_rate", "n_samples", "sum_samples", "sum_abs"]
+    n_bad = 0
+    for doc_id, row in keep.items():
+        if doc_id % AUDIO_POISON_MOD == AUDIO_POISON_RES:
+            n_bad += 1
+            assert all(row[c] is None for c in cols)
+            assert row["err"] == "ValueError: bad RIFF/WAVE magic"
+        else:
+            assert row["err"] is None
+            assert [row[c] for c in cols] == [strict[doc_id][c] for c in cols]
+    assert n_bad >= 1
+
+
+def test_audio_poisoned_corpus_fails_strict_mode(spark):
+    """The same truncation under the default errors="raise" poisons the
+    stage — the contrast the keep row exists to fix."""
+    from hadoop_tfidf_spark.extensions import (
+        AUDIO_POISON_BYTES,
+        AUDIO_POISON_MOD,
+        AUDIO_POISON_RES,
+        _docs,
+    )
+    from hadoop_tfidf_spark.operators.multimodal import (
+        decode_audio,
+        with_audio_payload,
+    )
+
+    media = with_audio_payload(_docs(spark, SF_DIR_SMOKE))
+    poisoned = media.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % AUDIO_POISON_MOD == AUDIO_POISON_RES,
+            F.expr(f"substring(payload, 1, {AUDIO_POISON_BYTES})"),
+        ).otherwise(F.col("payload")),
+    )
+    with pytest.raises(Exception):
+        decode_audio(poisoned).collect()
+
+
+# ------------------------------------------------ update-mode governance
+
+
+def test_update_twin_equals_batch_rollup(spark):
+    """Upsert-reconstructed final state == the batch per-source
+    roll-up computed directly on the table."""
+    from hadoop_tfidf_spark.extensions import (
+        q_streaming_source_stats_update,
+    )
+
+    got = {
+        r["source"]: r
+        for r in q_streaming_source_stats_update(
+            spark, SF_DIR_SMOKE
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    want = {
+        r["source"]: r
+        for r in (
+            docs.groupBy("source", "lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.size(words)).alias("n_tokens"),
+            )
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.round(F.sum("n_tokens") / F.sum("n_docs"), 6).alias(
+                    "avg_tokens"
+                ),
+                F.count("*").cast("bigint").alias("n_langs"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for src in got:
+        for c in ("n_docs", "n_tokens", "avg_tokens", "n_langs"):
+            assert got[src][c] == want[src][c], (src, c)
