@@ -372,3 +372,22 @@ def test_hybrid_rrf_fusion_no_cartesian(stats_of):
     s = stats_of("search_hybrid_rrf")
     assert s.cartesian_products == 0
     assert s.partial_window_group_limits >= 1
+
+
+def test_audio_keep_narrow(stats_of):
+    """The keep-mode decode stays two narrow Arrow stages — poisoning a
+    subset of payloads adds a projection, never an exchange."""
+    s = stats_of("multimodal_audio_keep")
+    assert s.shuffle_exchanges == 0
+    assert s.broadcast_exchanges == 0
+    assert s.cartesian_products == 0
+
+
+def test_tier_frontier_census(stats_of):
+    """Six tier chains + six count aggregates: never a cartesian
+    product (the only nested-loop stages are the documented broadcast
+    small-queries scans), every codebook/centroid/query relation joins
+    by broadcast, and the final union is aggregate-sized."""
+    s = stats_of("sim_tier_frontier")
+    assert s.cartesian_products == 0
+    assert s.broadcast_hash_joins >= 6
