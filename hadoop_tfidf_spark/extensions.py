@@ -3342,6 +3342,127 @@ def q_streaming_source_stats_update(spark, sf_dir):
     )
 
 
+def q_streaming_phash_dedup_update(spark, sf_dir):
+    """UPDATE-mode perceptual-dedup ledger — the production variant of
+    ``streaming_phash_dedup`` (same rationale as
+    ``streaming_source_stats_update``): the complete-mode twin re-emits
+    every phash group per trigger; here each micro-batch emits only the
+    groups whose membership CHANGED, ``foreachBatch`` upserts them into
+    a batch-id-keyed parquet ledger, and latest-row-per-key
+    reconstruction must hash-match the batch groups (the
+    ``streaming_phash_dedup`` oracle verbatim). Output volume scales
+    with the delta per trigger; ledger rows ≤ triggers × distinct
+    hashes, never corpus-sized."""
+    import uuid
+
+    from hadoop_tfidf_spark.operators.multimodal import (
+        media_phash,
+        with_binary_payload,
+    )
+    from hadoop_tfidf_spark.streaming.windows import (
+        staged_source,
+        staging_dir,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    base = staged_source(
+        ("documents", sf_dir, "full4"),
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_phashstream_",
+    )
+    groups = (
+        media_phash(
+            with_binary_payload(
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(base)
+                .select("doc_id", "text")
+            )
+        )
+        .groupBy("phash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+    )
+    run = staging_dir(prefix=f"spark_graft_phashupd_{uuid.uuid4().hex[:8]}_")
+    sink, ckpt = f"{run}/ledger", f"{run}/ckpt"
+
+    def upsert(batch_df, batch_id):
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    (
+        groups.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    ledger = spark.read.parquet(sink)
+    w = Window.partitionBy("phash").orderBy(F.col("_batch_id").desc())
+    return (
+        ledger.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("phash", "n_docs", "keep_doc_id")
+    )
+
+
+def q_streaming_knn_bq(spark, sf_dir):
+    """ONLINE retrieval during ingest — the serving twin of the index
+    rows: query vectors arrive as a stream and each micro-batch is
+    answered against the STATIC prebuilt BQ index (``bq_build`` once,
+    passed via ``index=`` — the stored-index production shape) with the
+    same two-stage popcount-xor + exact-re-rank search the batch row
+    runs; per-batch results append to a parquet sink. The accumulated
+    answers must hash-match the one-shot batch ``sim_topk_bq`` oracle
+    verbatim: answering queries as they arrive loses nothing vs
+    answering them at rest. Scale: the stream side is query-sized, the
+    static side is the packed index scan stage-1 already bounds —
+    foreachBatch here is exactly a serving loop."""
+    import uuid
+
+    from hadoop_tfidf_spark.operators.similarity import bq_build, bq_topk
+    from hadoop_tfidf_spark.streaming.windows import (
+        staged_source,
+        staging_dir,
+    )
+
+    emb = _emb(spark, sf_dir)
+    index = bq_build(emb, units=IVF_UNITS, in_dim=64)
+    qdf = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    base = staged_source(
+        ("embeddings", sf_dir, "queries2"),
+        lambda p: qdf.repartition(2).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_knnstream_",
+    )
+    run = staging_dir(prefix=f"spark_graft_knnout_{uuid.uuid4().hex[:8]}_")
+    sink, ckpt = f"{run}/results", f"{run}/ckpt"
+
+    def serve(batch_df, batch_id):
+        bq_topk(
+            emb, batch_df, k=SIM_K, candidates=RP_TOPK_CANDIDATES,
+            units=IVF_UNITS, in_dim=64, index=index,
+        ).write.mode("append").parquet(sink)
+
+    (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .writeStream.outputMode("append")
+        .foreachBatch(serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink).select("query_id", "vec_id", "d2_u", "rn")
+
+
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
@@ -3401,6 +3522,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_tier_frontier": q_sim_tier_frontier,
     "streaming_source_stats_update": q_streaming_source_stats_update,
     "multimodal_audio_keep": q_multimodal_audio_keep,
+    "streaming_phash_dedup_update": q_streaming_phash_dedup_update,
+    "streaming_knn_bq": q_streaming_knn_bq,
     # -- r8-cohort fill, alphabetical (next-oldest debt) --
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -3408,8 +3531,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_capped": q_dedup_semantic_capped,
     "events_range_frame": q_events_range_frame,
-    "events_user_extremes": q_events_user_extremes,
-    "multimodal_decode": q_multimodal_decode,
     # ---- past the 50-slot cap from here down ----
     # Ordered by cohort freshness: remaining r8 rows, then the r10
     # cohort, then the r11 cohort (greenest rows last); the 2
@@ -3417,6 +3538,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows in their cohort's CORRECTNESS file + the per-round local
     # full drive (tools/check_correctness.py).
     # -- r8 cohort remainder --
+    "events_user_extremes": q_events_user_extremes,
+    "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
@@ -7548,3 +7671,14 @@ SELECT doc_id,
 FROM (SELECT *, doc_id % {AUDIO_POISON_MOD} = {AUDIO_POISON_RES} AS bad
       FROM feat)
 """
+
+
+# The update-mode phash ledger reconstructs to the SAME final groups the
+# complete-mode twin drains; the online-serving BQ row must answer
+# streamed queries exactly as the batch index row answers them at rest.
+EXTENSION_ORACLE_SQL["streaming_phash_dedup_update"] = EXTENSION_ORACLE_SQL[
+    "streaming_phash_dedup"
+]
+EXTENSION_ORACLE_SQL["streaming_knn_bq"] = EXTENSION_ORACLE_SQL[
+    "sim_topk_bq"
+]

@@ -171,3 +171,67 @@ def test_update_twin_equals_batch_rollup(spark):
     for src in got:
         for c in ("n_docs", "n_tokens", "avg_tokens", "n_langs"):
             assert got[src][c] == want[src][c], (src, c)
+
+
+# ------------------------------------------------ streaming round-12 twins
+
+
+def test_phash_update_twin_equals_batch_groups(spark):
+    """Update-mode upsert reconstruction == the batch phash groups."""
+    from hadoop_tfidf_spark.extensions import (
+        q_streaming_phash_dedup_update,
+    )
+    from hadoop_tfidf_spark.operators.multimodal import (
+        media_phash,
+        with_binary_payload,
+    )
+
+    got = {
+        r["phash"]: (r["n_docs"], r["keep_doc_id"])
+        for r in q_streaming_phash_dedup_update(
+            spark, SF_DIR_SMOKE
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    want = {
+        r["phash"]: (r["n_docs"], r["keep_doc_id"])
+        for r in (
+            media_phash(with_binary_payload(docs.select("doc_id", "text")))
+            .groupBy("phash")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_streaming_knn_equals_batch_search(spark):
+    """Answering streamed queries against the static prebuilt BQ index
+    == answering them all at rest."""
+    from hadoop_tfidf_spark.extensions import (
+        IVF_UNITS,
+        RP_TOPK_CANDIDATES,
+        SIM_K,
+        SIM_QUERY_IDS,
+        q_streaming_knn_bq,
+    )
+    from hadoop_tfidf_spark.operators.similarity import bq_topk
+
+    got = sorted(
+        tuple(r) for r in q_streaming_knn_bq(spark, SF_DIR_SMOKE).collect()
+    )
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    want = sorted(
+        tuple(r)
+        for r in bq_topk(
+            emb, queries, k=SIM_K, candidates=RP_TOPK_CANDIDATES,
+            units=IVF_UNITS, in_dim=64,
+        )
+        .select("query_id", "vec_id", "d2_u", "rn")
+        .collect()
+    )
+    assert got == want
