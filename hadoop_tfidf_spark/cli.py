@@ -37,6 +37,7 @@ Usage::
                   [--knn-index brute|bq|sq|ivfsq] [--k K]
                   [--candidates C] [--nprobe P] [--units U]
     python -m hadoop_tfidf_spark.cli explain       QUERY SF_DIR
+    python -m hadoop_tfidf_spark.cli frontier      SF_DIR OUT
 
 ``curate`` is engine surface beyond the reference (the north-star
 training-data pipeline): lang-id → quality filter → exact dedup → LSH
@@ -121,7 +122,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
         "curate", "select", "bpe-train", "project", "compact", "knn",
-        "explain",
+        "explain", "frontier",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -256,6 +257,30 @@ def main(argv: list[str] | None = None) -> None:
             )
         stats = plan_stats(qs[args.input](spark, args.output))
         print(json.dumps({"query": args.input, **dataclasses.asdict(stats)}))
+        spark.stop()
+        return
+
+    if args.tool == "frontier":
+        # IN is the sf directory (documents/embeddings parquet tables);
+        # OUT gets the six-tier (tier, bytes_per_vec, n_hits, recall)
+        # table — the recall-vs-bytes dashboard a user picking a
+        # quantization tier wants — which also prints as one JSON line.
+        # One collect of six rows; every tier chain is the gate-audited
+        # plan (see extensions.q_sim_tier_frontier).
+        import json
+
+        from hadoop_tfidf_spark.extensions import q_sim_tier_frontier
+
+        out = q_sim_tier_frontier(spark, args.input)
+        rows = out.collect()
+        print(
+            json.dumps(
+                {"frontier": [r.asDict() for r in rows]}, sort_keys=True
+            )
+        )
+        _write(
+            spark.createDataFrame(rows, out.schema), args.output, args.format
+        )
         spark.stop()
         return
 

@@ -557,3 +557,31 @@ def test_explain_emits_plan_census(tmp_path):
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert bad.returncode != 0 and "unknown query" in bad.stderr
+
+
+def test_frontier_emits_six_tier_table(tmp_path):
+    """frontier end-to-end (subprocess): six tiers, documented byte
+    accounting, one JSON dashboard line on stdout, parquet at OUT."""
+    import json
+    import os
+
+    out = str(tmp_path / "frontier")
+    cmd = [sys.executable, "-m", "hadoop_tfidf_spark.cli", "frontier",
+           "/root/testdata/sf0.001", out]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = next(
+        ln for ln in res.stdout.splitlines() if ln.startswith('{"frontier"')
+    )
+    rows = {r["tier"]: r for r in json.loads(line)["frontier"]}
+    assert set(rows) == {"sq", "ivfsq", "pq", "ivfpq_res", "opq_ivfpq", "bq"}
+    assert rows["sq"]["bytes_per_vec"] == 64
+    assert rows["bq"]["bytes_per_vec"] == 8
+    stored = duckdb.sql(
+        f"SELECT count(*) FROM '{out}/*.parquet'"
+    ).fetchone()[0]
+    assert stored == 6
