@@ -39,7 +39,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FAMILIES = [
+DEFAULT_FAMILIES = [
     # full reference pipeline: tokens → tf-idf → search → per-query rank
     "rank",
     # banded MinHash near-dup (shingle → signature → band join)
@@ -49,6 +49,13 @@ FAMILIES = [
     # lang-id → quality → exact dedup → near-dup → split, one lazy plan
     "pipeline_curate",
 ]
+#: Override with SPARK_GRAFT_SCALE_FAMILIES=a,b,c — e.g. the round-12
+#: second sweep added text_dsir (hashed-bigram selection),
+#: dedup_span_sliding (span-granular exact dedup) and multimodal_decode
+#: (the Arrow binary path) on the same derived corpora.
+FAMILIES = os.environ.get(
+    "SPARK_GRAFT_SCALE_FAMILIES", ",".join(DEFAULT_FAMILIES)
+).split(",")
 PLAN_FIELDS = (
     "shuffle_exchanges",
     "broadcast_hash_joins",

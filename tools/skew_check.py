@@ -121,10 +121,71 @@ def main() -> None:
     t_uncapped = timed(uncapped, trials)
     t_capped = timed(capped, trials)
 
-    # AQE skew census: did the runtime split the hot partition?
-    uncapped.write.format("noop").mode("overwrite").save()
-    executed = uncapped._jdf.queryExecution().executedPlan().toString()
-    aqe_skew = "skew=true" in executed
+    # AQE skew census, on the FINALIZED plan (plans/inspect.executed_plan
+    # collects so the inspected AdaptiveSparkPlan is the one that ran — a
+    # noop write finalizes a COPY and leaves this one isFinalPlan=false,
+    # which silently reports skew=false; measured, then fixed here).
+    from hadoop_tfidf_spark.plans.inspect import executed_plan
+
+    aqe_skew = "skew=true" in executed_plan(
+        doc_similarity(_tfidf_rounded(spark, out_dir), k=100)
+    )
+
+    # Mechanism probe, two parts. At production thresholds the hot
+    # partition here is far below 256 MB so the split correctly stays
+    # off; lowering the thresholds to toy-scale values, disabling
+    # broadcast and raising shuffle partitions (so the hot key's
+    # partition stands out against the median) must make AQE split a
+    # skewed partition — IF the join is eligible. Two probes:
+    # (a) the word self-join: NEVER eligible — both children read the
+    #     SAME exchange (ReusedExchange), and OptimizeSkewedJoin cannot
+    #     split one consumer of a shared shuffle. For the quadratic
+    #     pair join AQE cannot save you even in principle — df_cap (the
+    #     near-zero-idf cut) is the ONLY defense. Expected: false.
+    # (b) a word-keyed fact⋈dim join with an INDEPENDENT dim exchange
+    #     (vocab-sized, built from collected rows): eligible — expected
+    #     true, proving the guardrail engages when partition stats
+    #     qualify. Confs are runtime-settable; restored after.
+    demo_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "512",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {}
+    for k, v in demo_confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        self_join_plan = executed_plan(
+            doc_similarity(_tfidf_rounded(spark, out_dir), k=100)
+        )
+        aqe_demo_self = "skew=true" in self_join_plan
+
+        from hadoop_tfidf_spark.corpus import SPACE_TOKEN_PATTERN, tokenize
+        from hadoop_tfidf_spark.tfidf import doc_frequency, doc_word_count
+
+        docs = spark.read.parquet(f"{out_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        dwc = doc_word_count(tokenize(docs, SPACE_TOKEN_PATTERN))
+        vocab = [
+            (r["word"], r["df"]) for r in doc_frequency(dwc).collect()
+        ]
+        dim = spark.createDataFrame(vocab, "word STRING, df BIGINT")
+        dim_join_plan = executed_plan(
+            dwc.join(dim, "word").select("word", "doc_id", "n", "df")
+        )
+        aqe_demo_dim = "skew=true" in dim_join_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
     print(
         json.dumps(
@@ -142,6 +203,8 @@ def main() -> None:
                 "doc_similarity_df_cap_s": t_capped,
                 "df_cap": DF_CAP,
                 "aqe_skew_split_engaged": aqe_skew,
+                "aqe_demo_self_join_split": aqe_demo_self,
+                "aqe_demo_dim_join_split": aqe_demo_dim,
             }
         )
     )
