@@ -3463,6 +3463,100 @@ def q_streaming_knn_bq(spark, sf_dir):
     return spark.read.parquet(sink).select("query_id", "vec_id", "d2_u", "rn")
 
 
+#: Per-source adaptive quality cut: keep the top fraction per source.
+QUALITY_TOP_FRAC = 0.2
+
+
+def q_text_quality_adaptive(spark, sf_dir):
+    """Per-source ADAPTIVE quality threshold — the governance step after
+    the absolute C4 gate: keep the top :data:`QUALITY_TOP_FRAC` of docs
+    PER SOURCE by quality score (rank over (quality desc, doc_id) vs a
+    per-source ceil(q·n) cutoff), so a low-quality source cannot flood
+    the corpus just by being large and a high-quality source is not
+    over-pruned by a one-size threshold. Emits the kept rows with their
+    rank and source size — the audit columns a curation review wants.
+
+    Scale: ONE source-keyed shuffle; the per-source sort is the exact
+    gate form — at 100 TB the production variant derives the cutoff
+    from ``approx_percentile(quality, 1-q)`` per source (one agg, no
+    sort) and filters; the exact window here is what that approximation
+    is audited against."""
+    from hadoop_tfidf_spark.functions.text import quality_score
+
+    q = quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+    j = q.join(
+        _tbl(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    ranked = j.select(
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number().over(w).cast("bigint").alias("qrank"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_source"),
+    )
+    return ranked.where(
+        F.col("qrank") <= F.ceil(F.lit(QUALITY_TOP_FRAC) * F.col("n_source"))
+    ).select("source", "doc_id", "quality", "qrank", "n_source")
+
+
+def q_streaming_ivfsq_index(spark, sf_dir):
+    """STREAMING ingest for the TRAINED index tier: the IVF-SQ8 index's
+    coarse centroids and vmax train ONCE from the static corpus
+    (:func:`similarity.ivfsq_build` — the stored training artifacts),
+    then a 4-file embedding stream is encoded by the stateless
+    :func:`similarity.ivfsq_encode` projection in pure append mode —
+    zero aggregation state, the trained-tier counterpart of
+    ``streaming_bq_index``'s zero-training pack. The drained rows carry
+    an md5 over the full byte-code sequence, so the hash row pins every
+    byte of every streamed code against the batch build replay: the
+    index maintained during ingest IS the index built at rest."""
+    import uuid
+
+    from hadoop_tfidf_spark.operators.similarity import (
+        ivfsq_build,
+        ivfsq_encode,
+    )
+    from hadoop_tfidf_spark.streaming.windows import (
+        run_to_completion,
+        staged_source,
+    )
+
+    emb = _emb(spark, sf_dir)
+    _, cents, vmax = ivfsq_build(
+        emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        units=IVF_UNITS, in_dim=64,
+    )
+    base = staged_source(
+        ("embeddings", sf_dir, "full4"),
+        lambda p: emb.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_ivfsqstream_",
+    )
+    packed = ivfsq_encode(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base),
+        cents,
+        vmax,
+        units=IVF_UNITS,
+        in_dim=64,
+    )
+    drained = run_to_completion(
+        packed, f"ivfsqidx_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return drained.select(
+        "vec_id",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("_sq"), lambda x: x.cast("string"))
+            ).cast("binary")
+        ).alias("sq_md5"),
+    )
+
+
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
@@ -3524,13 +3618,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_keep": q_multimodal_audio_keep,
     "streaming_phash_dedup_update": q_streaming_phash_dedup_update,
     "streaming_knn_bq": q_streaming_knn_bq,
+    "text_quality_adaptive": q_text_quality_adaptive,
+    "streaming_ivfsq_index": q_streaming_ivfsq_index,
     # -- r8-cohort fill, alphabetical (next-oldest debt) --
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "dedup_corpus_diff": q_dedup_corpus_diff,
     "dedup_semantic": q_dedup_semantic,
-    "dedup_semantic_capped": q_dedup_semantic_capped,
-    "events_range_frame": q_events_range_frame,
     # ---- past the 50-slot cap from here down ----
     # Ordered by cohort freshness: remaining r8 rows, then the r10
     # cohort, then the r11 cohort (greenest rows last); the 2
@@ -3538,6 +3632,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows in their cohort's CORRECTNESS file + the per-round local
     # full drive (tools/check_correctness.py).
     # -- r8 cohort remainder --
+    "dedup_semantic_capped": q_dedup_semantic_capped,
+    "events_range_frame": q_events_range_frame,
     "events_user_extremes": q_events_user_extremes,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
@@ -7682,3 +7778,40 @@ EXTENSION_ORACLE_SQL["streaming_phash_dedup_update"] = EXTENSION_ORACLE_SQL[
 EXTENSION_ORACLE_SQL["streaming_knn_bq"] = EXTENSION_ORACLE_SQL[
     "sim_topk_bq"
 ]
+
+
+# Per-source adaptive quality cut: the text_quality chain + one
+# source-keyed window rank vs a per-source ceil(q*n) cutoff.
+EXTENSION_ORACLE_SQL["text_quality_adaptive"] = f"""
+WITH q AS MATERIALIZED (
+{EXTENSION_ORACLE_SQL["text_quality"]}
+),
+d AS (SELECT doc_id, source FROM documents),
+r AS (
+  SELECT d.source, q.doc_id, q.quality,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY q.quality DESC, q.doc_id)
+              AS BIGINT) AS qrank,
+         CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS n_source
+  FROM q JOIN d USING (doc_id)
+)
+SELECT source, doc_id, quality, qrank, n_source
+FROM r WHERE qrank <= ceil({QUALITY_TOP_FRAC} * n_source)
+"""
+
+
+def _ivfsq_index_sql() -> str:
+    """The batch IVF-SQ8 build replay (coarse Lloyd + residual + vmax +
+    byte codes — the :func:`_ivfsq_ctes` chain) finished with an md5
+    over the comma-joined code sequence, matching the Spark side's
+    per-row fingerprint byte for byte."""
+    ctes, _ = _ivfsq_ctes([])
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster,"
+        " md5(array_to_string(sq, ',')) AS sq_md5 FROM codes"
+    )
+
+
+EXTENSION_ORACLE_SQL["streaming_ivfsq_index"] = _ivfsq_index_sql()

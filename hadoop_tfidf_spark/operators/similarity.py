@@ -2188,6 +2188,62 @@ def ivfsq_build(
     return index, cents, vmax
 
 
+def ivfsq_encode(
+    embeddings: DataFrame,
+    centroids: list[list[int]],
+    vmax: int,
+    units: int = 1_000_000,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Stateless IVF-SQ8 ENCODE against a prebuilt index (centroids +
+    vmax — the :func:`ivfsq_build` training artifacts): micro-quantize,
+    argmin-assign to the broadcast centroid literals (first-minimum
+    tie-break, exactly the build's final Lloyd assignment), residual
+    from the assigned centroid, ``floor(r·127/vmax)`` byte codes.
+
+    No aggregation, no training, no shuffle — a pure projection, so it
+    applies unchanged to a STREAMING relation: the ingest path of a
+    stored IVF-SQ index (train once, encode forever), the trained-tier
+    counterpart of the zero-training :func:`bq_build` stream pack.
+    Output ``(id, cluster, _sq)`` — row-identical to the build's index
+    over the same rows (gate row ``streaming_ivfsq_index`` pins it)."""
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+            for c in centroids
+        ]
+    )
+    u = _quantized_dim_checked(F.col(vec_col), units, in_dim, "ivfsq_encode")
+    step = embeddings.select(id_col, u.alias("_u"))
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("_u"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    assigned = step.withColumn(
+        "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    )
+    res = assigned.select(
+        id_col,
+        "cluster",
+        F.zip_with(
+            F.col("_u"),
+            F.element_at(cent_arr, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        ).alias("_r"),
+    )
+    return res.select(
+        id_col,
+        "cluster",
+        _sq_codes(F.col("_r"), max(1, int(vmax))).alias("_sq"),
+    )
+
+
 def ivfsq_topk(
     embeddings: DataFrame,
     query_ids: list[int],

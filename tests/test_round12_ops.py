@@ -235,3 +235,86 @@ def test_streaming_knn_equals_batch_search(spark):
         .collect()
     )
     assert got == want
+
+
+# ------------------------------------- adaptive quality + trained-tier ingest
+
+
+def test_quality_adaptive_per_source_cutoffs(spark):
+    """Kept set per source is exactly the top ceil(q·n) by
+    (quality desc, doc_id) — counts and boundary both pinned."""
+    import math
+
+    from hadoop_tfidf_spark.extensions import (
+        QUALITY_TOP_FRAC,
+        _tbl,
+        q_text_quality_adaptive,
+    )
+    from hadoop_tfidf_spark.functions.text import quality_score
+
+    kept = q_text_quality_adaptive(spark, SF_DIR_SMOKE).collect()
+    docs = _tbl(spark, SF_DIR_SMOKE, "documents")
+    n_by_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    from collections import Counter
+
+    kept_by_source = Counter(r["source"] for r in kept)
+    for src, n in n_by_source.items():
+        assert kept_by_source[src] == math.ceil(QUALITY_TOP_FRAC * n), src
+    # boundary: every kept quality >= every dropped quality per source
+    q = {
+        r["doc_id"]: r["quality"]
+        for r in quality_score(
+            spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+        ).collect()
+    }
+    src_of = {r["doc_id"]: r["source"] for r in docs.collect()}
+    kept_ids = {r["doc_id"] for r in kept}
+    for source in n_by_source:
+        kept_q = [q[d] for d in kept_ids if src_of[d] == source]
+        dropped_q = [
+            q[d]
+            for d in src_of
+            if src_of[d] == source and d not in kept_ids
+        ]
+        if kept_q and dropped_q:
+            assert min(kept_q) >= max(dropped_q), source
+
+
+def test_streaming_ivfsq_encode_equals_batch_build(spark):
+    """The stateless prebuilt-index encode over the stream reproduces
+    the batch build's index byte for byte (cluster + full code md5)."""
+    from pyspark.sql import functions as SF
+
+    from hadoop_tfidf_spark.extensions import (
+        IVF_ITERS,
+        IVF_K,
+        IVF_UNITS,
+        q_streaming_ivfsq_index,
+    )
+    from hadoop_tfidf_spark.operators.similarity import ivfsq_build
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["sq_md5"])
+        for r in q_streaming_ivfsq_index(spark, SF_DIR_SMOKE).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet")
+    index, _, _ = ivfsq_build(
+        emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        units=IVF_UNITS, in_dim=64,
+    )
+    want = {
+        r["vec_id"]: (r["cluster"], r["sq_md5"])
+        for r in index.select(
+            "vec_id",
+            SF.col("cluster").cast("bigint").alias("cluster"),
+            SF.md5(
+                SF.concat_ws(
+                    ",", SF.transform(SF.col("_sq"), lambda x: x.cast("string"))
+                ).cast("binary")
+            ).alias("sq_md5"),
+        ).collect()
+    }
+    assert got == want
