@@ -3476,17 +3476,18 @@ def q_text_quality_adaptive(spark, sf_dir):
     over-pruned by a one-size threshold. Emits the kept rows with their
     rank and source size — the audit columns a curation review wants.
 
-    Scale: ONE source-keyed shuffle; the per-source sort is the exact
+    Scale: ONE source-keyed shuffle and ZERO joins — quality and source
+    come out of the same scan (``quality_score(keep_cols=)``), so there
+    is no corpus-to-corpus join back on doc_id; the per-source sort is the exact
     gate form — at 100 TB the production variant derives the cutoff
     from ``approx_percentile(quality, 1-q)`` per source (one agg, no
     sort) and filters; the exact window here is what that approximation
     is audited against."""
     from hadoop_tfidf_spark.functions.text import quality_score
 
-    q = quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
-    j = q.join(
-        _tbl(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
-    )
+    j = quality_score(
+        _tbl(spark, sf_dir, "documents"), keep_cols=("source",)
+    ).select("doc_id", "source", "quality")
     w = Window.partitionBy("source").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )

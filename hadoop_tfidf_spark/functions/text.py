@@ -124,13 +124,18 @@ def repetition_score(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic document quality score in [0, 1] from length, alphabetic
     ratio, and stopword ratio — the standard pre-training corpus filters
     (Gopher/C4-style rules) expressed as one vectorized projection.
 
     score = 0.4·min(n_tokens/50, 1) + 0.3·alpha_ratio + 0.3·min(stop_ratio/0.1, 1)
-    """
+
+    ``keep_cols`` passes input columns (e.g. ``source``) through the
+    projection, so downstream per-group consumers compose without a
+    corpus-to-corpus join back on ``doc_id`` — one scan, zero joins."""
     text = F.col("text")
     words = _words(text)
     n_tokens = F.size(words)
@@ -139,6 +144,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     alpha_ratio = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / F.length(text)
     return docs.select(
         "doc_id",
+        *keep_cols,
         n_tokens.cast("bigint").alias("n_tokens"),
         n_stop.cast("bigint").alias("n_stopwords"),
         F.round(stop_ratio, 6).alias("stop_ratio"),

@@ -391,3 +391,15 @@ def test_tier_frontier_census(stats_of):
     s = stats_of("sim_tier_frontier")
     assert s.cartesian_products == 0
     assert s.broadcast_hash_joins >= 6
+
+
+def test_quality_adaptive_one_shuffle_no_join(stats_of):
+    """quality + source come out of ONE scan (quality_score keep_cols
+    passthrough) — the per-source cut is one window shuffle, zero
+    joins, zero extra scans (the first cut of this query joined the
+    corpus back to itself on doc_id; census-pinned so it stays fixed)."""
+    s = stats_of("text_quality_adaptive")
+    assert s.shuffle_exchanges == 1
+    assert s.broadcast_hash_joins == 0
+    assert s.sort_merge_joins == 0
+    assert s.parquet_scans == 1
