@@ -3561,78 +3561,28 @@ def q_streaming_ivfsq_index(spark, sf_dir):
 # Ordering contract: the driver's correctness gate checks only the FIRST
 # 50 entries of __spark_entry__.queries() (9 core + the first 41 below).
 # The window ROTATES each round (COVERAGE.md "gate-window policy") so every
-# oracle-backed query's newest driver row stays fresh. Round-12 composition:
-#   1) the ENTIRE 30-entry r7-row cohort — the stale-est recorded rows,
-#      led by the ten entries the round-11 newcomers displaced, then the
-#      rest of the r7 block alphabetically,
-#   2) the round-12 new queries (newcomers register in-window):
-#      sim_tier_frontier, streaming_source_stats_update,
-#      multimodal_audio_keep,
-#   3) r8-cohort fill, alphabetical (next-oldest debt).
-# Everything r10/r11-green cedes its slot and rides its cohort's
-# CORRECTNESS rows + LOCAL_CHECK_r11.md; past-cap entries are grouped by
+# oracle-backed query's newest driver row stays fresh. Round-13 composition:
+#   1) the ENTIRE 30-entry r8-row cohort — the stale-est recorded rows
+#      (streaming batch twins, BPE rows, PCA/RP components, the
+#      multimodal decode trio, events/asof variants), alphabetical,
+#   2) the round-13 new queries (newcomers register in-window):
+#      text_quality_adaptive_approx, sim_topk_ivf_bulk,
+#      streaming_ledger_compact,
+#   3) r10-cohort fill, alphabetical (next-oldest debt; newcomers took
+#      the last filler slots as they landed, as in rounds 11 and 12).
+# Everything r11/r12-green cedes its slot and rides its cohort's
+# CORRECTNESS rows + LOCAL_CHECK_r12.md; past-cap entries are grouped by
 # cohort freshness. The 2 structurally no-oracle entries (HLL/GK
 # sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
-    # ROUND-12 GATE WINDOW (first 41 extension slots; 9 core precede).
+    # ROUND-13 GATE WINDOW (first 41 extension slots; 9 core precede).
     # Policy: rotate the stale-est driver rows in, newest-rowed cohorts
     # cede their slots on their fresh CORRECTNESS rows + the per-round
     # local full drive. New queries register IN-window (past-cap
     # newcomers break the rotation rule).
     # ------------------------------------------------------------------
-    # -- the 10 r7-row entries displaced by the round-11 newcomers --
-    "dedup_minhash_capped": q_dedup_minhash_capped,
-    "dedup_fuzzy": q_dedup_fuzzy,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "text_pack_sequences": q_text_pack_sequences,
-    "text_pack_shuffled": q_text_pack_shuffled,
-    "text_c4_filters": q_text_c4_filters,
-    "text_lm_score": q_text_lm_score,
-    "text_self_dedup": q_text_self_dedup,
-    "text_chunk": q_text_chunk,
-    "text_repetition": q_text_repetition,
-    # -- the rest of the r7-row cohort (whole cohort rotates this round) --
-    "asof_next_event": q_asof_next_event,
-    "events_click_purchase": q_events_click_purchase,
-    "events_interval_join": q_events_interval_join,
-    "events_json_props": q_events_json_props,
-    "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
-    "rel_acctbal_rollup": q_rel_acctbal_rollup,
-    "rel_event_pivot": q_rel_event_pivot,
-    "rel_grouping_sets": q_rel_grouping_sets,
-    "rel_lapsed_customers": q_rel_lapsed_customers,
-    "rel_order_calendar": q_rel_order_calendar,
-    "rel_order_gaps": q_rel_order_gaps,
-    "rel_percentiles": q_rel_percentiles,
-    "rel_price_bands": q_rel_price_bands,
-    "rel_region_year_cube": q_rel_region_year_cube,
-    "rel_repeat_customers": q_rel_repeat_customers,
-    "text_contamination": q_text_contamination,
-    "text_cooccurrence_capped": q_text_cooccurrence_capped,
-    "text_decontaminate": q_text_decontaminate,
-    "text_fingerprint": q_text_fingerprint,
-    "text_lm_histogram": q_text_lm_histogram,
-    # -- round-12 new queries (newcomers register in-window) --
-    "sim_tier_frontier": q_sim_tier_frontier,
-    "streaming_source_stats_update": q_streaming_source_stats_update,
-    "multimodal_audio_keep": q_multimodal_audio_keep,
-    "streaming_phash_dedup_update": q_streaming_phash_dedup_update,
-    "streaming_knn_bq": q_streaming_knn_bq,
-    "text_quality_adaptive": q_text_quality_adaptive,
-    "streaming_ivfsq_index": q_streaming_ivfsq_index,
-    # -- r8-cohort fill, alphabetical (next-oldest debt) --
-    "asof_last_purchase_30d": q_asof_last_purchase_30d,
-    "dedup_cluster_sizes": q_dedup_cluster_sizes,
-    "dedup_corpus_diff": q_dedup_corpus_diff,
-    "dedup_semantic": q_dedup_semantic,
-    # ---- past the 50-slot cap from here down ----
-    # Ordered by cohort freshness: remaining r8 rows, then the r10
-    # cohort, then the r11 cohort (greenest rows last); the 2
-    # structurally no-oracle entries close the registry. All hold green
-    # rows in their cohort's CORRECTNESS file + the per-round local
-    # full drive (tools/check_correctness.py).
-    # -- r8 cohort remainder --
+    # -- the ENTIRE r8-row cohort (stale-est recorded rows), alphabetical --
     "dedup_semantic_capped": q_dedup_semantic_capped,
     "events_range_frame": q_events_range_frame,
     "events_user_extremes": q_events_user_extremes,
@@ -3663,7 +3613,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_mixture_bpe": q_text_mixture_bpe,
     "text_mixture_weights": q_text_mixture_weights,
     "text_pack_bpe": q_text_pack_bpe,
-    # -- r10 cohort --
+    # -- r10-cohort fill, alphabetical (next-oldest debt; round-13
+    #    newcomers take the LAST filler slots as they land) --
     "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "dedup_exact": q_dedup_exact,
@@ -3675,6 +3626,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_time_rollup": q_events_time_rollup,
     "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
+    # ---- past the 50-slot cap from here down ----
+    # Ordered by cohort freshness: the r10-cohort remainder, then the
+    # r11 cohort, then the r12 window occupants (greenest rows last);
+    # the 2 structurally no-oracle entries close the registry. All hold
+    # green rows in their cohort's CORRECTNESS file + the per-round
+    # local full drive (tools/check_correctness.py).
+    # -- r10 cohort remainder --
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
     "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -3747,6 +3705,50 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_source_quality": q_text_source_quality,
     "text_source_stats": q_text_source_stats,
     "text_stratified_sample": q_text_stratified_sample,
+    # -- r12 cohort (rotated out on fresh CORRECTNESS_r12 rows: the full
+    #    r7-row block, the seven round-12 newcomers, and the four r8
+    #    fillers that earned r12 rows), alphabetical --
+    "asof_last_purchase_30d": q_asof_last_purchase_30d,
+    "asof_next_event": q_asof_next_event,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "dedup_corpus_diff": q_dedup_corpus_diff,
+    "dedup_fuzzy": q_dedup_fuzzy,
+    "dedup_minhash_capped": q_dedup_minhash_capped,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_semantic": q_dedup_semantic,
+    "events_click_purchase": q_events_click_purchase,
+    "events_interval_join": q_events_interval_join,
+    "events_json_props": q_events_json_props,
+    "multimodal_audio_keep": q_multimodal_audio_keep,
+    "rel_acctbal_ntiles": q_rel_acctbal_ntiles,
+    "rel_acctbal_rollup": q_rel_acctbal_rollup,
+    "rel_event_pivot": q_rel_event_pivot,
+    "rel_grouping_sets": q_rel_grouping_sets,
+    "rel_lapsed_customers": q_rel_lapsed_customers,
+    "rel_order_calendar": q_rel_order_calendar,
+    "rel_order_gaps": q_rel_order_gaps,
+    "rel_percentiles": q_rel_percentiles,
+    "rel_price_bands": q_rel_price_bands,
+    "rel_region_year_cube": q_rel_region_year_cube,
+    "rel_repeat_customers": q_rel_repeat_customers,
+    "sim_tier_frontier": q_sim_tier_frontier,
+    "streaming_ivfsq_index": q_streaming_ivfsq_index,
+    "streaming_knn_bq": q_streaming_knn_bq,
+    "streaming_phash_dedup_update": q_streaming_phash_dedup_update,
+    "streaming_source_stats_update": q_streaming_source_stats_update,
+    "text_c4_filters": q_text_c4_filters,
+    "text_chunk": q_text_chunk,
+    "text_contamination": q_text_contamination,
+    "text_cooccurrence_capped": q_text_cooccurrence_capped,
+    "text_decontaminate": q_text_decontaminate,
+    "text_fingerprint": q_text_fingerprint,
+    "text_lm_histogram": q_text_lm_histogram,
+    "text_lm_score": q_text_lm_score,
+    "text_pack_sequences": q_text_pack_sequences,
+    "text_pack_shuffled": q_text_pack_shuffled,
+    "text_quality_adaptive": q_text_quality_adaptive,
+    "text_repetition": q_text_repetition,
+    "text_self_dedup": q_text_self_dedup,
     # -- structurally no-oracle (rows-only) --
     "rel_approx_distinct": q_rel_approx_distinct,
     "sim_topk_pandas": q_sim_topk_pandas,
