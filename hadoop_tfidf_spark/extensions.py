@@ -690,6 +690,30 @@ def q_sim_topk_ivf(spark, sf_dir):
     ).select("query_id", "vec_id", "cos_sim", "rn")
 
 
+def q_sim_topk_ivf_bulk(spark, sf_dir):
+    """Round 13 — the BULK-query IVF path: every corpus vector is a query
+    (kNN-graph construction, the shape a semantic-clustering or re-rank
+    job runs at 100 TB). ``probe_select="executor"`` keeps the per-query
+    nearest-probe computation on executors via the
+    ``nearest_centroid_ids`` expression (similarity.py) — ZERO query-side
+    collect, unlike the interactive driver-loop path — and the probe
+    relation stays distributed (join strategy left to Catalyst/AQE).
+    HASH-GATED: integer micro-unit probes are bit-identical to the
+    driver loop's python-int distances (same ``(d2, ci)`` tie-break), so
+    the unrolled DuckDB oracle covers both paths with one SQL chain."""
+    emb = _emb(spark, sf_dir)
+    assigned, cents = S.ivf_build(emb, k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS)
+    return S.ivf_topk(
+        assigned,
+        cents,
+        emb,
+        k=SIM_K,
+        nprobe=IVF_NPROBE,
+        units=IVF_UNITS,
+        probe_select="executor",
+    ).select("query_id", "vec_id", "cos_sim", "rn")
+
+
 PQ_M = 4
 PQ_K = 16
 PQ_ITERS = 1
@@ -3613,6 +3637,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_mixture_bpe": q_text_mixture_bpe,
     "text_mixture_weights": q_text_mixture_weights,
     "text_pack_bpe": q_text_pack_bpe,
+    # -- round-13 new queries (newcomers register in-window) --
+    "sim_topk_ivf_bulk": q_sim_topk_ivf_bulk,
     # -- r10-cohort fill, alphabetical (next-oldest debt; round-13
     #    newcomers take the LAST filler slots as they land) --
     "dedup_components": q_dedup_components,
@@ -3625,7 +3651,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
     "events_time_rollup": q_events_time_rollup,
     "multimodal_phash": q_multimodal_phash,
-    "multimodal_phash_dedup": q_multimodal_phash_dedup,
     # ---- past the 50-slot cap from here down ----
     # Ordered by cohort freshness: the r10-cohort remainder, then the
     # r11 cohort, then the r12 window occupants (greenest rows last);
@@ -3633,6 +3658,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green rows in their cohort's CORRECTNESS file + the per-round
     # local full drive (tools/check_correctness.py).
     # -- r10 cohort remainder --
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
     "rel_customers_without_orders": q_rel_customers_without_orders,
@@ -3881,14 +3907,17 @@ def _int_d2_sql(a: str, b: str) -> str:
     )
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(query_where: str | None = None) -> str:
     """Unrolled replay of the integer micro-unit IVF build+search
     (mirrors similarity.ivf_build/ivf_topk with units=IVF_UNITS): seed =
     first k vectors, then per Lloyd round an exact-integer assignment and
     a round(sum/n) centroid update (sum of BIGINTs is exact, the single
     IEEE division and round are identical in both engines), final
     assignment, integer probe of the IVF_NPROBE nearest centroids, exact
-    cosine rank over the probed clusters."""
+    cosine rank over the probed clusters. ``query_where`` swaps the query
+    predicate (default: the 5-id gate set) — the bulk variant replays the
+    SAME chain over every corpus vector, so one oracle covers both the
+    driver-loop and the executor-expression probe paths."""
     ctes = [
         f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec,
@@ -3923,9 +3952,10 @@ def _ivf_sql() -> str:
   FROM cent{it} c LEFT JOIN mean{it + 1} m ON m.cluster = c.cluster
 )""")
     final = IVF_ITERS
+    pred = query_where or f"vec_id IN ({', '.join(map(str, SIM_QUERY_IDS))})"
     ctes.append(f"""qv AS (
   SELECT vec_id AS query_id, vec AS q_vec, u AS q_u FROM e
-  WHERE vec_id IN ({", ".join(map(str, SIM_QUERY_IDS))})
+  WHERE {pred}
 )""")
     ctes.append(f"""probe AS (
   SELECT query_id, cluster FROM (
@@ -6221,6 +6251,7 @@ FROM events GROUP BY user_id
     "streaming_search": _CORE_CTES
     + "SELECT query_id, doc_id, score FROM search_rel",
     "sim_topk_ivf": _ivf_sql(),
+    "sim_topk_ivf_bulk": _ivf_sql(query_where="TRUE"),
     "sim_topk_pq": _pq_sql(),
     "sim_topk_ivfpq": _ivfpq_sql(),
     "sim_topk_ivfpq_res": _ivfpq_sql(residual=True),

@@ -264,6 +264,51 @@ def ivf_build(
     return assigned.drop("_u") if units is not None else assigned, cents
 
 
+def nearest_centroid_ids(
+    vec: Column, centroids: list[list], nprobe: int, units: int | None
+) -> Column:
+    """The ``nprobe`` nearest centroid ids for an array column, as a pure
+    DataFrame expression (no driver round-trip): squared-L2 distance to
+    every centroid literal, then ``array_sort`` over ``(d2, ci)`` structs
+    — lexicographic struct ordering gives exactly the driver path's
+    ``sorted((d2, ci))[:nprobe]`` semantics, ties → lowest cluster id.
+    With ``units`` the arithmetic is exact BIGINT (bit-identical to the
+    driver loop's python ints); float mode matches up to fold order on
+    near-ties. ``nprobe=1``'s first element is the same argmin
+    :func:`ivf_build`'s ``assign`` computes."""
+    if units is not None:
+        zero = F.lit(0).cast("bigint")
+        lit_of = lambda x: F.lit(int(x)).cast("bigint")
+        v = quantized_units(vec, units)
+    else:
+        zero = F.lit(0.0)
+        lit_of = lambda x: F.lit(float(x))
+        v = _as_double(vec)
+    cent_arr = F.array(*[F.array(*[lit_of(x) for x in c]) for c in centroids])
+    dists = F.transform(
+        cent_arr,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            zero,
+            lambda acc, x: acc + x,
+        ),
+    )
+    pairs = F.transform(
+        dists, lambda d, i: F.struct(d.alias("d2"), i.cast("int").alias("ci"))
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda s: s["ci"]
+    )
+
+
+#: Query-relation size above which ``ivf_topk(probe_select="auto")``
+#: switches from the driver-side probe loop (one tiny collect — right for
+#: interactive use) to the executor-side expression path (zero query-side
+#: collect — right for bulk re-ranking jobs with 10⁶ queries, where a
+#: single-threaded driver loop over n_queries × k × dim would stall).
+DRIVER_PROBE_MAX = 256
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list[list[float]],
@@ -273,6 +318,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     units: int | None = None,
+    probe_select: str = "auto",
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest clusters per query, exact
     cosine rank within them. Candidates come from an equi-join on the
@@ -283,39 +329,69 @@ def ivf_topk(
     expression, exact python-int distances, ties → lowest cluster id), so
     the probed set is bit-reproducible. Final scoring always uses the
     ORIGINAL float vectors — the probe decides candidates, not values.
-    """
-    if units is not None:
-        q_rows = queries.select(
-            id_col, vec_col, quantized_units(F.col(vec_col), units).alias("_u")
-        ).collect()
-        probe_rows = []
-        for r in q_rows:
-            d2s = sorted(
-                (sum((a - b) ** 2 for a, b in zip(r["_u"], c)), ci)
-                for ci, c in enumerate(centroids)
-            )
-            for _, c in d2s[:nprobe]:
-                probe_rows.append(
-                    (r[id_col], list(map(float, r[vec_col])), int(c))
-                )
-    else:
-        import numpy as np
 
-        q_rows = queries.select(id_col, vec_col).collect()
-        cent = np.array(centroids)
-        probe_rows = []
-        for r in q_rows:
-            v = np.array(r[vec_col], dtype=float)
-            d2 = ((cent - v) ** 2).sum(axis=1)
-            for c in np.argsort(d2)[:nprobe]:
-                probe_rows.append((r[id_col], list(map(float, r[vec_col])), int(c)))
-    spark = assigned.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"query_id BIGINT, q_vec ARRAY<DOUBLE>, cluster INT"
-    )
-    joined = assigned.join(F.broadcast(probes), "cluster").where(
-        F.col(id_col) != F.col("query_id")
-    )
+    ``probe_select`` picks where the per-query nearest-probe computation
+    runs: ``"driver"`` collects the (small-by-contract) query rows and
+    loops — one tiny collect, broadcast probe relation, the interactive
+    path; ``"executor"`` computes the same cells with
+    :func:`nearest_centroid_ids` as a DataFrame expression — zero
+    query-side collect, probe relation stays distributed and the join
+    strategy is left to Catalyst/AQE, the bulk path (a 10⁶-query re-rank
+    never funnels through the driver). ``"auto"`` (default) counts up to
+    :data:`DRIVER_PROBE_MAX` + 1 query rows (a LIMIT-bounded job, never a
+    full scan) and picks. In ``units`` mode both paths produce
+    bit-identical probes (exact integer distances, ``(d2, ci)``
+    tie-break); float mode can differ on near-exact centroid ties only.
+    """
+    if probe_select == "auto":
+        n_q = queries.limit(DRIVER_PROBE_MAX + 1).count()
+        probe_select = "driver" if n_q <= DRIVER_PROBE_MAX else "executor"
+    if probe_select == "executor":
+        probes = queries.select(
+            F.col(id_col).cast("bigint").alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+            F.explode(
+                nearest_centroid_ids(F.col(vec_col), centroids, nprobe, units)
+            ).alias("cluster"),
+        )
+        joined = assigned.join(probes, "cluster").where(
+            F.col(id_col) != F.col("query_id")
+        )
+    else:
+        if units is not None:
+            q_rows = queries.select(
+                id_col, vec_col, quantized_units(F.col(vec_col), units).alias("_u")
+            ).collect()
+            probe_rows = []
+            for r in q_rows:
+                d2s = sorted(
+                    (sum((a - b) ** 2 for a, b in zip(r["_u"], c)), ci)
+                    for ci, c in enumerate(centroids)
+                )
+                for _, c in d2s[:nprobe]:
+                    probe_rows.append(
+                        (r[id_col], list(map(float, r[vec_col])), int(c))
+                    )
+        else:
+            import numpy as np
+
+            q_rows = queries.select(id_col, vec_col).collect()
+            cent = np.array(centroids)
+            probe_rows = []
+            for r in q_rows:
+                v = np.array(r[vec_col], dtype=float)
+                d2 = ((cent - v) ** 2).sum(axis=1)
+                for c in np.argsort(d2)[:nprobe]:
+                    probe_rows.append(
+                        (r[id_col], list(map(float, r[vec_col])), int(c))
+                    )
+        spark = assigned.sparkSession
+        probes = spark.createDataFrame(
+            probe_rows, "query_id BIGINT, q_vec ARRAY<DOUBLE>, cluster INT"
+        )
+        joined = assigned.join(F.broadcast(probes), "cluster").where(
+            F.col(id_col) != F.col("query_id")
+        )
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),

@@ -58,11 +58,13 @@ def test_frontier_recall_is_hits_over_denominator(frontier_rows):
 
 
 def test_frontier_sq_dominates_its_own_compressions(frontier_rows):
-    """Structural ordering that must hold on ANY corpus: flat SQ8 at a
-    c50 budget re-ranks a superset of the candidates every other
-    two-stage tier can see at the same budget, and 8-bit codes resolve
-    strictly finer than 1-bit signs — so sq's recall is the frontier's
-    ceiling (every tier trades its bytes against that ceiling)."""
+    """Fixture-specific ordering pin (NOT a structural invariant:
+    ivfsq's residual SQ codes use a smaller vmax — finer resolution —
+    than flat sq, and neither ivfsq's nor bq's stage-1 candidate set is
+    a subset of sq's c50 re-rank set, so sq >= ivfsq/bq recall is only
+    empirical). On THIS corpus flat SQ8's full-corpus 8-bit re-rank is
+    the frontier ceiling; a regression here means a tier chain changed
+    behaviour, not that the maths broke."""
     sq = frontier_rows["sq"]["recall"]
     for tier in ("ivfsq", "bq"):
         assert frontier_rows[tier]["recall"] <= sq

@@ -1,0 +1,119 @@
+"""Round-13 pins: executor-side IVF probe selection (the bulk-query
+scale path — zero query-side collect), its bit-equivalence to the
+interactive driver-loop path, and the auto threshold that picks
+between them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_tfidf_spark.operators import similarity as S
+from tests.conftest import SF_DIR_SMOKE
+
+IVF_UNITS = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark):
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet")
+    assigned, cents = S.ivf_build(emb, k=16, iters=1, units=IVF_UNITS)
+    return emb, assigned, cents
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_executor_probes_bit_equal_driver_probes_units(spark, ivf_index):
+    """units mode: the nearest_centroid_ids expression must reproduce the
+    driver loop's python-int distances and (d2, ci) tie-break exactly —
+    same probes, same candidates, same top-k, bit for bit."""
+    emb, assigned, cents = ivf_index
+    queries = emb.where(F.col("vec_id") < 40)
+    a = S.ivf_topk(
+        assigned, cents, queries, k=5, nprobe=3, units=IVF_UNITS,
+        probe_select="driver",
+    )
+    b = S.ivf_topk(
+        assigned, cents, queries, k=5, nprobe=3, units=IVF_UNITS,
+        probe_select="executor",
+    )
+    ra, rb = _rows(a), _rows(b)
+    assert ra == rb
+    assert len(ra) == 40 * 5
+
+
+def test_executor_probes_match_driver_float_path(spark, ivf_index):
+    """float mode: same equivalence on this fixture (the paths can only
+    diverge on near-exact centroid ties, which the fixture has none of)."""
+    emb, assigned, cents = ivf_index
+    queries = emb.where(F.col("vec_id") < 20)
+    a = S.ivf_topk(assigned, cents, queries, k=5, nprobe=2,
+                   probe_select="driver")
+    b = S.ivf_topk(assigned, cents, queries, k=5, nprobe=2,
+                   probe_select="executor")
+    assert _rows(a) == _rows(b)
+
+
+def test_executor_path_has_zero_query_side_collect(spark, ivf_index):
+    """The bulk-path plan census: a driver-selected probe relation
+    materializes as a LocalTableScan (createDataFrame of collected query
+    rows); the executor path must have NONE — every relation in its plan
+    comes from the distributed scan, so a 10⁶-query re-rank never funnels
+    through the driver."""
+    emb, assigned, cents = ivf_index
+    ex = S.ivf_topk(
+        assigned, cents, emb, k=5, nprobe=2, units=IVF_UNITS,
+        probe_select="executor",
+    )
+    plan = ex._jdf.queryExecution().optimizedPlan().toString()
+    # createDataFrame(collected rows) plans as LogicalRDD/LocalRelation;
+    # the executor path must have neither
+    assert "LogicalRDD" not in plan and "LocalRelation" not in plan
+    # contrast pin: the driver path DOES carry the collected probe rows
+    dr = S.ivf_topk(
+        assigned, cents, emb.where(F.col("vec_id") < 5), k=5, nprobe=2,
+        units=IVF_UNITS, probe_select="driver",
+    )
+    dplan = dr._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in dplan
+
+
+def test_auto_threshold_picks_by_query_count(spark, ivf_index):
+    """probe_select="auto" keeps the interactive collect path for small
+    query sets (<= DRIVER_PROBE_MAX) and switches to the executor
+    expression beyond it — observable from whether the probe relation is
+    a LocalRelation."""
+    emb, assigned, cents = ivf_index
+    small = S.ivf_topk(
+        assigned, cents, emb.where(F.col("vec_id") < 3), k=5, nprobe=2,
+        units=IVF_UNITS, probe_select="auto",
+    )
+    assert "LogicalRDD" in small._jdf.queryExecution().optimizedPlan().toString()
+    big = S.ivf_topk(  # 500 > DRIVER_PROBE_MAX=256
+        assigned, cents, emb, k=5, nprobe=2, units=IVF_UNITS,
+        probe_select="auto",
+    )
+    big_plan = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in big_plan and "LocalRelation" not in big_plan
+    assert S.DRIVER_PROBE_MAX == 256
+
+
+def test_nearest_centroid_ids_first_element_is_assign_argmin(spark, ivf_index):
+    """nprobe=1 of the probe expression is the same argmin ivf_build's
+    assign computes — the two expressions can never disagree on a
+    vector's home cell."""
+    emb, assigned, cents = ivf_index
+    got = (
+        emb.select(
+            "vec_id",
+            F.element_at(
+                S.nearest_centroid_ids(F.col("embedding"), cents, 1, IVF_UNITS), 1
+            ).alias("cell"),
+        )
+        .join(assigned.select("vec_id", "cluster"), "vec_id")
+        .where(F.col("cell") != F.col("cluster"))
+        .count()
+    )
+    assert got == 0
