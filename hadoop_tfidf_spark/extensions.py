@@ -3502,11 +3502,12 @@ def q_text_quality_adaptive(spark, sf_dir):
 
     Scale: ONE source-keyed shuffle and ZERO joins — quality and source
     come out of the same scan (``quality_score(keep_cols=)``), so there
-    is no corpus-to-corpus join back on doc_id; the per-source sort is the exact
-    gate form — at 100 TB the production variant derives the cutoff
-    from ``approx_percentile(quality, 1-q)`` per source (one agg, no
-    sort) and filters; the exact window here is what that approximation
-    is audited against."""
+    is no corpus-to-corpus join back on doc_id; the per-source sort is
+    the exact gate form — at 100 TB the production variant is
+    :func:`q_text_quality_adaptive_approx` (per-source
+    ``percentile_approx`` cutoff, one agg + one filter, no sort); this
+    exact window is the audit twin that approximation is checked
+    against."""
     from hadoop_tfidf_spark.functions.text import quality_score
 
     j = quality_score(
@@ -3525,6 +3526,74 @@ def q_text_quality_adaptive(spark, sf_dir):
     return ranked.where(
         F.col("qrank") <= F.ceil(F.lit(QUALITY_TOP_FRAC) * F.col("n_source"))
     ).select("source", "doc_id", "quality", "qrank", "n_source")
+
+
+#: Sketch accuracy for the production adaptive cut (Spark default): the
+#: cutoff's rank error is bounded by n_source / accuracy, so on the gate
+#: fixture (n_source << 10⁴) the sketch holds every value and the cutoff
+#: IS the exact discrete quantile — which is what lets the row hash-gate.
+QUALITY_APPROX_ACC = 10_000
+
+
+def q_text_quality_adaptive_approx(spark, sf_dir):
+    """Round 13 — the 100 TB PRODUCTION form of the per-source adaptive
+    quality cut: derive each source's cutoff from ONE
+    ``percentile_approx(quality, 1-q)`` aggregation (map-side partial GK
+    sketches merge to a 20-row relation — no per-source sort, no window,
+    the corpus never shuffles), broadcast the tiny cutoff table back,
+    and keep ``quality > cutoff``. Emits the per-source accounting a
+    curation review wants: the cutoff, the approx kept count, the exact
+    form's kept count (``ceil(q·n)``) and their delta — the "kept-set
+    delta" that audits the approximation against the exact-window twin
+    :func:`q_text_quality_adaptive`.
+
+    Scale: the exact twin shuffles and sorts the WHOLE corpus by source
+    (its window is the audit form); this one shuffles only GK sketch
+    partials + a 20-row broadcast, and its second corpus pass is the
+    production filter itself. Cutoff semantics: the smallest quality
+    value whose ≤-fraction reaches ``1-q`` (Spark's percentile_approx
+    definition) — the DuckDB oracle replays that DEFINITION with a
+    cumulative window, exact on the gate fixture because n_source is far
+    below :data:`QUALITY_APPROX_ACC` (at real scale the rank error is
+    ≤ n_source/accuracy; that drift is exactly what ``delta`` measures).
+    ``quality > cutoff`` keeps floor(q·n) rows on distinct values vs the
+    exact form's ceil(q·n) rank cut, so |delta| ≤ 1 + ties by
+    construction — asserted in tests, reported per source here."""
+    from hadoop_tfidf_spark.functions.text import quality_score
+
+    j = quality_score(
+        _tbl(spark, sf_dir, "documents"), keep_cols=("source",)
+    ).select("source", "quality")
+    cuts = j.groupBy("source").agg(
+        F.percentile_approx(
+            "quality", 1.0 - QUALITY_TOP_FRAC, QUALITY_APPROX_ACC
+        ).alias("cutoff"),
+        F.count("*").alias("n_source"),
+    )
+    kept = (
+        j.join(F.broadcast(cuts), "source")
+        .where(F.col("quality") > F.col("cutoff"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        cuts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_source",
+            "cutoff",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.ceil(F.lit(QUALITY_TOP_FRAC) * F.col("n_source"))
+            .cast("bigint")
+            .alias("n_kept_exact"),
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                - F.ceil(F.lit(QUALITY_TOP_FRAC) * F.col("n_source"))
+            )
+            .cast("bigint")
+            .alias("kept_delta"),
+        )
+    )
 
 
 def q_streaming_ivfsq_index(spark, sf_dir):
@@ -3638,6 +3707,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_mixture_weights": q_text_mixture_weights,
     "text_pack_bpe": q_text_pack_bpe,
     # -- round-13 new queries (newcomers register in-window) --
+    "text_quality_adaptive_approx": q_text_quality_adaptive_approx,
     "sim_topk_ivf_bulk": q_sim_topk_ivf_bulk,
     # -- r10-cohort fill, alphabetical (next-oldest debt; round-13
     #    newcomers take the LAST filler slots as they land) --
@@ -3650,7 +3720,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_frequency_salted": q_doc_frequency_salted,
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
     "events_time_rollup": q_events_time_rollup,
-    "multimodal_phash": q_multimodal_phash,
     # ---- past the 50-slot cap from here down ----
     # Ordered by cohort freshness: the r10-cohort remainder, then the
     # r11 cohort, then the r12 window occupants (greenest rows last);
@@ -3658,6 +3727,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green rows in their cohort's CORRECTNESS file + the per-round
     # local full drive (tools/check_correctness.py).
     # -- r10 cohort remainder --
+    "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
     "pipeline_curate_semantic": q_pipeline_curate_semantic,
@@ -7831,6 +7901,44 @@ r AS (
 )
 SELECT source, doc_id, quality, qrank, n_source
 FROM r WHERE qrank <= ceil({QUALITY_TOP_FRAC} * n_source)
+"""
+
+# The production approx form's oracle replays percentile_approx's
+# DEFINITION (smallest value whose <=-fraction reaches 1-q) with a
+# cumulative count window — exact on the gate fixture, where the GK
+# sketch holds every value (n_source << QUALITY_APPROX_ACC).
+EXTENSION_ORACLE_SQL["text_quality_adaptive_approx"] = f"""
+WITH q AS MATERIALIZED (
+{EXTENSION_ORACLE_SQL["text_quality"]}
+),
+d AS (SELECT doc_id, source FROM documents),
+j AS (SELECT d.source, q.quality FROM q JOIN d USING (doc_id)),
+c AS (
+  SELECT source, quality,
+         count(*) OVER (PARTITION BY source ORDER BY quality) * 1.0
+           / count(*) OVER (PARTITION BY source) AS frac_le
+  FROM j
+),
+cuts AS (
+  SELECT source, min(quality) AS cutoff
+  FROM c WHERE frac_le >= {1.0 - QUALITY_TOP_FRAC} GROUP BY source
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_source FROM j GROUP BY source
+),
+kept AS (
+  SELECT j.source, CAST(count(*) AS BIGINT) AS n_kept
+  FROM j JOIN cuts USING (source)
+  WHERE j.quality > cuts.cutoff GROUP BY j.source
+)
+SELECT s.source, s.n_source, cuts.cutoff,
+       CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(ceil({QUALITY_TOP_FRAC} * s.n_source) AS BIGINT) AS n_kept_exact,
+       CAST(coalesce(kept.n_kept, 0)
+            - ceil({QUALITY_TOP_FRAC} * s.n_source) AS BIGINT) AS kept_delta
+FROM sizes s
+JOIN cuts USING (source)
+LEFT JOIN kept USING (source)
 """
 
 

@@ -117,3 +117,59 @@ def test_nearest_centroid_ids_first_element_is_assign_argmin(spark, ivf_index):
         .count()
     )
     assert got == 0
+
+
+# ------------------------------------------------ adaptive quality cut
+
+
+@pytest.fixture(scope="module")
+def adaptive_rows(spark):
+    from hadoop_tfidf_spark.extensions import (
+        q_text_quality_adaptive,
+        q_text_quality_adaptive_approx,
+    )
+
+    approx = {
+        r["source"]: r
+        for r in q_text_quality_adaptive_approx(spark, SF_DIR_SMOKE).collect()
+    }
+    exact_kept = (
+        q_text_quality_adaptive(spark, SF_DIR_SMOKE)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    return approx, {r["source"]: r["count"] for r in exact_kept}
+
+
+def test_adaptive_approx_delta_bounded(adaptive_rows):
+    """The production threshold cut keeps floor(q·n) on distinct values
+    vs the exact rank cut's ceil(q·n) — |delta| <= 1 absent quality
+    ties, and the accounting columns agree with the exact twin."""
+    approx, exact = adaptive_rows
+    assert set(approx) == set(exact)
+    for src, row in approx.items():
+        assert row["n_kept_exact"] == exact[src]
+        assert row["kept_delta"] == row["n_kept"] - row["n_kept_exact"]
+        assert abs(row["kept_delta"]) <= 1
+
+
+def test_adaptive_approx_plan_has_no_window_or_sort(spark):
+    """The production form's whole point: the corpus is never
+    sort-shuffled — no Window in the plan (the exact twin has one), the
+    cutoff relation joins back as a broadcast."""
+    from hadoop_tfidf_spark.extensions import (
+        q_text_quality_adaptive,
+        q_text_quality_adaptive_approx,
+    )
+
+    plan = (
+        q_text_quality_adaptive_approx(spark, SF_DIR_SMOKE)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan and "Sort" not in plan
+    exact_plan = (
+        q_text_quality_adaptive(spark, SF_DIR_SMOKE)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" in exact_plan
