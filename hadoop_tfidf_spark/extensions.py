@@ -3303,9 +3303,16 @@ def q_streaming_source_stats_update(spark, sf_dir):
     dashboard, so the hash row proves upsert-reconstructed state ==
     state at rest. Vocab is deliberately out of scope here (the
     complete-mode twin covers it); this row's subject is the update
-    OUTPUT contract."""
+    OUTPUT contract. Since round 13 the ledger writes are generation-
+    keyed overwrites (streaming/ledger.py) — replay-idempotent under
+    foreachBatch's at-least-once contract, pinned by test."""
     import uuid
 
+    from hadoop_tfidf_spark.streaming.ledger import (
+        ledger_upsert,
+        read_ledger,
+        reconstruct_latest,
+    )
     from hadoop_tfidf_spark.streaming.windows import (
         staged_source,
         staging_dir,
@@ -3331,39 +3338,91 @@ def q_streaming_source_stats_update(spark, sf_dir):
     run = staging_dir(prefix=f"spark_graft_srcupd_{uuid.uuid4().hex[:8]}_")
     sink, ckpt = f"{run}/ledger", f"{run}/ckpt"
 
-    def upsert(batch_df, batch_id):
-        # Production: MERGE INTO the governance table on (source, lang).
-        # The gate twin appends with the batch id so the ledger keeps
-        # the upsert ORDER and the reader takes the latest row per key.
-        (
-            batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(sink)
-        )
-
+    # Production: MERGE INTO the governance table on (source, lang). The
+    # gate twin overwrites a batch_id=N generation dir per trigger, so
+    # the ledger keeps the upsert ORDER (latest generation per key wins)
+    # and a replayed batch rewrites itself instead of duplicating.
     (
         counts.writeStream.outputMode("update")
-        .foreachBatch(upsert)
+        .foreachBatch(ledger_upsert(sink))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
-    ledger = spark.read.parquet(sink)
-    w = Window.partitionBy("source", "lang").orderBy(
-        F.col("_batch_id").desc()
-    )
-    final = (
-        ledger.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_batch_id")
-    )
+    final = reconstruct_latest(read_ledger(spark, sink), ["source", "lang"])
     return final.groupBy("source").agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(F.sum("n_tokens") / F.sum("n_docs"), 6).alias("avg_tokens"),
         F.count("*").cast("bigint").alias("n_langs"),
     )
+
+
+def q_streaming_ledger_compact(spark, sf_dir):
+    """Round 13 — GENERATION COMPACTION for the update-mode ledgers: the
+    missing piece of their 100 TB story. The ledgers reconstruct state
+    as latest-row-per-key over ALL generations, so an always-on stream's
+    reconstruction cost grows with commit count forever; production
+    periodically folds old generations into one base (a table format's
+    OPTIMIZE/rewrite). This row runs the same 4-trigger source-stats
+    update stream as ``streaming_source_stats_update``, folds
+    generations 0..2 into one base via ``compact_ledger``
+    (streaming/ledger.py), and re-derives the per-source roll-up from
+    the compacted ledger — which must hash-match the SAME batch oracle,
+    plus a pinned ``n_generations = 2`` column (base + the one newer
+    generation) proving the fold actually happened and newer deltas
+    still shadow the base."""
+    import uuid
+
+    from hadoop_tfidf_spark.streaming.ledger import (
+        compact_ledger,
+        ledger_upsert,
+        read_ledger,
+        reconstruct_latest,
+    )
+    from hadoop_tfidf_spark.streaming.windows import (
+        staged_source,
+        staging_dir,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    base = staged_source(
+        ("documents", sf_dir, "full4"),
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_srcstream_",
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    counts = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(words)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    run = staging_dir(prefix=f"spark_graft_srccmp_{uuid.uuid4().hex[:8]}_")
+    sink, ckpt = f"{run}/ledger", f"{run}/ckpt"
+    (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(ledger_upsert(sink))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    compact_ledger(spark, sink, ["source", "lang"], through=2)
+    ledger = read_ledger(spark, sink)
+    n_gens = ledger.select("batch_id").distinct().count()
+    final = reconstruct_latest(ledger, ["source", "lang"])
+    return final.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.sum("n_docs"), 6).alias("avg_tokens"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    ).withColumn("n_generations", F.lit(n_gens).cast("bigint"))
 
 
 def q_streaming_phash_dedup_update(spark, sf_dir):
@@ -3376,12 +3435,18 @@ def q_streaming_phash_dedup_update(spark, sf_dir):
     reconstruction must hash-match the batch groups (the
     ``streaming_phash_dedup`` oracle verbatim). Output volume scales
     with the delta per trigger; ledger rows ≤ triggers × distinct
-    hashes, never corpus-sized."""
+    hashes, never corpus-sized. Generation-keyed replay-idempotent
+    writes since round 13 (streaming/ledger.py)."""
     import uuid
 
     from hadoop_tfidf_spark.operators.multimodal import (
         media_phash,
         with_binary_payload,
+    )
+    from hadoop_tfidf_spark.streaming.ledger import (
+        ledger_upsert,
+        read_ledger,
+        reconstruct_latest,
     )
     from hadoop_tfidf_spark.streaming.windows import (
         staged_source,
@@ -3412,27 +3477,16 @@ def q_streaming_phash_dedup_update(spark, sf_dir):
     run = staging_dir(prefix=f"spark_graft_phashupd_{uuid.uuid4().hex[:8]}_")
     sink, ckpt = f"{run}/ledger", f"{run}/ckpt"
 
-    def upsert(batch_df, batch_id):
-        (
-            batch_df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(sink)
-        )
-
     (
         groups.writeStream.outputMode("update")
-        .foreachBatch(upsert)
+        .foreachBatch(ledger_upsert(sink))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
     )
-    ledger = spark.read.parquet(sink)
-    w = Window.partitionBy("phash").orderBy(F.col("_batch_id").desc())
-    return (
-        ledger.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("phash", "n_docs", "keep_doc_id")
+    return reconstruct_latest(read_ledger(spark, sink), ["phash"]).select(
+        "phash", "n_docs", "keep_doc_id"
     )
 
 
@@ -3442,15 +3496,19 @@ def q_streaming_knn_bq(spark, sf_dir):
     answered against the STATIC prebuilt BQ index (``bq_build`` once,
     passed via ``index=`` — the stored-index production shape) with the
     same two-stage popcount-xor + exact-re-rank search the batch row
-    runs; per-batch results append to a parquet sink. The accumulated
-    answers must hash-match the one-shot batch ``sim_topk_bq`` oracle
-    verbatim: answering queries as they arrive loses nothing vs
-    answering them at rest. Scale: the stream side is query-sized, the
-    static side is the packed index scan stage-1 already bounds —
-    foreachBatch here is exactly a serving loop."""
+    runs; each batch's results land in that batch's own generation dir
+    (streaming/ledger.py overwrite — a replayed micro-batch rewrites
+    itself instead of duplicating result rows, matching the update
+    twins' idempotence). The accumulated answers must hash-match the
+    one-shot batch ``sim_topk_bq`` oracle verbatim: answering queries
+    as they arrive loses nothing vs answering them at rest. Scale: the
+    stream side is query-sized, the static side is the packed index
+    scan stage-1 already bounds — foreachBatch here is exactly a
+    serving loop."""
     import uuid
 
     from hadoop_tfidf_spark.operators.similarity import bq_build, bq_topk
+    from hadoop_tfidf_spark.streaming.ledger import ledger_upsert, read_ledger
     from hadoop_tfidf_spark.streaming.windows import (
         staged_source,
         staging_dir,
@@ -3467,11 +3525,16 @@ def q_streaming_knn_bq(spark, sf_dir):
     run = staging_dir(prefix=f"spark_graft_knnout_{uuid.uuid4().hex[:8]}_")
     sink, ckpt = f"{run}/results", f"{run}/ckpt"
 
+    write_gen = ledger_upsert(sink)
+
     def serve(batch_df, batch_id):
-        bq_topk(
-            emb, batch_df, k=SIM_K, candidates=RP_TOPK_CANDIDATES,
-            units=IVF_UNITS, in_dim=64, index=index,
-        ).write.mode("append").parquet(sink)
+        write_gen(
+            bq_topk(
+                emb, batch_df, k=SIM_K, candidates=RP_TOPK_CANDIDATES,
+                units=IVF_UNITS, in_dim=64, index=index,
+            ),
+            batch_id,
+        )
 
     (
         spark.readStream.schema(emb.schema)
@@ -3484,7 +3547,7 @@ def q_streaming_knn_bq(spark, sf_dir):
         .start()
         .awaitTermination()
     )
-    return spark.read.parquet(sink).select("query_id", "vec_id", "d2_u", "rn")
+    return read_ledger(spark, sink).select("query_id", "vec_id", "d2_u", "rn")
 
 
 #: Per-source adaptive quality cut: keep the top fraction per source.
@@ -3709,6 +3772,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-13 new queries (newcomers register in-window) --
     "text_quality_adaptive_approx": q_text_quality_adaptive_approx,
     "sim_topk_ivf_bulk": q_sim_topk_ivf_bulk,
+    "streaming_ledger_compact": q_streaming_ledger_compact,
     # -- r10-cohort fill, alphabetical (next-oldest debt; round-13
     #    newcomers take the LAST filler slots as they land) --
     "dedup_components": q_dedup_components,
@@ -3719,7 +3783,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_span_sliding": q_dedup_span_sliding,
     "doc_frequency_salted": q_doc_frequency_salted,
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
-    "events_time_rollup": q_events_time_rollup,
     # ---- past the 50-slot cap from here down ----
     # Ordered by cohort freshness: the r10-cohort remainder, then the
     # r11 cohort, then the r12 window occupants (greenest rows last);
@@ -3727,6 +3790,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green rows in their cohort's CORRECTNESS file + the per-round
     # local full drive (tools/check_correctness.py).
     # -- r10 cohort remainder --
+    "events_time_rollup": q_events_time_rollup,
     "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
@@ -7835,6 +7899,17 @@ SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_langs
 FROM g GROUP BY source
 """
+
+# The compacted ledger reconstructs to the SAME per-source roll-up (the
+# update twin's oracle verbatim) + the pinned post-compaction generation
+# count: 4 triggers, generations 0..2 folded into one base, 1 newer
+# generation still shadowing it.
+EXTENSION_ORACLE_SQL["streaming_ledger_compact"] = EXTENSION_ORACLE_SQL[
+    "streaming_source_stats_update"
+].replace(
+    "CAST(count(*) AS BIGINT) AS n_langs",
+    "CAST(count(*) AS BIGINT) AS n_langs,\n       CAST(2 AS BIGINT) AS n_generations",
+)
 
 
 # Malformed-payload keep contract: the multimodal_audio_decode analytic

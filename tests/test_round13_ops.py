@@ -173,3 +173,75 @@ def test_adaptive_approx_plan_has_no_window_or_sort(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "Window" in exact_plan
+
+
+# ------------------------------------------------ update-ledger semantics
+
+
+@pytest.fixture()
+def ledger_sink(spark, tmp_path):
+    from hadoop_tfidf_spark.streaming.ledger import ledger_upsert
+
+    sink = str(tmp_path / "ledger")
+    up = ledger_upsert(sink)
+    mk = lambda rows: spark.createDataFrame(rows, "k STRING, n BIGINT")
+    up(mk([("a", 1), ("b", 1)]), 0)
+    up(mk([("a", 2), ("c", 1)]), 1)
+    up(mk([("b", 5)]), 2)
+    up(mk([("c", 7), ("d", 1)]), 3)
+    return sink, up, mk
+
+
+def _state(spark, sink):
+    from hadoop_tfidf_spark.streaming.ledger import (
+        read_ledger,
+        reconstruct_latest,
+    )
+
+    return sorted(
+        map(tuple, reconstruct_latest(read_ledger(spark, sink), ["k"]).collect())
+    )
+
+
+def test_ledger_replay_is_idempotent(spark, ledger_sink):
+    """foreachBatch is at-least-once: a re-delivered batch_id must leave
+    reconstruction AND the generation layout unchanged (the overwrite
+    rewrites its own dir; the old append scheme duplicated rows)."""
+    from hadoop_tfidf_spark.streaming.ledger import ledger_generations
+
+    sink, up, mk = ledger_sink
+    before = _state(spark, sink)
+    assert before == [("a", 2), ("b", 5), ("c", 7), ("d", 1)]
+    up(mk([("b", 5)]), 2)  # replayed micro-batch, same content
+    assert _state(spark, sink) == before
+    assert ledger_generations(sink) == [0, 1, 2, 3]
+
+
+def test_compact_is_reconstruction_invariant(spark, ledger_sink):
+    """Folding generations 0..2 into one base changes the layout, never
+    the state; newer generations still shadow the base."""
+    from hadoop_tfidf_spark.streaming.ledger import (
+        compact_ledger,
+        ledger_generations,
+    )
+
+    sink, up, mk = ledger_sink
+    before = _state(spark, sink)
+    folded = compact_ledger(spark, sink, ["k"], through=2)
+    assert folded == 3
+    assert ledger_generations(sink) == [2, 3]
+    assert _state(spark, sink) == before
+    # a later delta on top of the compacted base still wins
+    up(mk([("a", 9)]), 4)
+    assert _state(spark, sink) == [("a", 9), ("b", 5), ("c", 7), ("d", 1)]
+
+
+def test_compact_single_generation_is_noop(spark, ledger_sink):
+    from hadoop_tfidf_spark.streaming.ledger import (
+        compact_ledger,
+        ledger_generations,
+    )
+
+    sink, up, mk = ledger_sink
+    assert compact_ledger(spark, sink, ["k"], through=0) == 1
+    assert ledger_generations(sink) == [0, 1, 2, 3]
