@@ -1035,6 +1035,43 @@ def _adc_table(qvec: list[int], codebooks: list[list[list[int]]]) -> list[list[i
     ]
 
 
+def _adc_expr(src: Column, codebooks: list[list[list[int]]]) -> Column:
+    """:func:`_adc_table` as a pure DataFrame expression — the executor-
+    side twin for bulk query relations: ``adc[subspace][code]`` exact
+    BIGINT L2 distances from the (micro-unit) ``src`` array column's
+    subvectors to every codebook centroid literal. The codebooks are the
+    only literals (m × k × sub ints — the same tiny artifact the driver
+    path ships), so a 10⁶-query ADC build never leaves executors."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
+                    for cent in codebooks[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    return F.transform(
+        cb,
+        lambda cb_s, s: F.transform(
+            cb_s,
+            lambda cent: F.aggregate(
+                F.zip_with(
+                    F.slice(src, s * sub + 1, sub),
+                    cent,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+
+
 def _adc_tables(
     embeddings: DataFrame,
     codebooks: list[list[list[int]]],
@@ -1129,6 +1166,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     embeddings: DataFrame | None = None,
     residual: bool = False,
+    probe_select: str = "auto",
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): the realistic 100 TB ANN index —
     coarse-quantize the corpus into IVF cells, PQ-compress every vector,
@@ -1156,42 +1194,85 @@ def ivfpq_topk(
     The cell join + the code join on ``id_col`` are the only shuffles —
     at scale the index is STORED pre-joined (cluster, pq_code), leaving
     the probe join + window only.
+
+    ``probe_select`` mirrors :func:`ivf_topk`'s: ``"driver"`` collects
+    the (small-by-contract) query rows and builds probe cells + ADC
+    tables in a loop; ``"executor"`` computes the SAME cells
+    (:func:`nearest_centroid_ids`) and the SAME tables (:func:`_adc_expr`
+    — in residual mode from the per-probed-cell residual) as DataFrame
+    expressions, zero query-side collect, join strategy left to
+    Catalyst/AQE. ``"auto"`` picks by ``len(query_ids)`` vs
+    :data:`DRIVER_PROBE_MAX` (no job — the ids are already a list).
+    All-integer either way, so the paths are bit-identical.
     """
     m = len(codebooks)
     emb = embeddings if embeddings is not None else assigned
-    # ONE collect of the (tiny) query rows feeds both the integer probe
-    # (mirrors ivf_topk's units path: exact python-int distances, ties ->
-    # lowest cluster id) and the ADC tables. In residual mode the ADC
-    # table is PER (query, probed cluster): distances go from the query's
-    # residual wrt THAT cluster's centroid to the residual codebooks —
-    # Jegou §IV's per-cell lookup tables; the probes relation already has
-    # exactly that grain, so only the table contents change.
-    q_rows = (
-        emb.where(F.col(id_col).isin([int(x) for x in query_ids]))
-        .select(id_col, quantized_units(F.col(vec_col), units).alias("u"))
-        .collect()
-    )
-
-    probe_rows = []
-    for r in q_rows:
-        qu = [int(x) for x in r["u"]]
-        d2s = sorted(
-            (sum((a - b) * (a - b) for a, b in zip(qu, c)), ci)
-            for ci, c in enumerate(centroids)
+    if probe_select == "auto":
+        probe_select = (
+            "driver" if len(query_ids) <= DRIVER_PROBE_MAX else "executor"
         )
-        shared = None if residual else _adc_table(qu, codebooks)
-        for _, ci in d2s[:nprobe]:
-            tab = (
-                _adc_table([a - b for a, b in zip(qu, centroids[ci])], codebooks)
-                if residual
-                else shared
+    if probe_select == "executor":
+        cent_arr = F.array(
+            *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in centroids]
+        )
+        qdf = emb.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+            F.col(id_col).cast("bigint").alias("query_id"),
+            quantized_units(F.col(vec_col), units).alias("_qu"),
+            F.explode(
+                nearest_centroid_ids(F.col(vec_col), centroids, nprobe, units)
+            ).alias("cluster"),
+        )
+        src = (
+            F.zip_with(
+                F.col("_qu"),
+                F.element_at(cent_arr, F.col("cluster") + 1),
+                lambda a, b: a - b,
             )
-            probe_rows.append((int(r[id_col]), int(ci), tab))
-    spark = assigned.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows,
-        "query_id BIGINT, cluster INT, adc ARRAY<ARRAY<BIGINT>>",
-    )
+            if residual
+            else F.col("_qu")
+        )
+        probes = qdf.select(
+            "query_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            _adc_expr(src, codebooks).alias("adc"),
+        )
+    else:
+        # ONE collect of the (tiny) query rows feeds both the integer
+        # probe (mirrors ivf_topk's units path: exact python-int
+        # distances, ties -> lowest cluster id) and the ADC tables. In
+        # residual mode the ADC table is PER (query, probed cluster):
+        # distances go from the query's residual wrt THAT cluster's
+        # centroid to the residual codebooks — Jegou §IV's per-cell
+        # lookup tables; the probes relation already has exactly that
+        # grain, so only the table contents change.
+        q_rows = (
+            emb.where(F.col(id_col).isin([int(x) for x in query_ids]))
+            .select(id_col, quantized_units(F.col(vec_col), units).alias("u"))
+            .collect()
+        )
+
+        probe_rows = []
+        for r in q_rows:
+            qu = [int(x) for x in r["u"]]
+            d2s = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(qu, c)), ci)
+                for ci, c in enumerate(centroids)
+            )
+            shared = None if residual else _adc_table(qu, codebooks)
+            for _, ci in d2s[:nprobe]:
+                tab = (
+                    _adc_table(
+                        [a - b for a, b in zip(qu, centroids[ci])], codebooks
+                    )
+                    if residual
+                    else shared
+                )
+                probe_rows.append((int(r[id_col]), int(ci), tab))
+        spark = assigned.sparkSession
+        probes = spark.createDataFrame(
+            probe_rows,
+            "query_id BIGINT, cluster INT, adc ARRAY<ARRAY<BIGINT>>",
+        )
     code_cols = _pq_code_cols(codes, m)
     if "cluster" in codes.columns:
         # residual codes already carry the coarse cell — the index is
@@ -1208,7 +1289,11 @@ def ivfpq_topk(
             ),
             id_col,
         )
-    cand = index.join(F.broadcast(probes), "cluster").where(
+    # driver path: the collected probe relation is tiny by contract —
+    # broadcast it; executor path: the probe relation is query-sized and
+    # distributed — leave the strategy to Catalyst/AQE
+    probes_side = F.broadcast(probes) if probe_select != "executor" else probes
+    cand = index.join(probes_side, "cluster").where(
         F.col(id_col) != F.col("query_id")
     )
     score = None

@@ -245,3 +245,36 @@ def test_compact_single_generation_is_noop(spark, ledger_sink):
     sink, up, mk = ledger_sink
     assert compact_ledger(spark, sink, ["k"], through=0) == 1
     assert ledger_generations(sink) == [0, 1, 2, 3]
+
+
+# ------------------------------------------------ IVFADC executor probes
+
+
+def test_ivfpq_executor_path_bit_equal_and_collect_free(spark, ivf_index):
+    """ivfpq_topk's executor path: probe cells from nearest_centroid_ids
+    and ADC tables from the _adc_expr expression must reproduce the
+    driver loop bit for bit (all-integer arithmetic both ways), with a
+    LogicalRDD-free plan. Covers plain AND residual mode (per-probed-
+    cell residual tables — the Jégou §IV grain)."""
+    emb, _, _ = ivf_index
+    U = 1_000_000
+    qids = list(range(20))
+    codes, books = S.pq_build(emb, m=4, k=16, iters=1, units=U, pack=True)
+    assigned, cents = S.ivf_build(emb, k=16, iters=1, units=U)
+    a = S.ivfpq_topk(assigned, cents, codes, books, qids, k=5, nprobe=2,
+                     units=U, probe_select="driver")
+    b = S.ivfpq_topk(assigned, cents, codes, books, qids, k=5, nprobe=2,
+                     units=U, probe_select="executor")
+    assert _rows(a) == _rows(b)
+    rassigned, rcents, rcodes, rbooks = S.ivfpq_build_residual(
+        emb, coarse_k=16, coarse_iters=1, m=4, k=16, iters=1, units=U
+    )
+    ra = S.ivfpq_topk(rassigned, rcents, rcodes, rbooks, qids, k=5, nprobe=2,
+                      units=U, residual=True, embeddings=emb,
+                      probe_select="driver")
+    rb = S.ivfpq_topk(rassigned, rcents, rcodes, rbooks, qids, k=5, nprobe=2,
+                      units=U, residual=True, embeddings=emb,
+                      probe_select="executor")
+    assert _rows(ra) == _rows(rb)
+    plan = rb._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" not in plan and "LocalRelation" not in plan
