@@ -180,7 +180,11 @@ def q_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``orderBy().limit(100)`` plans TakeOrderedAndProject — top-k without a
     total sort; the row_number window then runs over only 100 rows, so the
-    single-partition window is scale-safe.
+    single-partition window is scale-safe (WindowExec's "No Partition
+    Defined" WARN is intentional here and cannot be silenced in the plan:
+    Catalyst constant-folds any literal partition key back to an empty
+    partitionSpec — session.get_spark demotes that one log category
+    instead, see session.py).
     """
     top = (
         _tfidf_rounded(spark, sf_dir)

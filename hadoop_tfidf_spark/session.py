@@ -58,4 +58,27 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _demote_known_benign_warns(spark)
     return spark
+
+
+def _demote_known_benign_warns(spark: SparkSession) -> None:
+    """Demote the one WARN category this engine emits by design, so drive
+    logs stay signal-only: WindowExec's "No Partition Defined … single
+    partition" fires on the global-rank windows that run over post-limit
+    bounded relations (≤100 rows — e.g. declared.q_tfidf_rank after
+    TakeOrderedAndProject), where one partition is exactly the intent.
+    It cannot be silenced in the plan — Catalyst constant-folds a literal
+    partition key back to an empty partitionSpec — so the suppression
+    lives at the logger, scoped to that single class. Never raise the
+    root level here: every other WARN stays audible."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        # log4j2 internals are not part of Spark's API contract; losing
+        # the demotion only makes logs noisier, never wrong
+        pass
