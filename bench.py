@@ -100,6 +100,10 @@ HEADLINE = [
     "sim_topk_ivfpq_res", "sim_topk_opq_ivfpq", "sim_topk_ivfsq",
     "sim_recall_audit", "sim_topk_rp_ivfpq", "sim_pca_topk",
     "sim_topk_sq", "sim_topk_bq", "sim_label_centroids",
+    # round 13: the bulk-query executor-probe shape (every corpus vector
+    # re-ranked, zero query-side collect) — its own family, not a
+    # superset of the 5-query interactive ivf row
+    "sim_topk_ivf_bulk",
     # data selection: text_dsir (the contention-watch row, VERDICT r11)
     # + the streaming ratio-table twin (streaming family representative)
     "text_dsir", "streaming_dsir",
