@@ -3659,6 +3659,78 @@ def q_text_quality_adaptive_approx(spark, sf_dir):
     )
 
 
+def q_text_decontaminate_bloom(spark, sf_dir):
+    """Round 13 — the BROADCAST-BLOOM form of benchmark decontamination
+    (functions/text.contamination_bloom) audited against the exact
+    semi-join form on the same candidate/benchmark split as
+    ``text_decontaminate``: per-doc ``(n_shingles, n_hits_exact,
+    n_hits_bloom, n_false_pos, keep_exact, keep_bloom)``. The Bloom
+    side's corpus dataflow is join-free (the 16 KiB filter rides the
+    plan as a literal; membership is a codegen'd mask probe inside the
+    scan stage; per-doc distinct shingles built row-locally) — at 100 TB
+    that deletes the shingle-keyed shuffle of the exact form's
+    candidate stream AND the benchmark-set movement. One-sided error is
+    pinned structurally: ``n_hits_bloom ≥ n_hits_exact`` row by row
+    (never a false negative), so the Bloom cut only ever drops extra —
+    the safe direction. The oracle replays the bitmap build and probe
+    arithmetic bit for bit."""
+    from hadoop_tfidf_spark.functions.text import (
+        contamination_bloom,
+        contamination_check,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    exact = contamination_check(cand, bench, k=3).select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_hits").alias("n_hits_exact"),
+        (F.col("overlap_ratio") <= 0.1).cast("int").alias("keep_exact"),
+    )
+    bloom = contamination_bloom(cand, bench, k=3).select(
+        "doc_id",
+        F.col("n_hits").alias("n_hits_bloom"),
+        (F.col("overlap_ratio") <= 0.1).cast("int").alias("keep_bloom"),
+    )
+    return exact.join(bloom, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hits_exact",
+        "n_hits_bloom",
+        (F.col("n_hits_bloom") - F.col("n_hits_exact"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        "keep_exact",
+        "keep_bloom",
+    )
+
+
+def q_dedup_delta_signatures(spark, sf_dir):
+    """Round 13 — INCREMENTAL signature-index maintenance
+    (dedup.delta_signatures) over the same two synthetic corpus
+    generations as ``dedup_corpus_diff``: old = doc_id % 10 != 0 with a
+    stored signature table; new = doc_id % 13 != 0 with doc_id % 7 == 0
+    textually revised. Only added/changed docs are re-shingled; every
+    unchanged doc's signature row is carried from the stored table by a
+    doc_id semi-join — text for the unchanged 99% (at crawl scale)
+    never moves. The oracle computes the new generation's signatures
+    FROM SCRATCH (the full _minhash_body_sql sig chain over the revised
+    corpus), so the hash row IS the incremental == batch proof."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    old_sigs = D.minhash_signatures(D.shingles(old))
+    return D.delta_signatures(old_sigs, D.corpus_diff(old, new), new)
+
+
 def q_streaming_ivfsq_index(spark, sf_dir):
     """STREAMING ingest for the TRAINED index tier: the IVF-SQ8 index's
     coarse centroids and vmax train ONCE from the static corpus
@@ -3721,11 +3793,15 @@ def q_streaming_ivfsq_index(spark, sf_dir):
 #   1) the ENTIRE 30-entry r8-row cohort — the stale-est recorded rows
 #      (streaming batch twins, BPE rows, PCA/RP components, the
 #      multimodal decode trio, events/asof variants), alphabetical,
-#   2) the round-13 new queries (newcomers register in-window):
-#      text_quality_adaptive_approx, sim_topk_ivf_bulk,
-#      streaming_ledger_compact,
+#   2) the round-13 new queries (newcomers register in-window — all
+#      FIVE of them): text_quality_adaptive_approx, sim_topk_ivf_bulk,
+#      streaming_ledger_compact, text_decontaminate_bloom,
+#      dedup_delta_signatures,
 #   3) r10-cohort fill, alphabetical (next-oldest debt; newcomers took
-#      the last filler slots as they landed, as in rounds 11 and 12).
+#      the last filler slots as they landed, as in rounds 11 and 12 —
+#      doc_frequency_salted and doc_similarity_tfidf ceded theirs to
+#      the last two round-13 newcomers and lead the past-cap r10
+#      remainder).
 # Everything r11/r12-green cedes its slot and rides its cohort's
 # CORRECTNESS rows + LOCAL_CHECK_r12.md; past-cap entries are grouped by
 # cohort freshness. The 2 structurally no-oracle entries (HLL/GK
@@ -3773,23 +3849,26 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_adaptive_approx": q_text_quality_adaptive_approx,
     "sim_topk_ivf_bulk": q_sim_topk_ivf_bulk,
     "streaming_ledger_compact": q_streaming_ledger_compact,
+    "text_decontaminate_bloom": q_text_decontaminate_bloom,
+    "dedup_delta_signatures": q_dedup_delta_signatures,
     # -- r10-cohort fill, alphabetical (next-oldest debt; round-13
-    #    newcomers take the LAST filler slots as they land) --
+    #    newcomers take the LAST filler slots as they land —
+    #    doc_frequency_salted / doc_similarity_tfidf ceded theirs) --
     "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "dedup_exact": q_dedup_exact,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_span_exact": q_dedup_span_exact,
     "dedup_span_sliding": q_dedup_span_sliding,
-    "doc_frequency_salted": q_doc_frequency_salted,
-    "doc_similarity_tfidf": q_doc_similarity_tfidf,
     # ---- past the 50-slot cap from here down ----
     # Ordered by cohort freshness: the r10-cohort remainder, then the
     # r11 cohort, then the r12 window occupants (greenest rows last);
     # the 2 structurally no-oracle entries close the registry. All hold
     # green rows in their cohort's CORRECTNESS file + the per-round
     # local full drive (tools/check_correctness.py).
-    # -- r10 cohort remainder --
+    # -- r10 cohort remainder (led by the two displaced fillers) --
+    "doc_frequency_salted": q_doc_frequency_salted,
+    "doc_similarity_tfidf": q_doc_similarity_tfidf,
     "events_time_rollup": q_events_time_rollup,
     "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
@@ -8032,3 +8111,116 @@ def _ivfsq_index_sql() -> str:
 
 
 EXTENSION_ORACLE_SQL["streaming_ivfsq_index"] = _ivfsq_index_sql()
+
+
+# ---------------------------------------------------------------- round 13
+# Broadcast-Bloom decontamination audit: the oracle rebuilds the SAME
+# 2^16-bit / 4-hash filter (bit_or-packed 32-bit lanes over the benchmark
+# shingles' Carter-Wegman positions) and probes it per candidate shingle,
+# alongside the exact semi-join hit count — bitmap arithmetic replayed
+# bit for bit, so any drift in hash constants, lane packing, or the
+# one-sided-error contract fails the hash row.
+def _bloom_pos_sql() -> str:
+    """(A_h·x + B_h) mod M31 mod BLOOM_BITS with h CASE-unrolled from the
+    shared MinHash constants — the verbatim Spark probe arithmetic."""
+    from hadoop_tfidf_spark.functions.text import BLOOM_BITS, BLOOM_HASHES
+
+    a_case = " ".join(
+        f"WHEN {h} THEN {MINHASH_A[h]}" for h in range(BLOOM_HASHES)
+    )
+    b_case = " ".join(
+        f"WHEN {h} THEN {MINHASH_B[h]}" for h in range(BLOOM_HASHES)
+    )
+    return (
+        f"((CASE h {a_case} END * x + CASE h {b_case} END) % {M31})"
+        f" % {BLOOM_BITS}"
+    )
+
+
+def _decontaminate_bloom_sql() -> str:
+    from hadoop_tfidf_spark.functions.text import BLOOM_HASHES
+
+    pos = _bloom_pos_sql()
+    return f"""
+WITH cw AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 10 <> 0
+),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM cw WHERE len(w) >= 3)
+),
+bw AS (
+  SELECT string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 10 = 0
+),
+bsh AS (
+  SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM bw WHERE len(w) >= 3)
+),
+bpos AS (
+  SELECT {pos} AS pos
+  FROM (SELECT ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {M31} AS x
+        FROM bsh)
+  CROSS JOIN generate_series(0, {BLOOM_HASHES - 1}) t(h)
+),
+bitmap AS (
+  SELECT pos // 32 AS w_idx, bit_or(1::BIGINT << (pos % 32)) AS bits
+  FROM bpos GROUP BY 1
+),
+cpos AS (
+  SELECT doc_id, shingle, {pos} AS pos
+  FROM (SELECT doc_id, shingle,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {M31} AS x
+        FROM csh)
+  CROSS JOIN generate_series(0, {BLOOM_HASHES - 1}) t(h)
+),
+chit AS (
+  SELECT doc_id, shingle,
+         bool_and((coalesce(bits, 0) & (1::BIGINT << (pos % 32))) <> 0)
+           AS hit
+  FROM cpos LEFT JOIN bitmap ON pos // 32 = w_idx
+  GROUP BY doc_id, shingle
+),
+bloomagg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits_bloom
+  FROM chit GROUP BY doc_id
+),
+exactagg AS (
+  SELECT c.doc_id,
+         CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits_exact
+  FROM csh c LEFT JOIN bsh b USING (shingle)
+  GROUP BY c.doc_id
+)
+SELECT a.doc_id, a.n_shingles, e.n_hits_exact, a.n_hits_bloom,
+       CAST(a.n_hits_bloom - e.n_hits_exact AS BIGINT) AS n_false_pos,
+       CASE WHEN round(e.n_hits_exact * 1.0 / a.n_shingles, 6) <= 0.1
+            THEN 1 ELSE 0 END AS keep_exact,
+       CASE WHEN round(a.n_hits_bloom * 1.0 / a.n_shingles, 6) <= 0.1
+            THEN 1 ELSE 0 END AS keep_bloom
+FROM bloomagg a JOIN exactagg e USING (doc_id)
+"""
+
+
+EXTENSION_ORACLE_SQL["text_decontaminate_bloom"] = _decontaminate_bloom_sql()
+
+
+# Incremental signature maintenance: the oracle signs the NEW generation
+# FROM SCRATCH (the full shingle→signature chain over the revised corpus),
+# so a hash match proves delta_signatures' carried+fresh union equals the
+# batch recompute row for row.
+EXTENSION_ORACLE_SQL["dedup_delta_signatures"] = (
+    "WITH "
+    + _minhash_body_sql(
+        "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2'"
+        " ELSE text END AS text FROM documents WHERE doc_id % 13 <> 0)"
+    )
+    + "SELECT doc_id, "
+    + ", ".join(f"mh_{h}" for h in range(DEFAULT_NUM_HASHES))
+    + " FROM sig"
+)

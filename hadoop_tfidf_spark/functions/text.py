@@ -709,6 +709,129 @@ def decontaminate(
     return docs.join(dropped, "doc_id", "left_anti")
 
 
+#: Bloom-filter geometry for :func:`contamination_bloom`. 2¹⁶ bits packed
+#: into 32-bit lanes of BIGINT words (2,048 words = 16 KiB per filter) and
+#: 4 Carter–Wegman hashes — sized for the gate corpus; production sizes m
+#: by the benchmark shingle count (m ≈ 10·n gives ~1.2% FP at h=4) and the
+#: filter stays driver-collectable into the tens of MiB.
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 4
+_BLOOM_LANE = 32  # bits per packed word — low half of a BIGINT, sign-safe
+
+
+def contamination_bloom(
+    docs: DataFrame, bench_docs: DataFrame, k: int = 3
+) -> DataFrame:
+    """Benchmark-contamination scan, BROADCAST-BLOOM form — the 100 TB
+    shape of :func:`contamination_check`: instead of semi-joining the
+    candidate shingle stream against the benchmark shingle set (a
+    shuffle keyed on the shingle hash, O(corpus shingles) rows moved),
+    the benchmark set is folded into a :data:`BLOOM_BITS`-bit Bloom
+    filter — :data:`BLOOM_HASHES` positions per shingle via the same
+    ``(A·x + B) mod M31`` universal family MinHash uses, OR-packed into
+    32-bit lanes with one ``bit_or`` aggregation — and the filter ships
+    to every executor as a plan literal. Membership is then a row-local
+    ``element_at`` + mask expression inside the candidate scan stage:
+    the corpus-side dataflow has ZERO joins and ZERO shuffles before
+    the final doc-grain aggregation.
+
+    One-sided error, surfaced not hidden: a Bloom hit can be a false
+    positive (``n_hits`` here ≥ the exact form's — never a false
+    negative), which only ever *drops extra* candidate docs — the safe
+    direction for decontamination. Pair with
+    :func:`contamination_check` on a sample to audit the FP rate (the
+    ``text_decontaminate_bloom`` gate row does exactly that).
+
+    The filter build collects ≤ ``BLOOM_BITS/32`` packed words to the
+    driver — bounded by the filter geometry like the IVF centroid
+    collects, never by data size. Everything is integer/md5 arithmetic
+    replayable verbatim in the DuckDB oracle.
+
+    Returns ``(doc_id, n_shingles, n_hits, overlap_ratio)`` — the exact
+    schema of :func:`contamination_check`.
+    """
+    from hadoop_tfidf_spark.functions.hashing import hex_to_long
+    from hadoop_tfidf_spark.operators.dedup import (
+        M31,
+        MINHASH_A,
+        MINHASH_B,
+        shingles,
+    )
+
+    base = (hex_to_long(F.md5(F.col("shingle"))) % F.lit(M31)).alias("x")
+    positions = [
+        ((F.lit(MINHASH_A[h]) * F.col("x") + F.lit(MINHASH_B[h])) % F.lit(M31))
+        % F.lit(BLOOM_BITS)
+        for h in range(BLOOM_HASHES)
+    ]
+
+    # Build: benchmark shingles → h positions each → OR-packed words.
+    # (No pre-distinct: bit_or is duplicate-invariant, same reasoning as
+    # min() in minhash_signatures — partial agg collapses dupes map-side.)
+    packed = (
+        shingles(bench_docs, k=k)
+        .select(base)
+        .select(F.explode(F.array(*positions)).alias("pos"))
+        .groupBy((F.col("pos") / _BLOOM_LANE).cast("int").alias("w_idx"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("pos") % _BLOOM_LANE).cast("int"),
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * (BLOOM_BITS // _BLOOM_LANE)
+    for row in packed:
+        words[row["w_idx"]] = row["bits"]
+    bitmap = F.lit(words)  # broadcast-as-literal: 16 KiB in the plan
+
+    probe = F.lit(True)
+    for pos in positions:
+        lane = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % _BLOOM_LANE).cast("int")
+        )
+        word = F.element_at(bitmap, (pos / _BLOOM_LANE).cast("int") + 1)
+        probe = probe & (word.bitwiseAND(lane) != 0)
+
+    # Probe: per-doc DISTINCT shingles built ROW-LOCALLY (array_distinct
+    # before the explode — no distinct exchange, unlike the exact form's
+    # candidate side), then the codegen'd membership expression; the one
+    # and only shuffle is the doc-grain count/sum over (doc_id, boolean)
+    # rows. The word array and base hash are staged through their own
+    # projections (the O(words²) HOF trap — see dedup.shingles).
+    wcol = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
+        )
+    )
+    return (
+        docs.where(F.size(wcol) >= k)
+        .select("doc_id", wcol.alias("_w"))
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .select("doc_id", base)
+        .select("doc_id", probe.alias("hit"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.col("hit").cast("bigint")).cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias(
+                "overlap_ratio"
+            ),
+        )
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, top: int = 100) -> DataFrame:
     """First-round BPE merge statistics (Sennrich et al. 2016, the GPT-2
     tokenizer-training recipe): adjacent symbol-pair frequencies over

@@ -829,3 +829,40 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def delta_signatures(
+    old_sigs: DataFrame,
+    diff: DataFrame,
+    new_docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Incrementally maintain the MinHash signature index across corpus
+    generations: re-shingle ONLY the docs :func:`corpus_diff` marks
+    ``added``/``changed``; every ``unchanged`` doc's row is carried over
+    from the stored signature table by a doc_id semi-join without
+    touching its text (signatures are pure functions of text, so the
+    carried rows are bit-identical to a recompute); ``removed`` docs
+    simply don't survive either branch. Output: the complete signature
+    table of the NEW generation — provably equal to
+    ``minhash_signatures(shingles(new_docs))``.
+
+    This is the crawl-over-crawl shape at 100 TB: a weekly crawl
+    typically touches ~1% of documents, so the expensive path (text
+    scan → shingle explode → 12-column min agg) runs over 1% of the
+    corpus; the other 99% moves as 13 BIGINT columns semi-joined on the
+    id — never as text. ``old_sigs`` is the stored index (in production
+    a parquet/bucketed table; here any DataFrame), ``diff`` the
+    generation ledger from :func:`corpus_diff`.
+    """
+    unchanged = diff.where(F.col("status") == "unchanged").select("doc_id")
+    dirty = diff.where(F.col("status").isin("added", "changed")).select(
+        "doc_id"
+    )
+    carried = old_sigs.join(unchanged, "doc_id", "left_semi")
+    fresh = minhash_signatures(
+        shingles(new_docs.join(dirty, "doc_id", "left_semi"), k=k),
+        num_hashes=num_hashes,
+    )
+    return carried.unionByName(fresh)

@@ -278,3 +278,212 @@ def test_ivfpq_executor_path_bit_equal_and_collect_free(spark, ivf_index):
     assert _rows(ra) == _rows(rb)
     plan = rb._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" not in plan and "LocalRelation" not in plan
+
+
+# ------------------------------------ broadcast-Bloom decontamination
+
+
+@pytest.fixture(scope="module")
+def decon_split(spark):
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    return (
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    )
+
+
+def test_bloom_one_sided_error(spark, decon_split):
+    """Structural contract: a Bloom probe can false-positive but never
+    false-negative — per doc, exact hits <= bloom hits <= n_shingles,
+    over the same doc set the exact form emits."""
+    from hadoop_tfidf_spark.functions.text import (
+        contamination_bloom,
+        contamination_check,
+    )
+
+    cand, bench = decon_split
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_check(cand, bench, k=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_hits"], r["n_shingles"])
+        for r in contamination_bloom(cand, bench, k=3).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d, (nb, ns) in bloom.items():
+        assert exact[d] <= nb <= ns
+
+
+def test_bloom_fully_contaminated_doc_saturates(spark):
+    """A candidate identical to a benchmark doc hits on EVERY shingle
+    (no-false-negative in its sharpest form)."""
+    from hadoop_tfidf_spark.functions.text import contamination_bloom
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    row = contamination_bloom(cand, bench, k=3).collect()[0]
+    assert (row["n_shingles"], row["n_hits"]) == (3, 3)
+    assert row["overlap_ratio"] == 1.0
+
+
+def test_bloom_matches_pure_python_replay(spark):
+    """Engine-independent bit pin: the packed-lane bitmap and the 4-hash
+    probe replayed with hashlib/ints must give the same per-doc hit
+    counts — any drift in lane packing, hash constants, or modulo order
+    fails here before it fails the oracle."""
+    import hashlib
+
+    from hadoop_tfidf_spark.functions.text import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        contamination_bloom,
+    )
+    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A, MINHASH_B
+
+    bench_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+    ]
+    cand_texts = {
+        10: "the quick brown fox leaps over a sleepy dog",
+        11: "zeta eta theta iota kappa lambda",
+        12: "pack my box with five dozen liquor jugs",
+    }
+
+    def sh(t, k=3):
+        w = t.split(" ")
+        if len(w) < k:
+            return set()
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    def positions(s):
+        x = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % M31
+        return [
+            ((MINHASH_A[h] * x + MINHASH_B[h]) % M31) % BLOOM_BITS
+            for h in range(BLOOM_HASHES)
+        ]
+
+    bits: set[int] = set()
+    for t in bench_texts:
+        for s in sh(t):
+            bits.update(positions(s))
+    expected = {}
+    for d, t in cand_texts.items():
+        grams = sh(t)
+        hits = sum(1 for g in grams if all(p in bits for p in positions(g)))
+        expected[d] = (len(grams), hits)
+
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        list(cand_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"])
+        for r in contamination_bloom(cand, bench, k=3).collect()
+    }
+    assert got == expected
+    # the identical doc must saturate; sanity that the fixture exercises both
+    assert expected[12][0] == expected[12][1] > 0
+
+
+def test_bloom_probe_plan_is_join_free(spark, decon_split):
+    """The scale claim as a census: the corpus-side plan has NO join of
+    any kind (the filter rides as a literal; the exact form's semi-join
+    is gone) — membership resolves inside the scan stage."""
+    from hadoop_tfidf_spark.functions.text import contamination_bloom
+
+    cand, bench = decon_split
+    plan = (
+        contamination_bloom(cand, bench, k=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+
+
+# ------------------------------------ incremental signature maintenance
+
+
+def _new_gen(docs):
+    return docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def test_delta_signatures_equal_full_recompute(spark):
+    """The headline contract: carried + fresh == signing the new
+    generation from scratch, row for row, all 12 hash columns."""
+    from hadoop_tfidf_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = _new_gen(docs)
+    old_sigs = D.minhash_signatures(D.shingles(old))
+    delta = D.delta_signatures(old_sigs, D.corpus_diff(old, new), new)
+    full = D.minhash_signatures(D.shingles(new))
+    assert _rows(delta) == _rows(full)
+
+
+def test_delta_signatures_carry_stored_rows_not_recompute(spark):
+    """Tamper an UNCHANGED doc's stored signature: the tampered value
+    must flow through (proof the unchanged path is a semi-join carry,
+    not a silent recompute), while added/changed docs come out fresh."""
+    from hadoop_tfidf_spark.operators import dedup as D
+
+    old = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h revised"), (3, "i j k l")],
+        "doc_id long, text string",
+    )
+    mh_cols = [f"mh_{h}" for h in range(12)]
+    tampered = D.minhash_signatures(D.shingles(old)).select(
+        "doc_id",
+        *[
+            F.when(F.col("doc_id") == 1, F.lit(-999))
+            .otherwise(F.col(c))
+            .cast("long")
+            .alias(c)
+            for c in mh_cols
+        ],
+    )
+    out = {
+        r["doc_id"]: tuple(r[c] for c in mh_cols)
+        for r in D.delta_signatures(
+            tampered, D.corpus_diff(old, new), new
+        ).collect()
+    }
+    fresh = {
+        r["doc_id"]: tuple(r[c] for c in mh_cols)
+        for r in D.minhash_signatures(D.shingles(new)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == tuple([-999] * 12)  # carried verbatim from the store
+    assert out[2] == fresh[2] and out[3] == fresh[3]  # re-signed
+
+
+def test_delta_changed_doc_below_k_words_loses_its_row(spark):
+    """A revision that shrinks a doc below k words removes its signature
+    row — exactly what a from-scratch signing produces."""
+    from hadoop_tfidf_spark.operators import dedup as D
+
+    old = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = D.delta_signatures(
+        D.minhash_signatures(D.shingles(old)), D.corpus_diff(old, new), new
+    )
+    assert out.count() == 0
