@@ -104,6 +104,12 @@ HEADLINE = [
     # re-ranked, zero query-side collect) — its own family, not a
     # superset of the 5-query interactive ivf row
     "sim_topk_ivf_bulk",
+    # round 13: broadcast-Bloom decontamination (prices the exact
+    # semi-join AND the bitmap-probe dataflow in one row — the
+    # decontamination family's costliest representative) and
+    # incremental signature maintenance (diff + carry semi-join +
+    # dirty-slice signing — the index-maintenance family)
+    "text_decontaminate_bloom", "dedup_delta_signatures",
     # data selection: text_dsir (the contention-watch row, VERDICT r11)
     # + the streaming ratio-table twin (streaming family representative)
     "text_dsir", "streaming_dsir",

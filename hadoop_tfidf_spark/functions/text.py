@@ -719,8 +719,57 @@ BLOOM_HASHES = 4
 _BLOOM_LANE = 32  # bits per packed word — low half of a BIGINT, sign-safe
 
 
+def bloom_bitmap(bench_docs: DataFrame, k: int = 3) -> list[int]:
+    """Build the benchmark Bloom filter ONCE: distinct ``k``-gram
+    shingles → :data:`BLOOM_HASHES` Carter–Wegman positions each →
+    OR-packed 32-bit lanes via one ``bit_or`` aggregation, collected as
+    a plain ``BLOOM_BITS/32``-element int list (16 KiB — bounded by the
+    filter geometry, never by data). Benchmarks are static; production
+    builds this per benchmark release and probes every corpus against
+    it — the build-once / probe-many split of the ivfsq ``index=``
+    pattern. (No pre-distinct: bit_or is duplicate-invariant, same
+    reasoning as min() in minhash_signatures.)"""
+    from hadoop_tfidf_spark.functions.hashing import hex_to_long
+    from hadoop_tfidf_spark.operators.dedup import (
+        M31,
+        MINHASH_A,
+        MINHASH_B,
+        shingles,
+    )
+
+    base = (hex_to_long(F.md5(F.col("shingle"))) % F.lit(M31)).alias("x")
+    positions = [
+        ((F.lit(MINHASH_A[h]) * F.col("x") + F.lit(MINHASH_B[h])) % F.lit(M31))
+        % F.lit(BLOOM_BITS)
+        for h in range(BLOOM_HASHES)
+    ]
+    packed = (
+        shingles(bench_docs, k=k)
+        .select(base)
+        .select(F.explode(F.array(*positions)).alias("pos"))
+        .groupBy((F.col("pos") / _BLOOM_LANE).cast("int").alias("w_idx"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("pos") % _BLOOM_LANE).cast("int"),
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * (BLOOM_BITS // _BLOOM_LANE)
+    for row in packed:
+        words[row["w_idx"]] = row["bits"]
+    return words
+
+
 def contamination_bloom(
-    docs: DataFrame, bench_docs: DataFrame, k: int = 3
+    docs: DataFrame,
+    bench_docs: DataFrame | None = None,
+    k: int = 3,
+    bitmap: list[int] | None = None,
 ) -> DataFrame:
     """Benchmark-contamination scan, BROADCAST-BLOOM form — the 100 TB
     shape of :func:`contamination_check`: instead of semi-joining the
@@ -742,52 +791,43 @@ def contamination_bloom(
     :func:`contamination_check` on a sample to audit the FP rate (the
     ``text_decontaminate_bloom`` gate row does exactly that).
 
+    When to use which (measured, SCALE.md "Bloom decontamination"):
+    while the benchmark shingle set fits Spark's broadcast threshold as
+    STRINGS, the exact semi-join is faster (no per-shingle md5; AQE
+    broadcasts the bench side) — at a derived 10× sf0.1 corpus the
+    exact form won 1.45 s vs 2.06 s probe-only. The Bloom form is for
+    when it does NOT fit: its broadcast cost is fixed by the filter
+    geometry (16 KiB here, a few MB at production sizing) no matter how
+    many benchmarks fold in, and its corpus-side dataflow never
+    shuffles a shingle string — the exact form's candidate ``distinct``
+    exchange, O(corpus shingle strings), is the piece that spills first
+    at 100 TB. Probe cost is 1 md5 + a few dozen integer ops per
+    (doc, distinct shingle), embarrassingly parallel CPU.
+
     The filter build collects ≤ ``BLOOM_BITS/32`` packed words to the
     driver — bounded by the filter geometry like the IVF centroid
-    collects, never by data size. Everything is integer/md5 arithmetic
-    replayable verbatim in the DuckDB oracle.
+    collects, never by data size — and is skipped entirely when a
+    prebuilt ``bitmap`` (from :func:`bloom_bitmap`, the production
+    path) is passed. Everything is integer/md5 arithmetic replayable
+    verbatim in the DuckDB oracle.
 
     Returns ``(doc_id, n_shingles, n_hits, overlap_ratio)`` — the exact
     schema of :func:`contamination_check`.
     """
     from hadoop_tfidf_spark.functions.hashing import hex_to_long
-    from hadoop_tfidf_spark.operators.dedup import (
-        M31,
-        MINHASH_A,
-        MINHASH_B,
-        shingles,
-    )
+    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A, MINHASH_B
 
+    if bitmap is None:
+        if bench_docs is None:
+            raise ValueError("pass bench_docs or a prebuilt bitmap")
+        bitmap = bloom_bitmap(bench_docs, k=k)
     base = (hex_to_long(F.md5(F.col("shingle"))) % F.lit(M31)).alias("x")
     positions = [
         ((F.lit(MINHASH_A[h]) * F.col("x") + F.lit(MINHASH_B[h])) % F.lit(M31))
         % F.lit(BLOOM_BITS)
         for h in range(BLOOM_HASHES)
     ]
-
-    # Build: benchmark shingles → h positions each → OR-packed words.
-    # (No pre-distinct: bit_or is duplicate-invariant, same reasoning as
-    # min() in minhash_signatures — partial agg collapses dupes map-side.)
-    packed = (
-        shingles(bench_docs, k=k)
-        .select(base)
-        .select(F.explode(F.array(*positions)).alias("pos"))
-        .groupBy((F.col("pos") / _BLOOM_LANE).cast("int").alias("w_idx"))
-        .agg(
-            F.bit_or(
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("long"),
-                    (F.col("pos") % _BLOOM_LANE).cast("int"),
-                )
-            ).alias("bits")
-        )
-        .collect()
-    )
-    words = [0] * (BLOOM_BITS // _BLOOM_LANE)
-    for row in packed:
-        words[row["w_idx"]] = row["bits"]
-    bitmap = F.lit(words)  # broadcast-as-literal: 16 KiB in the plan
+    bitmap = F.lit(bitmap)  # broadcast-as-literal: 16 KiB in the plan
 
     probe = F.lit(True)
     for pos in positions:
