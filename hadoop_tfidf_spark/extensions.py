@@ -3731,6 +3731,54 @@ def q_dedup_delta_signatures(spark, sf_dir):
     return D.delta_signatures(old_sigs, D.corpus_diff(old, new), new)
 
 
+def q_streaming_decontaminate_bloom(spark, sf_dir):
+    """Round 13 — STATELESS streaming decontamination with a PREBUILT
+    broadcast Bloom filter: the benchmark folds into a 16 KiB bitmap
+    ONCE (``bloom_bitmap`` — the per-benchmark-release artifact), the
+    candidate corpus arrives as a 4-file stream, and every verdict is
+    computed ROW-LOCALLY inside the micro-batch projection
+    (``contamination_bloom_stateless``) — pure append mode with NO
+    state, NO watermark, and NO stream-static join. Contrast with
+    ``streaming_decontaminate`` (stream-static semi-join + a
+    complete-mode doc-keyed aggregation whose state grows with hit
+    docs): this is the ingest-time curation shape at 100 TB — the
+    benchmark set rides the plan as a constant, state stays zero
+    forever, and a benchmark refresh is a 16 KiB artifact redeploy.
+    The drained verdicts must hash-match the batch bitmap replay
+    verbatim (every candidate doc emitted exactly once, including
+    sub-k-word docs kept by the no-evidence rule)."""
+    import uuid
+
+    from hadoop_tfidf_spark.functions.text import (
+        bloom_bitmap,
+        contamination_bloom_stateless,
+    )
+    from hadoop_tfidf_spark.streaming.windows import (
+        run_to_completion,
+        staged_source,
+    )
+
+    docs = load_docs(spark, f"{sf_dir}/documents.parquet")
+    cand = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    bm = bloom_bitmap(bench, k=3)
+    base = staged_source(
+        ("documents", sf_dir, "cand4"),
+        lambda p: cand.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_bloomstream_",
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(base).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    return run_to_completion(
+        contamination_bloom_stateless(stream, bm, k=3, max_overlap=0.1),
+        f"bloomdecon_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
 def q_streaming_ivfsq_index(spark, sf_dir):
     """STREAMING ingest for the TRAINED index tier: the IVF-SQ8 index's
     coarse centroids and vmax train ONCE from the static corpus
@@ -3794,14 +3842,14 @@ def q_streaming_ivfsq_index(spark, sf_dir):
 #      (streaming batch twins, BPE rows, PCA/RP components, the
 #      multimodal decode trio, events/asof variants), alphabetical,
 #   2) the round-13 new queries (newcomers register in-window — all
-#      FIVE of them): text_quality_adaptive_approx, sim_topk_ivf_bulk,
+#      SIX of them): text_quality_adaptive_approx, sim_topk_ivf_bulk,
 #      streaming_ledger_compact, text_decontaminate_bloom,
-#      dedup_delta_signatures,
+#      dedup_delta_signatures, streaming_decontaminate_bloom,
 #   3) r10-cohort fill, alphabetical (next-oldest debt; newcomers took
 #      the last filler slots as they landed, as in rounds 11 and 12 —
-#      doc_frequency_salted and doc_similarity_tfidf ceded theirs to
-#      the last two round-13 newcomers and lead the past-cap r10
-#      remainder).
+#      doc_frequency_salted, doc_similarity_tfidf and
+#      dedup_span_sliding ceded theirs to the last three round-13
+#      newcomers and lead the past-cap r10 remainder).
 # Everything r11/r12-green cedes its slot and rides its cohort's
 # CORRECTNESS rows + LOCAL_CHECK_r12.md; past-cap entries are grouped by
 # cohort freshness. The 2 structurally no-oracle entries (HLL/GK
@@ -3851,22 +3899,24 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_ledger_compact": q_streaming_ledger_compact,
     "text_decontaminate_bloom": q_text_decontaminate_bloom,
     "dedup_delta_signatures": q_dedup_delta_signatures,
+    "streaming_decontaminate_bloom": q_streaming_decontaminate_bloom,
     # -- r10-cohort fill, alphabetical (next-oldest debt; round-13
     #    newcomers take the LAST filler slots as they land —
-    #    doc_frequency_salted / doc_similarity_tfidf ceded theirs) --
+    #    doc_frequency_salted / doc_similarity_tfidf /
+    #    dedup_span_sliding ceded theirs) --
     "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "dedup_exact": q_dedup_exact,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_span_exact": q_dedup_span_exact,
-    "dedup_span_sliding": q_dedup_span_sliding,
     # ---- past the 50-slot cap from here down ----
     # Ordered by cohort freshness: the r10-cohort remainder, then the
     # r11 cohort, then the r12 window occupants (greenest rows last);
     # the 2 structurally no-oracle entries close the registry. All hold
     # green rows in their cohort's CORRECTNESS file + the per-round
     # local full drive (tools/check_correctness.py).
-    # -- r10 cohort remainder (led by the two displaced fillers) --
+    # -- r10 cohort remainder (led by the three displaced fillers) --
+    "dedup_span_sliding": q_dedup_span_sliding,
     "doc_frequency_salted": q_doc_frequency_salted,
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
     "events_time_rollup": q_events_time_rollup,
@@ -8137,12 +8187,14 @@ def _bloom_pos_sql() -> str:
     )
 
 
-def _decontaminate_bloom_sql() -> str:
+def _bloom_ctes() -> str:
+    """The shared bitmap-build + probe CTE chain through ``bloomagg``
+    (per-candidate-doc Bloom hit counts over the %10 split) — used by
+    both the batch audit oracle and the streaming stateless twin."""
     from hadoop_tfidf_spark.functions.text import BLOOM_HASHES
 
     pos = _bloom_pos_sql()
-    return f"""
-WITH cw AS (
+    return f"""cw AS (
   SELECT doc_id, string_split(text, ' ') AS w
   FROM documents WHERE doc_id % 10 <> 0
 ),
@@ -8189,7 +8241,14 @@ bloomagg AS (
          CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
            AS n_hits_bloom
   FROM chit GROUP BY doc_id
-),
+)"""
+
+
+def _decontaminate_bloom_sql() -> str:
+    return (
+        "WITH "
+        + _bloom_ctes()
+        + """,
 exactagg AS (
   SELECT c.doc_id,
          CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
@@ -8205,6 +8264,7 @@ SELECT a.doc_id, a.n_shingles, e.n_hits_exact, a.n_hits_bloom,
             THEN 1 ELSE 0 END AS keep_bloom
 FROM bloomagg a JOIN exactagg e USING (doc_id)
 """
+    )
 
 
 EXTENSION_ORACLE_SQL["text_decontaminate_bloom"] = _decontaminate_bloom_sql()
@@ -8223,4 +8283,23 @@ EXTENSION_ORACLE_SQL["dedup_delta_signatures"] = (
     + "SELECT doc_id, "
     + ", ".join(f"mh_{h}" for h in range(DEFAULT_NUM_HASHES))
     + " FROM sig"
+)
+
+
+# Stateless streaming Bloom decontamination: the drained per-doc verdicts
+# must equal the batch bitmap replay over ALL candidate docs (sub-k-word
+# docs carry 0/0/keep=1 — the no-evidence rule).
+EXTENSION_ORACLE_SQL["streaming_decontaminate_bloom"] = (
+    "WITH "
+    + _bloom_ctes()
+    + """
+SELECT d.doc_id,
+       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(a.n_hits_bloom, 0) AS BIGINT) AS n_hits,
+       CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 1
+            WHEN round(a.n_hits_bloom * 1.0 / a.n_shingles, 6) <= 0.1
+            THEN 1 ELSE 0 END AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+LEFT JOIN bloomagg a USING (doc_id)
+"""
 )

@@ -765,6 +765,96 @@ def bloom_bitmap(bench_docs: DataFrame, k: int = 3) -> list[int]:
     return words
 
 
+def _bloom_probe(x: Column, bitmap_lit: Column) -> Column:
+    """Membership test for a base-hash column ``x`` against the packed
+    filter literal: all :data:`BLOOM_HASHES` Carter–Wegman positions'
+    lane bits set. Pure integer arithmetic — safe inside higher-order
+    lambdas and codegen'd projections alike."""
+    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A, MINHASH_B
+
+    probe = F.lit(True)
+    for h in range(BLOOM_HASHES):
+        pos = (
+            (F.lit(MINHASH_A[h]) * x + F.lit(MINHASH_B[h])) % F.lit(M31)
+        ) % F.lit(BLOOM_BITS)
+        lane = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % _BLOOM_LANE).cast("int")
+        )
+        word = F.element_at(bitmap_lit, (pos / _BLOOM_LANE).cast("int") + 1)
+        probe = probe & (word.bitwiseAND(lane) != 0)
+    return probe
+
+
+def contamination_bloom_stateless(
+    docs: DataFrame,
+    bitmap: list[int],
+    k: int = 3,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """Bloom contamination verdicts computed ENTIRELY row-locally — the
+    streaming-safe form: per doc, distinct ``k``-gram shingles via
+    ``array_distinct`` over a staged gram array, base hashes via a
+    nested ``transform``, hits via ``size(filter(...))`` with the
+    :func:`_bloom_probe` mask test inside the lambda. ZERO aggregation,
+    ZERO joins, ZERO shuffles — a pure projection, so it runs in pure
+    append-mode streams with no watermark or state (a stateless
+    micro-batch emits every doc exactly once regardless of file pickup
+    order), and in batch it preserves scan partitioning end to end.
+
+    Emits EVERY input doc: ``(doc_id, n_shingles, n_hits, keep)`` with
+    ``keep`` = 1 when the doc is shorter than ``k`` words (no shingle
+    evidence, same rule as :func:`decontaminate`) or its rounded Bloom
+    overlap ratio is ≤ ``max_overlap``. Requires a prebuilt ``bitmap``
+    (:func:`bloom_bitmap`) — a stream cannot build its own filter.
+
+    The arrays are staged through their own projections (``_w`` →
+    ``_g`` → ``_x``) so no higher-order lambda re-evaluates its inlined
+    subtree per element (the O(words²) trap — see ``dedup.shingles``).
+    """
+    lit = F.lit(bitmap)
+    wcol = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size("_w") >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+                lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    xs = F.transform("_g", lambda g: _md5_base(g))
+    n_sh = F.size("_g").cast("bigint")
+    hits = F.size(F.filter("_x", lambda x: _bloom_probe(x, lit))).cast(
+        "bigint"
+    )
+    return (
+        docs.select("doc_id", wcol.alias("_w"))
+        .select("doc_id", grams.alias("_g"))
+        .select("doc_id", n_sh.alias("n_shingles"), xs.alias("_x"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            hits.alias("n_hits"),
+            F.when(F.col("n_shingles") == 0, F.lit(1))
+            .otherwise(
+                (
+                    F.round(hits / F.col("n_shingles"), 6)
+                    <= F.lit(max_overlap)
+                ).cast("int")
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def _md5_base(g: Column) -> Column:
+    from hadoop_tfidf_spark.functions.hashing import hex_to_long
+    from hadoop_tfidf_spark.operators.dedup import M31
+
+    return hex_to_long(F.md5(g)) % F.lit(M31)
+
+
 def contamination_bloom(
     docs: DataFrame,
     bench_docs: DataFrame | None = None,

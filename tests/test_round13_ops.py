@@ -487,3 +487,60 @@ def test_delta_changed_doc_below_k_words_loses_its_row(spark):
         D.minhash_signatures(D.shingles(old)), D.corpus_diff(old, new), new
     )
     assert out.count() == 0
+
+
+# ------------------------------------ stateless Bloom (streaming form)
+
+
+def test_bloom_stateless_matches_agg_form_and_keeps_short_docs(spark):
+    """Row-local verdicts == the aggregation form on every >=k-word doc;
+    sub-k docs are emitted with (0, 0, keep=1) — the no-evidence rule."""
+    from hadoop_tfidf_spark.functions.text import (
+        bloom_bitmap,
+        contamination_bloom,
+        contamination_bloom_stateless,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cand = docs.where(F.col("doc_id") % 10 != 0).limit(200)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    short = spark.createDataFrame([(999_001, "one two")], "doc_id long, text string")
+    bm = bloom_bitmap(bench, k=3)
+    agg = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"])
+        for r in contamination_bloom(cand, bitmap=bm, k=3).collect()
+    }
+    stateless = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["keep"])
+        for r in contamination_bloom_stateless(
+            cand.unionByName(short), bm, k=3
+        ).collect()
+    }
+    assert set(stateless) == set(agg) | {999_001}
+    assert stateless[999_001] == (0, 0, 1)
+    for d, (ns, nh) in agg.items():
+        assert stateless[d][:2] == (ns, nh)
+        assert stateless[d][2] == int(round(nh / ns, 6) <= 0.1)
+
+
+def test_bloom_stateless_plan_is_a_pure_projection(spark, decon_split):
+    """ZERO exchanges, ZERO joins, ZERO aggregates — the structural fact
+    that makes the streaming twin stateless/watermarkless."""
+    from hadoop_tfidf_spark.functions.text import (
+        bloom_bitmap,
+        contamination_bloom_stateless,
+    )
+
+    cand, bench = decon_split
+    bm = bloom_bitmap(bench, k=3)
+    plan = (
+        contamination_bloom_stateless(cand, bm, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
