@@ -147,6 +147,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="curate: drop docs whose 3-gram overlap with the "
                         "benchmark corpus at BENCH (text dir or parquet) "
                         "exceeds 0.1, before curation")
+    p.add_argument("--decontaminate-bloom", action="store_true",
+                   help="curate: run --decontaminate through the "
+                        "broadcast-Bloom filter (one-sided error: drops "
+                        "a superset; use when the benchmark shingle set "
+                        "is too large to broadcast as strings)")
     p.add_argument("--semantic-dedup", default=None, metavar="EMB",
                    help="curate: parquet of (vec_id, embedding) aligned "
                         "with doc_id; adds the SemDeDup stage (IVF-cell "
@@ -229,6 +234,9 @@ def main(argv: list[str] | None = None) -> None:
             p.error("select: --exclude-target needs --target")
         if args.save_ratios is not None and args.target is None:
             p.error("select: --save-ratios needs --target (training run)")
+
+    if args.decontaminate_bloom and args.decontaminate is None:
+        p.error("curate: --decontaminate-bloom needs --decontaminate BENCH")
 
     from hadoop_tfidf_spark.corpus import tokenize
     from hadoop_tfidf_spark.search import query_term_bag, rank, search, tfidf_rank
@@ -460,9 +468,18 @@ def main(argv: list[str] | None = None) -> None:
         from hadoop_tfidf_spark.pipeline import curate_corpus
 
         if args.decontaminate is not None:
-            from hadoop_tfidf_spark.functions.text import decontaminate
+            if args.decontaminate_bloom:
+                from hadoop_tfidf_spark.functions.text import (
+                    decontaminate_bloom,
+                )
 
-            docs = decontaminate(docs, _load(spark, args.decontaminate))
+                docs = decontaminate_bloom(
+                    docs, _load(spark, args.decontaminate)
+                )
+            else:
+                from hadoop_tfidf_spark.functions.text import decontaminate
+
+                docs = decontaminate(docs, _load(spark, args.decontaminate))
         splits = None
         if args.splits is not None:
             splits = {}

@@ -848,6 +848,41 @@ def contamination_bloom_stateless(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench_docs: DataFrame | None = None,
+    k: int = 3,
+    max_overlap: float = 0.1,
+    bitmap: list[int] | None = None,
+) -> DataFrame:
+    """APPLY form of the broadcast-Bloom decontamination — the drop-in
+    counterpart of :func:`decontaminate` for when the benchmark shingle
+    set is too large to move (SCALE.md "Bloom decontamination"): keep
+    every doc whose row-local Bloom overlap is ≤ ``max_overlap`` (docs
+    shorter than ``k`` words carry no evidence and are kept, same rule).
+    One-sided error means this only ever drops a superset of the exact
+    form's drop set. Pass a prebuilt ``bitmap`` (:func:`bloom_bitmap`)
+    to skip the build job. Returns the cleaned corpus with its input
+    columns.
+
+    Plan: the verdict is a pure projection (zero joins/shuffles); the
+    drop set is doc_id-sized and anti-joins back on the id — the same
+    final shape as :func:`decontaminate` minus its shingle shuffles.
+    """
+    if bitmap is None:
+        if bench_docs is None:
+            raise ValueError("pass bench_docs or a prebuilt bitmap")
+        bitmap = bloom_bitmap(bench_docs, k=k)
+    dropped = (
+        contamination_bloom_stateless(
+            docs, bitmap, k=k, max_overlap=max_overlap
+        )
+        .where(F.col("keep") == 0)
+        .select("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti")
+
+
 def _md5_base(g: Column) -> Column:
     from hadoop_tfidf_spark.functions.hashing import hex_to_long
     from hadoop_tfidf_spark.operators.dedup import M31

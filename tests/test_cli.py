@@ -585,3 +585,48 @@ def test_frontier_emits_six_tier_table(tmp_path):
         f"SELECT count(*) FROM '{out}/*.parquet'"
     ).fetchone()[0]
     assert stored == 6
+
+
+def test_curate_decontaminate_bloom_flag(tmp_path):
+    """--decontaminate --decontaminate-bloom routes the drop through the
+    broadcast-Bloom filter: the verbatim-leaked doc still drops (Bloom
+    has no false negatives), the clean doc still survives."""
+    cand = tmp_path / "cand"
+    cand.mkdir()
+    bench = tmp_path / "bench"
+    bench.mkdir()
+    leaked = (
+        "the benchmark question asks about a big data lake and the "
+        "answer is to scan it fast with extra words to pass quality now"
+    )
+    clean = (
+        "the data engine holds a wide table of rows and it scans fast "
+        "with plenty of extra words here to make quality pass easily"
+    )
+    (cand / "leaked.txt").write_text(leaked + "\n")
+    (cand / "clean.txt").write_text(clean + "\n")
+    (bench / "bench.txt").write_text(leaked + "\n")
+    out = str(tmp_path / "curated")
+    _run(
+        "curate", str(cand), out,
+        "--decontaminate", str(bench), "--decontaminate-bloom",
+    )
+    ids = {r[0] for r in duckdb.sql(f"SELECT doc_id FROM '{out}/*.parquet'").fetchall()}
+    assert ids == {"clean.txt"}
+
+
+def test_decontaminate_bloom_flag_requires_bench(tmp_path):
+    """--decontaminate-bloom without --decontaminate is an argparse-level
+    contract error (no Spark session spent on it)."""
+    import os
+
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "hadoop_tfidf_spark.cli", "curate",
+            str(tmp_path), str(tmp_path / "out"), "--decontaminate-bloom",
+        ],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+    )
+    assert res.returncode != 0
+    assert "--decontaminate-bloom needs --decontaminate" in res.stderr

@@ -544,3 +544,30 @@ def test_bloom_stateless_plan_is_a_pure_projection(spark, decon_split):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Aggregate" not in plan
+
+
+def test_decontaminate_bloom_apply_superset_of_exact_drop(spark, decon_split):
+    """The Bloom APPLY keeps a SUBSET of the exact apply's kept set
+    (one-sided error drops extra, never fewer) and keeps sub-k docs."""
+    from hadoop_tfidf_spark.functions.text import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    cand, bench = decon_split
+    cand = cand.select("doc_id", "text")
+    short = spark.createDataFrame(
+        [(999_002, "just two")], "doc_id long, text string"
+    )
+    kept_exact = {
+        r["doc_id"] for r in decontaminate(cand, bench, k=3).collect()
+    }
+    kept_bloom = {
+        r["doc_id"]
+        for r in decontaminate_bloom(
+            cand.unionByName(short), bench, k=3
+        ).collect()
+    }
+    assert 999_002 in kept_bloom
+    assert kept_bloom - {999_002} <= kept_exact
+    assert kept_bloom  # non-vacuous: something survives
