@@ -47,6 +47,11 @@ REGRESSION_LOOKBACK = 2
 #: bench pays per trial: one trial each, so the full-set wall stays
 #: bounded as the headline grows. Their timed stage is a deterministic
 #: scan whose min-of-1 noise the tripwire retry pass absorbs.
+#: sim_topk_ivf_bulk (round 13) deliberately STAYS min-of-3 despite its
+#: eager ivf_build: measured, its single-trial number is the cold JIT
+#: 17.7s while steady state is 12.0s — a 47% overstatement of the row
+#: users actually see on a warm cluster; the ~24s extra bench wall is
+#: within budget and buys the honest number.
 SINGLE_TRIAL = {"sim_topk_opq_ivfpq", "sim_topk_ivfsq"}
 
 #: Queries whose SEMANTICS changed in a given round: timings from rounds
