@@ -686,7 +686,8 @@ def q_sim_topk_ivf(spark, sf_dir):
     assigned, cents = S.ivf_build(emb, k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS)
     queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
     return S.ivf_topk(
-        assigned, cents, queries, k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS
+        assigned, cents, queries, k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
+        probe_select="driver",  # 5 ids, statically tiny — skip auto's count job
     ).select("query_id", "vec_id", "cos_sim", "rn")
 
 

@@ -729,24 +729,12 @@ def bloom_bitmap(bench_docs: DataFrame, k: int = 3) -> list[int]:
     it — the build-once / probe-many split of the ivfsq ``index=``
     pattern. (No pre-distinct: bit_or is duplicate-invariant, same
     reasoning as min() in minhash_signatures.)"""
-    from hadoop_tfidf_spark.functions.hashing import hex_to_long
-    from hadoop_tfidf_spark.operators.dedup import (
-        M31,
-        MINHASH_A,
-        MINHASH_B,
-        shingles,
-    )
+    from hadoop_tfidf_spark.operators.dedup import shingles
 
-    base = (hex_to_long(F.md5(F.col("shingle"))) % F.lit(M31)).alias("x")
-    positions = [
-        ((F.lit(MINHASH_A[h]) * F.col("x") + F.lit(MINHASH_B[h])) % F.lit(M31))
-        % F.lit(BLOOM_BITS)
-        for h in range(BLOOM_HASHES)
-    ]
     packed = (
         shingles(bench_docs, k=k)
-        .select(base)
-        .select(F.explode(F.array(*positions)).alias("pos"))
+        .select(_md5_base(F.col("shingle")).alias("x"))
+        .select(F.explode(F.array(*_bloom_positions(F.col("x")))).alias("pos"))
         .groupBy((F.col("pos") / _BLOOM_LANE).cast("int").alias("w_idx"))
         .agg(
             F.bit_or(
@@ -765,18 +753,27 @@ def bloom_bitmap(bench_docs: DataFrame, k: int = 3) -> list[int]:
     return words
 
 
+def _bloom_positions(x: Column) -> list[Column]:
+    """The :data:`BLOOM_HASHES` Carter–Wegman bit positions for a
+    base-hash column — THE single definition of the filter's hash
+    geometry (build and both probe forms all route through here; the
+    DuckDB oracle replays the same formula via ``_bloom_pos_sql``)."""
+    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A, MINHASH_B
+
+    return [
+        ((F.lit(MINHASH_A[h]) * x + F.lit(MINHASH_B[h])) % F.lit(M31))
+        % F.lit(BLOOM_BITS)
+        for h in range(BLOOM_HASHES)
+    ]
+
+
 def _bloom_probe(x: Column, bitmap_lit: Column) -> Column:
     """Membership test for a base-hash column ``x`` against the packed
     filter literal: all :data:`BLOOM_HASHES` Carter–Wegman positions'
     lane bits set. Pure integer arithmetic — safe inside higher-order
     lambdas and codegen'd projections alike."""
-    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A, MINHASH_B
-
     probe = F.lit(True)
-    for h in range(BLOOM_HASHES):
-        pos = (
-            (F.lit(MINHASH_A[h]) * x + F.lit(MINHASH_B[h])) % F.lit(M31)
-        ) % F.lit(BLOOM_BITS)
+    for pos in _bloom_positions(x):
         lane = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % _BLOOM_LANE).cast("int")
         )
@@ -939,28 +936,15 @@ def contamination_bloom(
     Returns ``(doc_id, n_shingles, n_hits, overlap_ratio)`` — the exact
     schema of :func:`contamination_check`.
     """
-    from hadoop_tfidf_spark.functions.hashing import hex_to_long
-    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A, MINHASH_B
-
     if bitmap is None:
         if bench_docs is None:
             raise ValueError("pass bench_docs or a prebuilt bitmap")
         bitmap = bloom_bitmap(bench_docs, k=k)
-    base = (hex_to_long(F.md5(F.col("shingle"))) % F.lit(M31)).alias("x")
-    positions = [
-        ((F.lit(MINHASH_A[h]) * F.col("x") + F.lit(MINHASH_B[h])) % F.lit(M31))
-        % F.lit(BLOOM_BITS)
-        for h in range(BLOOM_HASHES)
-    ]
-    bitmap = F.lit(bitmap)  # broadcast-as-literal: 16 KiB in the plan
-
-    probe = F.lit(True)
-    for pos in positions:
-        lane = F.call_function(
-            "shiftleft", F.lit(1).cast("long"), (pos % _BLOOM_LANE).cast("int")
-        )
-        word = F.element_at(bitmap, (pos / _BLOOM_LANE).cast("int") + 1)
-        probe = probe & (word.bitwiseAND(lane) != 0)
+    # broadcast-as-literal: 16 KiB in the plan; one shared hash geometry
+    # (_md5_base + _bloom_positions via _bloom_probe) across build and
+    # both probe forms
+    probe = _bloom_probe(F.col("x"), F.lit(bitmap))
+    base = _md5_base(F.col("shingle")).alias("x")
 
     # Probe: per-doc DISTINCT shingles built ROW-LOCALLY (array_distinct
     # before the explode — no distinct exchange, unlike the exact form's

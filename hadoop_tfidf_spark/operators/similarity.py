@@ -1215,27 +1215,38 @@ def ivfpq_topk(
         cent_arr = F.array(
             *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in centroids]
         )
-        qdf = emb.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        qbase = emb.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
             F.col(id_col).cast("bigint").alias("query_id"),
             quantized_units(F.col(vec_col), units).alias("_qu"),
-            F.explode(
-                nearest_centroid_ids(F.col(vec_col), centroids, nprobe, units)
-            ).alias("cluster"),
+            nearest_centroid_ids(F.col(vec_col), centroids, nprobe, units)
+            .alias("_cells"),
         )
-        src = (
-            F.zip_with(
+        if residual:
+            # the table is per (query, probed cell) — it MUST build
+            # after the explode, from that cell's residual
+            qdf = qbase.select(
+                "query_id", "_qu", F.explode("_cells").alias("cluster")
+            )
+            src = F.zip_with(
                 F.col("_qu"),
                 F.element_at(cent_arr, F.col("cluster") + 1),
                 lambda a, b: a - b,
             )
-            if residual
-            else F.col("_qu")
-        )
-        probes = qdf.select(
-            "query_id",
-            F.col("cluster").cast("int").alias("cluster"),
-            _adc_expr(src, codebooks).alias("adc"),
-        )
+            probes = qdf.select(
+                "query_id",
+                F.col("cluster").cast("int").alias("cluster"),
+                _adc_expr(src, codebooks).alias("adc"),
+            )
+        else:
+            # the table is per QUERY — build it once before the explode
+            # (Generate carries the projected column), not nprobe times
+            probes = qbase.select(
+                "query_id",
+                _adc_expr(F.col("_qu"), codebooks).alias("adc"),
+                F.explode("_cells").alias("cluster"),
+            ).select(
+                "query_id", F.col("cluster").cast("int").alias("cluster"), "adc"
+            )
     else:
         # ONE collect of the (tiny) query rows feeds both the integer
         # probe (mirrors ivf_topk's units path: exact python-int

@@ -71,7 +71,15 @@ def _demote_known_benign_warns(spark: SparkSession) -> None:
     It cannot be silenced in the plan — Catalyst constant-folds a literal
     partition key back to an empty partitionSpec — so the suppression
     lives at the logger, scoped to that single class. Never raise the
-    root level here: every other WARN stays audible."""
+    root level here: every other WARN stays audible.
+
+    Known trade (accepted): the logger is JVM-global, so a FUTURE query
+    that accidentally plans a corpus-sized unpartitioned window would
+    not WARN either. The structural guard for that regression is the
+    plan census, not the log: PLANS.md records every declared query's
+    window/sort/exchange shape per round and tests/test_plans.py pins
+    the intended ones — an unpartitioned corpus window shows up there
+    as a diff even with this logger quiet."""
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -47,11 +47,30 @@ def ledger_upsert(sink: str):
     return upsert
 
 
+def _assert_no_partial_compaction(sink: str) -> None:
+    """A leftover ``_compact_tmp_through=*`` dir means a compaction
+    crashed before its swap completed: the folded generations' only
+    complete copy may live in the tmp dir, so serving the remaining
+    ``batch_id=*`` dirs would SILENTLY return partial state. Fail loudly
+    instead; re-running :func:`compact_ledger` finishes or rolls back
+    the swap (leftover ``_trash_batch_id=*`` dirs alone are safe — they
+    only exist after the new base is fully in place)."""
+    tmp = glob.glob(f"{sink}/_compact_tmp_through=*")
+    if tmp:
+        raise RuntimeError(
+            f"ledger at {sink} has an unfinished compaction ({tmp[0]}); "
+            "re-run compact_ledger() to finish or roll back the swap "
+            "before reading"
+        )
+
+
 def read_ledger(spark: SparkSession, sink: str) -> DataFrame:
     """All generations, with the hive-partition ``batch_id`` column.
     Concrete generation dirs, not a glob — a glob string makes
     FileStreamSink's metadata probe log a FileNotFoundException stack
-    trace at WARN on every read."""
+    trace at WARN on every read. Refuses to read mid-compaction state
+    (:func:`_assert_no_partial_compaction`)."""
+    _assert_no_partial_compaction(sink)
     paths = [f"{sink}/batch_id={g}" for g in ledger_generations(sink)]
     return spark.read.option("basePath", sink).parquet(*paths)
 
@@ -85,16 +104,40 @@ def compact_ledger(
     generation still shadows it in :func:`reconstruct_latest`. Returns
     the number of generations folded. On a table format this is the
     MERGE target's OPTIMIZE/rewrite; on plain parquet the swap is
-    materialize → drop old dirs → rename."""
+    CRASH-SAFE by ordering: materialize the base into a
+    through-stamped tmp dir → rename (not delete) the folded dirs to
+    trash → rename tmp into place → clear trash. A crash at any point
+    loses nothing: before any trash-rename the original dirs are
+    intact (rollback = drop tmp); mid-swap the tmp dir holds the
+    complete folded base (resume = finish the rename); after the final
+    rename only ignorable trash remains. Reads fail loudly while a tmp
+    dir exists (:func:`_assert_no_partial_compaction`), and re-running
+    this function first finishes or rolls back any crashed swap
+    (single-writer contract, as with any table-format OPTIMIZE)."""
+    prior = glob.glob(f"{sink}/_compact_tmp_through=*")
+    if prior:
+        t = int(prior[0].rsplit("=", 1)[1])
+        if glob.glob(f"{sink}/_trash_batch_id=*"):
+            # crashed mid-swap: the tmp holds the full folded base —
+            # finish the rename it never reached
+            os.rename(prior[0], f"{sink}/batch_id={t}")
+        else:
+            # crashed before any dir was trashed: originals are intact —
+            # roll the unreferenced tmp back
+            shutil.rmtree(prior[0])
+    for d in glob.glob(f"{sink}/_trash_batch_id=*"):
+        shutil.rmtree(d)  # garbage from a crash after the final rename
     old = [g for g in ledger_generations(sink) if g <= through]
     if len(old) <= 1:
         return len(old)
     base = reconstruct_latest(
         read_ledger(spark, sink).where(F.col("batch_id") <= through), keys
     )
-    tmp = f"{sink}/_compact_tmp"
+    tmp = f"{sink}/_compact_tmp_through={through}"
     base.write.mode("overwrite").parquet(tmp)
     for g in old:
-        shutil.rmtree(f"{sink}/batch_id={g}")
+        os.rename(f"{sink}/batch_id={g}", f"{sink}/_trash_batch_id={g}")
     os.rename(tmp, f"{sink}/batch_id={through}")
+    for d in glob.glob(f"{sink}/_trash_batch_id=*"):
+        shutil.rmtree(d)
     return len(old)

@@ -571,3 +571,67 @@ def test_decontaminate_bloom_apply_superset_of_exact_drop(spark, decon_split):
     assert 999_002 in kept_bloom
     assert kept_bloom - {999_002} <= kept_exact
     assert kept_bloom  # non-vacuous: something survives
+
+
+# --------------------------------- compaction crash-safety (round 13b)
+
+
+def test_compact_crash_before_swap_rolls_back(spark, ledger_sink):
+    """A tmp dir with NO trashed generations = a compaction that died
+    before touching any original dir: reads fail loudly (partial-state
+    guard), and re-running compact_ledger rolls the tmp back and
+    completes fresh — state unchanged."""
+    import os
+
+    from hadoop_tfidf_spark.streaming.ledger import compact_ledger
+
+    sink, up, mk = ledger_sink
+    want = _state(spark, sink)
+    os.makedirs(f"{sink}/_compact_tmp_through=2")
+    with pytest.raises(RuntimeError, match="unfinished compaction"):
+        _state(spark, sink)
+    assert compact_ledger(spark, sink, ["k"], through=2) == 3
+    assert _state(spark, sink) == want
+
+
+def test_compact_crash_mid_swap_resumes(spark, ledger_sink):
+    """Crash AFTER the folded dirs were trashed but BEFORE the tmp
+    renamed into place: the tmp holds the only complete copy — reads
+    refuse, and re-running compact_ledger finishes the rename; nothing
+    is lost."""
+    import glob
+    import os
+
+    from hadoop_tfidf_spark.streaming.ledger import compact_ledger
+
+    sink, up, mk = ledger_sink
+    want = _state(spark, sink)
+    # run a real compaction, then reconstruct its mid-swap crash state:
+    # base dir back to tmp, a trash marker present
+    assert compact_ledger(spark, sink, ["k"], through=2) == 3
+    os.rename(f"{sink}/batch_id=2", f"{sink}/_compact_tmp_through=2")
+    os.makedirs(f"{sink}/_trash_batch_id=0")
+    with pytest.raises(RuntimeError, match="unfinished compaction"):
+        _state(spark, sink)
+    compact_ledger(spark, sink, ["k"], through=2)
+    assert _state(spark, sink) == want
+    assert not glob.glob(f"{sink}/_trash_batch_id=*")
+    assert not glob.glob(f"{sink}/_compact_tmp_through=*")
+
+
+def test_compact_crash_after_swap_leaves_readable_state(spark, ledger_sink):
+    """Crash after the final rename, before trash cleanup: the ledger is
+    complete — reads WORK (trash is ignorable garbage) and the next
+    compact_ledger clears it."""
+    import glob
+    import os
+
+    from hadoop_tfidf_spark.streaming.ledger import compact_ledger
+
+    sink, up, mk = ledger_sink
+    want = _state(spark, sink)
+    os.makedirs(f"{sink}/_trash_batch_id=99")
+    assert _state(spark, sink) == want  # no raise: state is complete
+    compact_ledger(spark, sink, ["k"], through=2)
+    assert _state(spark, sink) == want
+    assert not glob.glob(f"{sink}/_trash_batch_id=*")

@@ -81,8 +81,18 @@ def time_reconstruct(spark, sink: str, trials: int) -> tuple[float, int]:
 
 
 def main() -> None:
-    gens_list = [int(a) for a in sys.argv[1:] if a.isdigit()] or [10, 100, 1000]
     n_keys, delta_frac, trials = 2000, 0.1, 2
+    args = sys.argv[1:]
+    if "--keys" in args:
+        i = args.index("--keys")
+        try:
+            n_keys = int(args[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: ledger_scale_check.py [gens...] [--keys N]")
+        del args[i : i + 2]
+    if not all(a.isdigit() for a in args):
+        sys.exit("usage: ledger_scale_check.py [gens...] [--keys N]")
+    gens_list = [int(a) for a in args] or [10, 100, 1000]
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 
     from hadoop_tfidf_spark.session import get_spark
