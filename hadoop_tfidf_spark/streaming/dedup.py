@@ -121,6 +121,24 @@ class IncrementalLshIndex:
         final = self._jpath(f"{self.index_dir}/{_BATCH_PREFIX}{batch_id}")
         if fs.exists(final):
             return
+        # sweep staging leftovers from crashed batches OTHER than this
+        # one (this batch's own dir is about to be overwritten anyway):
+        # a crashed batch that is never replayed — e.g. the job restarts
+        # with a fresh checkpoint and new epoch ids — would otherwise
+        # orphan its _staging_* dir forever. Best-effort, like
+        # IncrementalTfidfStats._sweep.
+        root = self._jpath(self.index_dir)
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if (
+                    name.startswith(_STAGING_PREFIX)
+                    and name != f"{_STAGING_PREFIX}{batch_id}"
+                ):
+                    try:
+                        fs.delete(st.getPath(), True)
+                    except Exception:
+                        pass
 
         new_bands = lsh_bands(
             minhash_signatures_from_docs(

@@ -98,19 +98,29 @@ class IncrementalTfidfStats:
         gens = self._list_generations()
         return gens[-1] if gens else None
 
-    def _sweep(self, keep: int) -> None:
+    def _sweep(self, keep: int, retain: int = 1) -> None:
         """Best-effort delete of staging leftovers and superseded
-        generations (< keep). Failures are non-fatal: stale dirs are inert
-        (readers take the max generation) and get retried next merge."""
+        generations. Failures are non-fatal: stale dirs are inert
+        (readers take the max generation) and get retried next merge.
+        ``retain`` extra generations below ``keep`` survive each sweep
+        so a reader that resolved the previous generation just before
+        this commit can finish its parquet scan — without it, the
+        delete races in-flight readers to a FileNotFoundException. One
+        generation covers a merge interval; raise it for slow readers."""
         fs = self._fs()
         root = self._jpath(self.stats_dir)
         if not fs.exists(root):
             return
+        gens = self._list_generations()
+        older = sorted(g for g in gens if g < keep)
+        keep_set = {g for g in gens if g >= keep}
+        if retain:
+            keep_set |= set(older[-retain:])
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             doomed = name.startswith(_STAGING_PREFIX) or (
                 name.startswith(_GEN_PREFIX)
-                and int(name[len(_GEN_PREFIX):]) < keep
+                and int(name[len(_GEN_PREFIX):]) not in keep_set
             )
             if doomed:
                 try:
@@ -119,8 +129,13 @@ class IncrementalTfidfStats:
                     pass
 
     # -- state access ------------------------------------------------------
-    def df_table(self) -> DataFrame:
-        gen = self._latest()
+    def df_table(self, gen: int | None = None) -> DataFrame:
+        """(word, df) at generation ``gen`` (default: latest). Readers
+        combining several tables should resolve ``_latest()`` ONCE and
+        pass it to every accessor (as :meth:`idf` does) so a concurrent
+        merge commit can't be observed half-applied across tables."""
+        if gen is None:
+            gen = self._latest()
         if gen is None:
             return self.spark.createDataFrame([], "word STRING, df BIGINT")
         return self.spark.read.parquet(
@@ -140,9 +155,10 @@ class IncrementalTfidfStats:
             return like.select("doc_id").limit(0)
         return self.spark.createDataFrame([], "doc_id BIGINT")
 
-    def _meta(self) -> tuple[int, int]:
+    def _meta(self, gen: int | None = None) -> tuple[int, int]:
         """(num_docs, last_batch_id); (0, -1) on first run."""
-        gen = self._latest()
+        if gen is None:
+            gen = self._latest()
         if gen is None:
             return 0, -1
         rows = self.spark.read.parquet(
@@ -172,20 +188,23 @@ class IncrementalTfidfStats:
             # drop ids already ingested by ANY earlier batch (the batch_id
             # check above only covers exact same-epoch replays); within-
             # batch duplicate ids are collapsed by the dropDuplicates /
-            # distinct below, same as before
+            # distinct below, same as before. localCheckpoint: the
+            # anti-join against the (growing) seen table feeds THREE
+            # consumers below (the df merge write, new_ids.count(), the
+            # seen write) — materialize it once instead of re-running
+            # the join per consumer (the dedup.py house pattern).
             seen = self.seen_table(like=docs_batch)
-            new_docs = docs_batch.join(seen, "doc_id", "left_anti")
+            new_docs = docs_batch.join(
+                seen, "doc_id", "left_anti"
+            ).localCheckpoint()
         else:
             new_docs = docs_batch
-        delta = (
-            new_docs.select(
-                "doc_id", F.explode(F.split("text", " ")).alias("word")
-            )
-            .where(F.col("word") != "")
-            .dropDuplicates(["doc_id", "word"])
-            .groupBy("word")
-            .agg(F.count("*").alias("df"))
-        )
+        from hadoop_tfidf_spark.streaming.windows import streaming_term_counts
+
+        # the same tokenize → per-doc-distinct → df definition as the
+        # streaming operator — ONE definition, so a tokenization fix
+        # cannot diverge the incremental stats from the stream twin
+        delta = streaming_term_counts(new_docs)
         merged = (
             self.df_table()
             .unionByName(delta)
@@ -235,9 +254,14 @@ class IncrementalTfidfStats:
     # -- derived -----------------------------------------------------------
     def idf(self) -> DataFrame:
         """Current idf per word from the maintained stats (reference
-        integer-division form, TFIDF.java:163)."""
-        n = self.num_docs()
-        return self.df_table().select(
+        integer-division form, TFIDF.java:163). ``num_docs`` and the df
+        table are read from ONE generation snapshot — a merge committing
+        between the two reads cannot yield a stale n over a newer df
+        (the single-rename commit makes them visible together; this
+        makes reading them atomic too)."""
+        gen = self._latest()
+        n = self._meta(gen)[0]
+        return self.df_table(gen).select(
             "word",
             F.log10(F.lit(1.0) + F.floor(F.lit(n) / F.col("df"))).alias("idf"),
         )

@@ -72,6 +72,12 @@ def read_ledger(spark: SparkSession, sink: str) -> DataFrame:
     (:func:`_assert_no_partial_compaction`)."""
     _assert_no_partial_compaction(sink)
     paths = [f"{sink}/batch_id={g}" for g in ledger_generations(sink)]
+    if not paths:
+        # zero paths would surface as Spark's opaque UNABLE_TO_INFER_SCHEMA
+        raise FileNotFoundError(
+            f"ledger at {sink} has no batch_id=* generation dirs "
+            "(nothing committed yet, or a mistyped sink path)"
+        )
     return spark.read.option("basePath", sink).parquet(*paths)
 
 
@@ -118,8 +124,17 @@ def compact_ledger(
     if prior:
         t = int(prior[0].rsplit("=", 1)[1])
         if glob.glob(f"{sink}/_trash_batch_id=*"):
-            # crashed mid-swap: the tmp holds the full folded base —
-            # finish the rename it never reached
+            # crashed mid-swap: the tmp holds the full folded base. A
+            # crash INSIDE the trash loop can leave some batch_id<=t
+            # dirs (including batch_id=t itself) still in place — the
+            # tmp supersedes every one of them, so finish trashing
+            # before the rename (renaming onto a non-empty dir raises
+            # ENOTEMPTY and would wedge recovery permanently).
+            for g in ledger_generations(sink):
+                if g <= t:
+                    os.rename(
+                        f"{sink}/batch_id={g}", f"{sink}/_trash_batch_id={g}"
+                    )
             os.rename(prior[0], f"{sink}/batch_id={t}")
         else:
             # crashed before any dir was trashed: originals are intact —

@@ -7,8 +7,13 @@ Scale design: state lives in the state store keyed by the group column —
 partitioned across executors by the shuffle, checkpointed incrementally;
 the Python function sees one key's rows per call as Arrow batches. State
 size is O(1) per key here (a few counters), so a 100 TB stream's state is
-bounded by key cardinality, not event volume. Watermark-driven timeouts
-evict idle keys.
+bounded by key cardinality, not event volume. Key-cardinality honesty:
+``running_user_totals`` keeps its default ``NoTimeout`` (the gate drains
+a bounded fixture and the hash contract needs every key's final total),
+so on an unbounded stream with churning keys state grows with total keys
+ever seen — pass ``idle_timeout_ms`` to enable processing-time eviction
+(the production lever for churn-heavy key spaces; an evicted key that
+reappears restarts from zero, the standard timeout semantics).
 """
 
 from __future__ import annotations
@@ -47,7 +52,9 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Per-user running (n_events, total_value) maintained across
     micro-batches — the custom-state operator shape (the built-in
     aggregations could express this particular reduction, but the operator
@@ -58,6 +65,18 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     (``update`` output mode). The state-update function is nested and
     global-free so cloudpickle ships it by value — workers don't need
     this package importable (external drivers load it off sys.path).
+
+    ``idle_timeout_ms``: processing-time eviction for keys idle that
+    long — the state-growth lever for unbounded streams with churning
+    key spaces (see the module docstring). Default ``None`` keeps every
+    key forever: right for bounded drains and the hash-gated totals row,
+    where an eviction would drop a key's final answer. Drain-mode
+    gotcha (MEASURED, the hard version): with a processing-time timeout
+    set, an ``availableNow`` drain did not terminate AT ALL on this
+    Spark version (12+ minutes with a 3 s timeout — the engine keeps
+    scheduling micro-batches around pending/fired timeouts), so the
+    option is strictly for continuously-running ingest that the caller
+    stops via ``query.stop()``; never combine it with availableNow.
     """
 
     def update_totals(
@@ -67,11 +86,16 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
         )
@@ -81,5 +105,9 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

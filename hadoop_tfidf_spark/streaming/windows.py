@@ -206,7 +206,14 @@ def streaming_term_counts(docs: DataFrame) -> DataFrame:
     """Incremental corpus term statistics over a *document* stream
     ``(doc_id, text)``: running (word, n_docs_seen) counts — the streaming
     form of document frequency (reference O8 made incremental). Complete/
-    update output mode; state is one row per word."""
+    update output mode. State honesty: the aggregation state is one row
+    per word, but the watermarkless ``dropDuplicates([doc_id, word])``
+    keeps one dedup-state row per (doc_id, word) EVER seen — fine for
+    bounded drains (the gate) and as the per-batch delta inside
+    ``foreachBatch`` (IncrementalTfidfStats, where each batch is
+    finite), but a long-running raw stream grows that state with the
+    corpus; the unbounded-ingest path is ``IncrementalTfidfStats``,
+    which keeps seen ids in parquet instead of operator state."""
     tokens = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")

@@ -113,15 +113,24 @@ def test_crash_before_commit_rename_is_recoverable(spark, tmp_path):
     got = {r.word: r.df for r in stats.df_table().collect()}
     assert got == {"a": 2, "b": 1, "c": 1}
     assert stats.num_docs() == 2
-    # staging leftovers and superseded generations swept
+    # staging leftovers swept; gen=0 RETAINED (retain=1 keeps the newest
+    # superseded generation so an in-flight reader that resolved it just
+    # before the commit can finish its scan)
     names = [p.name for p in (tmp_path / "stats").iterdir()]
-    assert "_staging_1" not in names and "gen=0" not in names
-    assert "gen=1" in names
+    assert "_staging_1" not in names
+    assert "gen=1" in names and "gen=0" in names
+    # the next merge retires it: retention is a one-generation grace
+    stats.merge_batch(
+        spark.createDataFrame([(3, "d")], ["doc_id", "text"]), batch_id=2
+    )
+    names = [p.name for p in (tmp_path / "stats").iterdir()]
+    assert "gen=0" not in names and "gen=1" in names and "gen=2" in names
 
 
 def test_stale_generation_is_ignored_and_swept(spark, tmp_path):
     """A crash after rename but before the old-generation sweep leaves two
-    gen dirs; readers must take the max and the next merge must sweep."""
+    gen dirs; readers must take the max and the next merge must sweep
+    everything older than the one-generation retention grace."""
     stats = IncrementalTfidfStats(spark, str(tmp_path / "stats"))
     stats.merge_batch(
         spark.createDataFrame([(1, "a")], ["doc_id", "text"]), batch_id=0
@@ -136,7 +145,8 @@ def test_stale_generation_is_ignored_and_swept(spark, tmp_path):
         spark.createDataFrame([(2, "b")], ["doc_id", "text"]), batch_id=1
     )
     names = [p.name for p in (tmp_path / "stats").iterdir()]
-    assert "gen=-1" not in names and "gen=0" not in names
+    # gen=-1 (beyond the grace) swept; gen=0 retained for in-flight readers
+    assert "gen=-1" not in names and "gen=0" in names
     assert stats.num_docs() == 2
 
 

@@ -81,3 +81,18 @@ def test_streaming_attach_drains(spark, tmp_path):
     idx = IncrementalLshIndex(spark, str(tmp_path / "idx"))
     idx.attach(stream).awaitTermination()
     assert _pairs_set(idx.candidate_pairs()) == _pairs_set(minhash_lsh_dedup(docs))
+
+
+def test_orphaned_staging_from_other_batch_is_swept(spark, tmp_path):
+    """A _staging_* dir from a crashed batch that is NEVER replayed (job
+    restarted with a fresh checkpoint → new epoch ids) must be cleaned
+    by a later merge, not accumulate forever."""
+    docs = _corpus(spark)
+    idx = IncrementalLshIndex(spark, str(tmp_path / "idx"))
+    idx.merge_batch(docs.where(docs.doc_id.isin(1, 2)), 0)
+    orphan = tmp_path / "idx" / "_staging_99"
+    (orphan / "bands").mkdir(parents=True)
+    idx.merge_batch(docs.where(docs.doc_id.isin(3, 4)), 1)
+    names = [p.name for p in (tmp_path / "idx").iterdir()]
+    assert "_staging_99" not in names
+    assert "batch=0" in names and "batch=1" in names

@@ -635,3 +635,39 @@ def test_compact_crash_after_swap_leaves_readable_state(spark, ledger_sink):
     compact_ledger(spark, sink, ["k"], through=2)
     assert _state(spark, sink) == want
     assert not glob.glob(f"{sink}/_trash_batch_id=*")
+
+
+def test_compact_crash_mid_trash_loop_recovers(spark, ledger_sink):
+    """Crash INSIDE the trash-rename loop: some batch_id<=through dirs
+    (including batch_id=through itself) are still in place alongside the
+    tmp — recovery must finish trashing them before the rename instead
+    of wedging on ENOTEMPTY."""
+    import glob
+    import os
+    import shutil
+
+    from hadoop_tfidf_spark.streaming.ledger import compact_ledger
+
+    sink, up, mk = ledger_sink
+    want = _state(spark, sink)
+    # reconstruct the mid-loop crash: tmp present, batch_id=0 trashed,
+    # batch_id=1 and batch_id=2 (the through target) still in place
+    assert compact_ledger(spark, sink, ["k"], through=2) == 3
+    # state now: batch_id=2 (base), batch_id=3. Rebuild the crash layout:
+    shutil.copytree(f"{sink}/batch_id=2", f"{sink}/_compact_tmp_through=2")
+    os.makedirs(f"{sink}/_trash_batch_id=0")
+    with pytest.raises(RuntimeError, match="unfinished compaction"):
+        _state(spark, sink)
+    compact_ledger(spark, sink, ["k"], through=2)  # must not raise
+    assert _state(spark, sink) == want
+    assert not glob.glob(f"{sink}/_compact_tmp_through=*")
+    assert not glob.glob(f"{sink}/_trash_batch_id=*")
+
+
+def test_read_ledger_empty_sink_raises_clearly(spark, tmp_path):
+    """Zero generations (nothing committed / mistyped path) raises a
+    clear FileNotFoundError, not Spark's UNABLE_TO_INFER_SCHEMA."""
+    from hadoop_tfidf_spark.streaming.ledger import read_ledger
+
+    with pytest.raises(FileNotFoundError, match="no batch_id"):
+        read_ledger(spark, str(tmp_path / "nope"))

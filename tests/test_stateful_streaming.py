@@ -61,3 +61,24 @@ def test_state_crosses_micro_batches(spark, multi_batch_dir):
     # intermediate emissions exist → state was updated across batches
     n_emissions = spark.table("running_totals").count()
     assert n_emissions > len(got)
+
+
+def test_idle_timeout_arg_wires_the_timeout_conf(spark, multi_batch_dir):
+    """idle_timeout_ms plumbs ProcessingTimeTimeout into the plan —
+    construction-level pin only. An end-to-end drain is deliberately NOT
+    tested: measured on this box, an availableNow drain with a
+    processing-time timeout set NEVER terminated (12+ min with a 3 s
+    timeout — the engine keeps scheduling batches for pending/fired
+    timeouts), which is exactly why the operator docstring scopes the
+    option to continuously-running ingest stopped via q.stop()."""
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{multi_batch_dir}/*")
+    )
+    out = running_user_totals(stream, idle_timeout_ms=5_000)
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "ProcessingTimeTimeout" in plan
+    default = running_user_totals(stream)
+    assert "NoTimeout" in default._jdf.queryExecution().logical().toString()
