@@ -115,6 +115,11 @@ HEADLINE = [
     # incremental signature maintenance (diff + carry semi-join +
     # dirty-slice signing — the index-maintenance family)
     "text_decontaminate_bloom", "dedup_delta_signatures",
+    # round 14: the bulk COMPRESSED kNN-graph shape (residual-IVFADC ADC
+    # cut + exact re-rank of the candidate budget — prices against
+    # sim_topk_ivf_bulk's full-precision cost) and the O(delta)
+    # signature ledger (stored-hash diff, no old-text scan)
+    "sim_topk_ivfpq_bulk", "dedup_delta_ledger",
     # data selection: text_dsir (the contention-watch row, VERDICT r11)
     # + the streaming ratio-table twin (streaming family representative)
     "text_dsir", "streaming_dsir",

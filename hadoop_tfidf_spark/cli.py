@@ -152,6 +152,13 @@ def main(argv: list[str] | None = None) -> None:
                         "broadcast-Bloom filter (one-sided error: drops "
                         "a superset; use when the benchmark shingle set "
                         "is too large to broadcast as strings)")
+    p.add_argument("--bloom-bits-per-key", default=None, type=int,
+                   metavar="B",
+                   help="curate: size the Bloom filter from the benchmark "
+                        "shingle count at B bits/shingle via "
+                        "bloom_geometry (production sizing; ~1%% FP at "
+                        "B=10); default keeps the fixed 16 KiB gate "
+                        "geometry")
     p.add_argument("--semantic-dedup", default=None, metavar="EMB",
                    help="curate: parquet of (vec_id, embedding) aligned "
                         "with doc_id; adds the SemDeDup stage (IVF-cell "
@@ -237,6 +244,8 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.decontaminate_bloom and args.decontaminate is None:
         p.error("curate: --decontaminate-bloom needs --decontaminate BENCH")
+    if args.bloom_bits_per_key is not None and not args.decontaminate_bloom:
+        p.error("curate: --bloom-bits-per-key needs --decontaminate-bloom")
 
     from hadoop_tfidf_spark.corpus import tokenize
     from hadoop_tfidf_spark.search import query_term_bag, rank, search, tfidf_rank
@@ -470,12 +479,28 @@ def main(argv: list[str] | None = None) -> None:
         if args.decontaminate is not None:
             if args.decontaminate_bloom:
                 from hadoop_tfidf_spark.functions.text import (
+                    bloom_geometry,
                     decontaminate_bloom,
                 )
+                from hadoop_tfidf_spark.operators.dedup import shingles
 
-                docs = decontaminate_bloom(
-                    docs, _load(spark, args.decontaminate)
-                )
+                bench = _load(spark, args.decontaminate)
+                geo: dict[str, int] = {}
+                if args.bloom_bits_per_key is not None:
+                    # production sizing: one count(distinct) over the
+                    # (static, benchmark-sized) shingle set prices the
+                    # filter; the corpus side never runs extra work
+                    n = (
+                        shingles(bench, k=3)
+                        .select("shingle")
+                        .distinct()
+                        .count()
+                    )
+                    bits, hashes = bloom_geometry(
+                        n, bits_per_key=args.bloom_bits_per_key
+                    )
+                    geo = {"bits": bits, "hashes": hashes}
+                docs = decontaminate_bloom(docs, bench, **geo)
             else:
                 from hadoop_tfidf_spark.functions.text import decontaminate
 

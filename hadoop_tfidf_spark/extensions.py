@@ -1944,6 +1944,42 @@ def q_sim_topk_ivfpq_res(spark, sf_dir):
     return out
 
 
+#: ADC candidate budget for the bulk compressed kNN-graph row: stage 1
+#: keeps this many per query by 8-byte ADC distance; stage 2 re-ranks
+#: only these exactly. 3× the final k — the budget a recall audit would
+#: size (sim_rp_recall's dashboard pattern).
+IVFPQ_BULK_CAND = 30
+
+
+def q_sim_topk_ivfpq_bulk(spark, sf_dir):
+    """Round 14 — the bulk kNN-graph job over the COMPRESSED index
+    (similarity.ivfpq_bulk_topk): every corpus vector is a query, like
+    ``sim_topk_ivf_bulk``, but stage 1 ranks candidates by the
+    residual-IVFADC 8-byte ADC distance (executor-side probe selection
+    and per-(query, cell) ADC tables as DataFrame expressions — zero
+    query-side collect, census-pinned) and stage 2 re-ranks ONLY each
+    query's :data:`IVFPQ_BULK_CAND` survivors by exact full-dimension
+    integer L2. This is the shape a 100 TB semantic-clustering run
+    prices: full-precision work per query drops from every probed-cell
+    member (the plain-IVF bulk row's honest cost) to the candidate
+    budget. All-integer both stages; the oracle replays build + probe +
+    ADC cut + exact re-rank unrolled."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned, cents, codes, books = S.ivfpq_build_residual(
+        emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
+        m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
+    )
+    out = S.ivfpq_bulk_topk(
+        assigned, cents, codes, books, emb,
+        k=SIM_K, candidates=IVFPQ_BULK_CAND, nprobe=IVF_NPROBE,
+        units=IVF_UNITS,
+    )
+    emb.unpersist()  # build collects done — see q_sim_topk_ivfpq
+    return out
+
+
 def q_sim_recall_audit(spark, sf_dir):
     """ANN recall telemetry — the dashboard number a production ANN
     index ships with (semantics source: tests/test_round7_ops.py
@@ -3732,6 +3768,40 @@ def q_dedup_delta_signatures(spark, sf_dir):
     return D.delta_signatures(old_sigs, D.corpus_diff(old, new), new)
 
 
+def q_dedup_delta_ledger(spark, sf_dir):
+    """Round 14 — the O(delta) signature LEDGER shipped end-to-end
+    (dedup.sign_generation / write_generation / diff_from_ledger /
+    delta_sign): the gen-0 ledger — signatures PLUS the stored
+    ``md5(text)`` content hash — is MATERIALIZED to a
+    generation-partitioned parquet dir once per session (the stored
+    index), and the returned plan advances it to gen 1 against the SAME
+    revised corpus as ``dedup_delta_signatures``: the diff joins the
+    new crawl's hashes against the STORED hash column, so the old
+    generation's text appears NOWHERE in the plan (census-pinned in
+    tests/test_round14_ops.py — this is the production shape (1)+(3)
+    the SCALE.md cost ladder measured as the condition for the O(delta)
+    wall-time win). Oracle: sign gen 1 from scratch, content hash
+    included."""
+    from hadoop_tfidf_spark.streaming.windows import staged_source
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    ledger_root = staged_source(
+        ("delta_ledger_gen0", sf_dir),
+        lambda d: D.write_generation(D.sign_generation(old), d, 0),
+    )
+    old_sigs = D.read_generation(spark, ledger_root, 0)
+    return D.delta_sign(old_sigs, new)
+
+
 def q_streaming_decontaminate_bloom(spark, sf_dir):
     """Round 13 — STATELESS streaming decontamination with a PREBUILT
     broadcast Bloom filter: the benchmark folds into a 16 KiB bitmap
@@ -3857,66 +3927,12 @@ def q_streaming_ivfsq_index(spark, sf_dir):
 # sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
-    # ROUND-13 GATE WINDOW (first 41 extension slots; 9 core precede).
-    # Policy: rotate the stale-est driver rows in, newest-rowed cohorts
-    # cede their slots on their fresh CORRECTNESS rows + the per-round
-    # local full drive. New queries register IN-window (past-cap
-    # newcomers break the rotation rule).
+    # ROUND-14 GATE WINDOW (first 41 extension slots; 9 core precede).
+    # Policy: rotate the stale-est driver rows in; cohorts with fresh
+    # CORRECTNESS rows cede their slots. New queries register IN-window.
     # ------------------------------------------------------------------
-    # -- the ENTIRE r8-row cohort (stale-est recorded rows), alphabetical --
-    "dedup_semantic_capped": q_dedup_semantic_capped,
-    "events_range_frame": q_events_range_frame,
-    "events_user_extremes": q_events_user_extremes,
-    "multimodal_decode": q_multimodal_decode,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
-    "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
-    "sim_label_centroids": q_sim_label_centroids,
-    "sim_pca_components": q_sim_pca_components,
-    "sim_pca_project": q_sim_pca_project,
-    "sim_recall_audit": q_sim_recall_audit,
-    "sim_rp_distortion": q_sim_rp_distortion,
-    "sim_topk_ivf": q_sim_topk_ivf,
-    "sim_topk_pandas_bounds": q_sim_topk_pandas_bounds,
-    "streaming_c4_filter": q_streaming_c4_filter,
-    "streaming_decontaminate": q_streaming_decontaminate,
-    "streaming_incremental_dedup": q_streaming_incremental_dedup,
-    "streaming_incremental_df": q_streaming_incremental_df,
-    "streaming_interval_join": q_streaming_interval_join,
-    "streaming_mixture_weights": q_streaming_mixture_weights,
-    "streaming_search": q_streaming_search,
-    "streaming_session": q_streaming_session,
-    "streaming_stateful_totals": q_streaming_stateful_totals,
-    "streaming_tumbling": q_streaming_tumbling,
-    "text_bpe_pairs": q_text_bpe_pairs,
-    "text_bpe_vocab": q_text_bpe_vocab,
-    "text_cooccurrence": q_text_cooccurrence,
-    "text_mixture_bpe": q_text_mixture_bpe,
-    "text_mixture_weights": q_text_mixture_weights,
-    "text_pack_bpe": q_text_pack_bpe,
-    # -- round-13 new queries (newcomers register in-window) --
-    "text_quality_adaptive_approx": q_text_quality_adaptive_approx,
-    "sim_topk_ivf_bulk": q_sim_topk_ivf_bulk,
-    "streaming_ledger_compact": q_streaming_ledger_compact,
-    "text_decontaminate_bloom": q_text_decontaminate_bloom,
-    "dedup_delta_signatures": q_dedup_delta_signatures,
-    "streaming_decontaminate_bloom": q_streaming_decontaminate_bloom,
-    # -- r10-cohort fill, alphabetical (next-oldest debt; round-13
-    #    newcomers take the LAST filler slots as they land —
-    #    doc_frequency_salted / doc_similarity_tfidf /
-    #    dedup_span_sliding ceded theirs) --
-    "dedup_components": q_dedup_components,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_exact": q_dedup_exact,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_span_exact": q_dedup_span_exact,
-    # ---- past the 50-slot cap from here down ----
-    # Ordered by cohort freshness: the r10-cohort remainder, then the
-    # r11 cohort, then the r12 window occupants (greenest rows last);
-    # the 2 structurally no-oracle entries close the registry. All hold
-    # green rows in their cohort's CORRECTNESS file + the per-round
-    # local full drive (tools/check_correctness.py).
-    # -- r10 cohort remainder (led by the three displaced fillers) --
+    # -- the ENTIRE r10-row remainder (stale-est recorded rows; the
+    #    VERDICT r13 rotation priority, verbatim), registry order --
     "dedup_span_sliding": q_dedup_span_sliding,
     "doc_frequency_salted": q_doc_frequency_salted,
     "doc_similarity_tfidf": q_doc_similarity_tfidf,
@@ -3953,10 +3969,20 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_mixture_temperature": q_text_mixture_temperature,
     "text_pii_redact": q_text_pii_redact,
     "text_token_stats": q_text_token_stats,
-    # -- r11 cohort (rotated out on fresh CORRECTNESS_r11 rows) --
+    # -- round-14 new queries (newcomers register in-window) --
+    "dedup_delta_ledger": q_dedup_delta_ledger,
+    "sim_topk_ivfpq_bulk": q_sim_topk_ivfpq_bulk,
+    # -- r11-cohort fill, alphabetical (next-oldest debt) --
     "asof_last_purchase": q_asof_last_purchase,
     "dedup_exact_apply": q_dedup_exact_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    # ---- past the 50-slot cap from here down ----
+    # Ordered by cohort freshness: the r11-cohort remainder, then the
+    # r12 cohort, then the round-13 window occupants (greenest rows
+    # last); the 2 structurally no-oracle entries close the registry.
+    # All hold green rows in their cohort's CORRECTNESS file + the
+    # per-round local full drive (tools/check_correctness.py).
+    # -- r11 cohort remainder --
     "dedup_near_canonical": q_dedup_near_canonical,
     "dedup_simhash": q_dedup_simhash,
     "events_hopping": q_events_hopping,
@@ -3995,9 +4021,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_source_quality": q_text_source_quality,
     "text_source_stats": q_text_source_stats,
     "text_stratified_sample": q_text_stratified_sample,
-    # -- r12 cohort (rotated out on fresh CORRECTNESS_r12 rows: the full
-    #    r7-row block, the seven round-12 newcomers, and the four r8
-    #    fillers that earned r12 rows), alphabetical --
+    # -- r12 cohort (fresh CORRECTNESS_r12 rows), alphabetical --
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "asof_next_event": q_asof_next_event,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -4039,6 +4063,50 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_adaptive": q_text_quality_adaptive,
     "text_repetition": q_text_repetition,
     "text_self_dedup": q_text_self_dedup,
+    # -- round-13 window occupants (fresh CORRECTNESS_r13 rows):
+    #    the full r8-row cohort, the six round-13 newcomers, and the
+    #    five r10 fillers that earned r13 rows --
+    "dedup_semantic_capped": q_dedup_semantic_capped,
+    "events_range_frame": q_events_range_frame,
+    "events_user_extremes": q_events_user_extremes,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
+    "sim_label_centroids": q_sim_label_centroids,
+    "sim_pca_components": q_sim_pca_components,
+    "sim_pca_project": q_sim_pca_project,
+    "sim_recall_audit": q_sim_recall_audit,
+    "sim_rp_distortion": q_sim_rp_distortion,
+    "sim_topk_ivf": q_sim_topk_ivf,
+    "sim_topk_pandas_bounds": q_sim_topk_pandas_bounds,
+    "streaming_c4_filter": q_streaming_c4_filter,
+    "streaming_decontaminate": q_streaming_decontaminate,
+    "streaming_incremental_dedup": q_streaming_incremental_dedup,
+    "streaming_incremental_df": q_streaming_incremental_df,
+    "streaming_interval_join": q_streaming_interval_join,
+    "streaming_mixture_weights": q_streaming_mixture_weights,
+    "streaming_search": q_streaming_search,
+    "streaming_session": q_streaming_session,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
+    "streaming_tumbling": q_streaming_tumbling,
+    "text_bpe_pairs": q_text_bpe_pairs,
+    "text_bpe_vocab": q_text_bpe_vocab,
+    "text_cooccurrence": q_text_cooccurrence,
+    "text_mixture_bpe": q_text_mixture_bpe,
+    "text_mixture_weights": q_text_mixture_weights,
+    "text_pack_bpe": q_text_pack_bpe,
+    "text_quality_adaptive_approx": q_text_quality_adaptive_approx,
+    "sim_topk_ivf_bulk": q_sim_topk_ivf_bulk,
+    "streaming_ledger_compact": q_streaming_ledger_compact,
+    "text_decontaminate_bloom": q_text_decontaminate_bloom,
+    "dedup_delta_signatures": q_dedup_delta_signatures,
+    "streaming_decontaminate_bloom": q_streaming_decontaminate_bloom,
+    "dedup_components": q_dedup_components,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_exact": q_dedup_exact,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_span_exact": q_dedup_span_exact,
     # -- structurally no-oracle (rows-only) --
     "rel_approx_distinct": q_rel_approx_distinct,
     "sim_topk_pandas": q_sim_topk_pandas,
@@ -4611,6 +4679,8 @@ def _ivfpq_sql(
     query_ids=None,
     units: int = IVF_UNITS,
     k_out: int = SIM_K,
+    query_where: str | None = None,
+    rerank_k: int | None = None,
 ) -> str:
     """Unrolled replay of IVFADC (mirrors similarity.ivfpq_topk): the
     coarse integer Lloyd of the IVF oracle (same CTE chain), the
@@ -4626,9 +4696,17 @@ def _ivfpq_sql(
     integer residual from its coarse centroid, and the per-subspace
     query distances use the query's residual wrt each PROBED cell (the
     qsub CTEs carry (query, cluster) grain) — restriction to probed
-    cells falls out of the cluster join."""
+    cells falls out of the cluster join.
+
+    ``query_where`` swaps the query predicate (``"TRUE"`` = every
+    corpus vector, the bulk kNN-graph form — mirrors ``_ivf_sql``'s).
+    ``rerank_k`` appends the exact full-dimension integer-L2 re-rank of
+    each query's ``k_out`` ADC candidates (the two-stage bulk shape of
+    ``similarity.ivfpq_bulk_topk``) — output then matches its
+    ``(query_id, vec_id, d2_u, rn)``."""
     sub = dim // PQ_M
     qids = list(query_ids) if query_ids is not None else SIM_QUERY_IDS
+    qpred = query_where or f"vec_id IN ({', '.join(map(str, qids))})"
     # coarse IVF chain (verbatim structure from _ivf_sql)
     ctes = [
         f"""e AS MATERIALIZED (
@@ -4666,7 +4744,7 @@ def _ivfpq_sql(
     final = IVF_ITERS
     ctes.append(f"""qv AS (
   SELECT vec_id AS query_id, u AS q_u FROM e
-  WHERE vec_id IN ({", ".join(map(str, qids))})
+  WHERE {qpred}
 )""")
     ctes.append(f"""probe AS (
   SELECT query_id, cluster FROM (
@@ -4736,8 +4814,8 @@ def _ivfpq_sql(
                 f"""SELECT q.query_id, a.vec_id, {_int_d2_sql("q.su", "c.cu")} AS d2
     FROM passign{s}_{PQ_ITERS} a
     JOIN pcent{s}_{PQ_ITERS} c ON a.cluster = c.cluster
-    CROSS JOIN (SELECT vec_id AS query_id, su FROM sub{s}
-                WHERE vec_id IN ({", ".join(map(str, qids))})) q"""
+    CROSS JOIN (SELECT b.vec_id AS query_id, b.su FROM sub{s} b
+                JOIN qv ON qv.query_id = b.vec_id) q"""
             )
     union = "\n    UNION ALL\n    ".join(dists)
     ctes.append(f"""alld AS (
@@ -4767,11 +4845,37 @@ def _ivfpq_sql(
                             ORDER BY adc_d2, vec_id) AS rn
   FROM scored
 )""")
+    if rerank_k is None:
+        return (
+            "WITH "
+            + ",\n".join(ctes)
+            + f"\nSELECT query_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn"
+            f" FROM ranked WHERE rn <= {k_out}"
+        )
+    # exact full-dimension re-rank of the ADC candidate cut (mirrors
+    # similarity.ivfpq_bulk_topk stage 2: integer L2 over the raw
+    # quantized vectors, (d2_u, vec_id) tie-break)
+    ctes.append(f"""rcand AS (
+  SELECT query_id, vec_id FROM ranked WHERE rn <= {k_out}
+)""")
+    ctes.append(f"""rr AS (
+  SELECT c.query_id, c.vec_id,
+         CAST({_int_d2_sql("eq.u", "ev.u")} AS BIGINT) AS d2_u
+  FROM rcand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e ev ON ev.vec_id = c.vec_id
+)""")
+    ctes.append("""rranked AS (
+  SELECT query_id, vec_id, d2_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2_u, vec_id) AS rn
+  FROM rr
+)""")
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"\nSELECT query_id, vec_id, adc_d2, CAST(rn AS INTEGER) AS rn"
-        f" FROM ranked WHERE rn <= {k_out}"
+        + f"\nSELECT query_id, vec_id, d2_u, CAST(rn AS INTEGER) AS rn"
+        f" FROM rranked WHERE rn <= {rerank_k}"
     )
 
 
@@ -6519,6 +6623,16 @@ FROM events GROUP BY user_id
     "sim_topk_pq": _pq_sql(),
     "sim_topk_ivfpq": _ivfpq_sql(),
     "sim_topk_ivfpq_res": _ivfpq_sql(residual=True),
+    # bulk compressed kNN graph: the residual chain over EVERY corpus
+    # vector as query, ADC candidate cut at IVFPQ_BULK_CAND, exact
+    # full-dim integer-L2 re-rank to SIM_K (mirrors ivfpq_bulk_topk's
+    # two stages including both tie-breaks)
+    "sim_topk_ivfpq_bulk": _ivfpq_sql(
+        residual=True,
+        query_where="TRUE",
+        k_out=IVFPQ_BULK_CAND,
+        rerank_k=SIM_K,
+    ),
     "sim_recall_audit": _recall_audit_sql(),
     "sim_recall_curve": _recall_curve_sql(),
     "dedup_semantic": _semantic_dedup_sql(),
@@ -8284,6 +8398,22 @@ EXTENSION_ORACLE_SQL["dedup_delta_signatures"] = (
     + "SELECT doc_id, "
     + ", ".join(f"mh_{h}" for h in range(DEFAULT_NUM_HASHES))
     + " FROM sig"
+)
+
+
+# O(delta) signature ledger: the oracle signs gen 1 from scratch WITH the
+# stored content-hash column — every doc gets a row (LEFT JOIN: short docs
+# carry NULL signatures, exactly sign_generation's rule), so a hash match
+# proves the stored-hash diff + carried rows + dirty re-sign equals a full
+# re-sign, content hash included.
+EXTENSION_ORACLE_SQL["dedup_delta_ledger"] = (
+    "WITH newgen AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN"
+    " text || ' v2' ELSE text END AS text FROM documents"
+    " WHERE doc_id % 13 <> 0),\n"
+    + _minhash_body_sql("newgen")
+    + "SELECT n.doc_id, md5(n.text) AS text_hash, "
+    + ", ".join(f"s.mh_{h}" for h in range(DEFAULT_NUM_HASHES))
+    + " FROM newgen n LEFT JOIN sig s ON s.doc_id = n.doc_id"
 )
 
 

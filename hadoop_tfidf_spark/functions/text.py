@@ -709,32 +709,71 @@ def decontaminate(
     return docs.join(dropped, "doc_id", "left_anti")
 
 
-#: Bloom-filter geometry for :func:`contamination_bloom`. 2¹⁶ bits packed
-#: into 32-bit lanes of BIGINT words (2,048 words = 16 KiB per filter) and
-#: 4 Carter–Wegman hashes — sized for the gate corpus; production sizes m
-#: by the benchmark shingle count (m ≈ 10·n gives ~1.2% FP at h=4) and the
-#: filter stays driver-collectable into the tens of MiB.
+#: Default Bloom-filter geometry for :func:`contamination_bloom`. 2¹⁶ bits
+#: packed into 32-bit lanes of BIGINT words (2,048 words = 16 KiB per
+#: filter) and 4 Carter–Wegman hashes — sized for the gate corpus.
+#: Production sizes m by the benchmark shingle count via
+#: :func:`bloom_geometry` (m ≈ 10·n gives ~1% FP) and the filter stays
+#: driver-collectable into the tens of MiB; an UNDERSIZED filter degrades
+#: one-sidedly (FP rate → 1, decontamination over-drops) — see the
+#: saturation test in tests/test_round14_ops.py.
 BLOOM_BITS = 1 << 16
 BLOOM_HASHES = 4
 _BLOOM_LANE = 32  # bits per packed word — low half of a BIGINT, sign-safe
 
 
-def bloom_bitmap(bench_docs: DataFrame, k: int = 3) -> list[int]:
+def bloom_geometry(
+    n_keys: int, bits_per_key: int = 10, hashes: int | None = None
+) -> tuple[int, int]:
+    """Production sizing for :func:`bloom_bitmap`: given the benchmark
+    release's distinct-shingle count (one ``count(distinct)`` query, or
+    a ceiling estimate), return ``(bits, hashes)``. ``bits`` is
+    ``n_keys * bits_per_key`` rounded up to a whole 32-bit lane;
+    ``hashes`` defaults to the FP-optimal ``round(ln2 * bits_per_key)``
+    capped at the universal-hash family size. At the default 10
+    bits/key that's h=7 and ~0.8% FP; a 10⁸-shingle benchmark suite
+    sizes to ~125 MB — still a broadcast-able plan literal, vs the
+    exact semi-join's unbroadcastable multi-GB string set."""
+    from hadoop_tfidf_spark.operators.dedup import MINHASH_A
+
+    if n_keys <= 0:
+        raise ValueError("n_keys must be positive")
+    bits = max(_BLOOM_LANE, -(-n_keys * bits_per_key // _BLOOM_LANE) * _BLOOM_LANE)
+    if hashes is None:
+        hashes = min(max(1, round(0.6931 * bits_per_key)), len(MINHASH_A))
+    return bits, hashes
+
+
+def bloom_bitmap(
+    bench_docs: DataFrame,
+    k: int = 3,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> list[int]:
     """Build the benchmark Bloom filter ONCE: distinct ``k``-gram
-    shingles → :data:`BLOOM_HASHES` Carter–Wegman positions each →
+    shingles → ``hashes`` Carter–Wegman positions each →
     OR-packed 32-bit lanes via one ``bit_or`` aggregation, collected as
-    a plain ``BLOOM_BITS/32``-element int list (16 KiB — bounded by the
-    filter geometry, never by data). Benchmarks are static; production
-    builds this per benchmark release and probes every corpus against
-    it — the build-once / probe-many split of the ivfsq ``index=``
-    pattern. (No pre-distinct: bit_or is duplicate-invariant, same
-    reasoning as min() in minhash_signatures.)"""
+    a plain ``bits/32``-element int list (16 KiB at the default
+    geometry — bounded by the filter geometry, never by data; size
+    production filters with :func:`bloom_geometry`). Benchmarks are
+    static; production builds this per benchmark release and probes
+    every corpus against it — the build-once / probe-many split of the
+    ivfsq ``index=`` pattern. (No pre-distinct: bit_or is
+    duplicate-invariant, same reasoning as min() in
+    minhash_signatures.) The probe side recovers ``bits`` from the
+    list length, so a bitmap is self-describing except for ``hashes``
+    — pass the same value to the probe functions."""
     from hadoop_tfidf_spark.operators.dedup import shingles
 
+    _check_geometry(bits, hashes)
     packed = (
         shingles(bench_docs, k=k)
         .select(_md5_base(F.col("shingle")).alias("x"))
-        .select(F.explode(F.array(*_bloom_positions(F.col("x")))).alias("pos"))
+        .select(
+            F.explode(
+                F.array(*_bloom_positions(F.col("x"), bits, hashes))
+            ).alias("pos")
+        )
         .groupBy((F.col("pos") / _BLOOM_LANE).cast("int").alias("w_idx"))
         .agg(
             F.bit_or(
@@ -747,33 +786,45 @@ def bloom_bitmap(bench_docs: DataFrame, k: int = 3) -> list[int]:
         )
         .collect()
     )
-    words = [0] * (BLOOM_BITS // _BLOOM_LANE)
+    words = [0] * (bits // _BLOOM_LANE)
     for row in packed:
         words[row["w_idx"]] = row["bits"]
     return words
 
 
-def _bloom_positions(x: Column) -> list[Column]:
-    """The :data:`BLOOM_HASHES` Carter–Wegman bit positions for a
-    base-hash column — THE single definition of the filter's hash
-    geometry (build and both probe forms all route through here; the
-    DuckDB oracle replays the same formula via ``_bloom_pos_sql``)."""
+def _check_geometry(bits: int, hashes: int) -> None:
+    from hadoop_tfidf_spark.operators.dedup import MINHASH_A
+
+    if bits < _BLOOM_LANE or bits % _BLOOM_LANE:
+        raise ValueError(f"bits must be a positive multiple of {_BLOOM_LANE}")
+    if not 1 <= hashes <= len(MINHASH_A):
+        raise ValueError(
+            f"hashes must be in 1..{len(MINHASH_A)} (the universal-hash "
+            "family size)"
+        )
+
+
+def _bloom_positions(x: Column, bits: int, hashes: int) -> list[Column]:
+    """The ``hashes`` Carter–Wegman bit positions for a base-hash
+    column — THE single definition of the filter's hash geometry (build
+    and both probe forms all route through here; the DuckDB oracle
+    replays the same formula via ``_bloom_pos_sql``)."""
     from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A, MINHASH_B
 
     return [
         ((F.lit(MINHASH_A[h]) * x + F.lit(MINHASH_B[h])) % F.lit(M31))
-        % F.lit(BLOOM_BITS)
-        for h in range(BLOOM_HASHES)
+        % F.lit(bits)
+        for h in range(hashes)
     ]
 
 
-def _bloom_probe(x: Column, bitmap_lit: Column) -> Column:
+def _bloom_probe(x: Column, bitmap_lit: Column, bits: int, hashes: int) -> Column:
     """Membership test for a base-hash column ``x`` against the packed
-    filter literal: all :data:`BLOOM_HASHES` Carter–Wegman positions'
+    filter literal: all ``hashes`` Carter–Wegman positions'
     lane bits set. Pure integer arithmetic — safe inside higher-order
     lambdas and codegen'd projections alike."""
     probe = F.lit(True)
-    for pos in _bloom_positions(x):
+    for pos in _bloom_positions(x, bits, hashes):
         lane = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (pos % _BLOOM_LANE).cast("int")
         )
@@ -787,6 +838,7 @@ def contamination_bloom_stateless(
     bitmap: list[int],
     k: int = 3,
     max_overlap: float = 0.1,
+    hashes: int = BLOOM_HASHES,
 ) -> DataFrame:
     """Bloom contamination verdicts computed ENTIRELY row-locally — the
     streaming-safe form: per doc, distinct ``k``-gram shingles via
@@ -805,9 +857,17 @@ def contamination_bloom_stateless(
     (:func:`bloom_bitmap`) — a stream cannot build its own filter.
 
     The arrays are staged through their own projections (``_w`` →
-    ``_g`` → ``_x``) so no higher-order lambda re-evaluates its inlined
-    subtree per element (the O(words²) trap — see ``dedup.shingles``).
+    ``_g`` → ``_x`` → ``n_hits``) so no higher-order lambda or
+    multi-referenced expression re-evaluates its inlined subtree per
+    use (the O(words²) trap — see ``dedup.shingles``; ``n_hits`` is
+    staged for the same reason — inlined into ``keep`` the full
+    Bloom-probe filter would run twice per row).
+
+    ``hashes`` must match the value the ``bitmap`` was built with
+    (``bits`` is recovered from the bitmap length).
     """
+    bits = len(bitmap) * _BLOOM_LANE
+    _check_geometry(bits, hashes)
     lit = F.lit(bitmap)
     wcol = F.split(F.col("text"), " ")
     grams = F.when(
@@ -821,21 +881,22 @@ def contamination_bloom_stateless(
     ).otherwise(F.array().cast("array<string>"))
     xs = F.transform("_g", lambda g: _md5_base(g))
     n_sh = F.size("_g").cast("bigint")
-    hits = F.size(F.filter("_x", lambda x: _bloom_probe(x, lit))).cast(
-        "bigint"
-    )
+    hits = F.size(
+        F.filter("_x", lambda x: _bloom_probe(x, lit, bits, hashes))
+    ).cast("bigint")
     return (
         docs.select("doc_id", wcol.alias("_w"))
         .select("doc_id", grams.alias("_g"))
         .select("doc_id", n_sh.alias("n_shingles"), xs.alias("_x"))
+        .select("doc_id", "n_shingles", hits.alias("n_hits"))
         .select(
             "doc_id",
             "n_shingles",
-            hits.alias("n_hits"),
+            "n_hits",
             F.when(F.col("n_shingles") == 0, F.lit(1))
             .otherwise(
                 (
-                    F.round(hits / F.col("n_shingles"), 6)
+                    F.round(F.col("n_hits") / F.col("n_shingles"), 6)
                     <= F.lit(max_overlap)
                 ).cast("int")
             )
@@ -851,6 +912,8 @@ def decontaminate_bloom(
     k: int = 3,
     max_overlap: float = 0.1,
     bitmap: list[int] | None = None,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
 ) -> DataFrame:
     """APPLY form of the broadcast-Bloom decontamination — the drop-in
     counterpart of :func:`decontaminate` for when the benchmark shingle
@@ -859,8 +922,10 @@ def decontaminate_bloom(
     shorter than ``k`` words carry no evidence and are kept, same rule).
     One-sided error means this only ever drops a superset of the exact
     form's drop set. Pass a prebuilt ``bitmap`` (:func:`bloom_bitmap`)
-    to skip the build job. Returns the cleaned corpus with its input
-    columns.
+    to skip the build job — ``hashes`` must then match the build;
+    otherwise ``bits``/``hashes`` size the inline build (production:
+    :func:`bloom_geometry` from the benchmark shingle count). Returns
+    the cleaned corpus with its input columns.
 
     Plan: the verdict is a pure projection (zero joins/shuffles); the
     drop set is doc_id-sized and anti-joins back on the id — the same
@@ -869,10 +934,10 @@ def decontaminate_bloom(
     if bitmap is None:
         if bench_docs is None:
             raise ValueError("pass bench_docs or a prebuilt bitmap")
-        bitmap = bloom_bitmap(bench_docs, k=k)
+        bitmap = bloom_bitmap(bench_docs, k=k, bits=bits, hashes=hashes)
     dropped = (
         contamination_bloom_stateless(
-            docs, bitmap, k=k, max_overlap=max_overlap
+            docs, bitmap, k=k, max_overlap=max_overlap, hashes=hashes
         )
         .where(F.col("keep") == 0)
         .select("doc_id")
@@ -892,6 +957,8 @@ def contamination_bloom(
     bench_docs: DataFrame | None = None,
     k: int = 3,
     bitmap: list[int] | None = None,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
 ) -> DataFrame:
     """Benchmark-contamination scan, BROADCAST-BLOOM form — the 100 TB
     shape of :func:`contamination_check`: instead of semi-joining the
@@ -939,11 +1006,14 @@ def contamination_bloom(
     if bitmap is None:
         if bench_docs is None:
             raise ValueError("pass bench_docs or a prebuilt bitmap")
-        bitmap = bloom_bitmap(bench_docs, k=k)
-    # broadcast-as-literal: 16 KiB in the plan; one shared hash geometry
-    # (_md5_base + _bloom_positions via _bloom_probe) across build and
-    # both probe forms
-    probe = _bloom_probe(F.col("x"), F.lit(bitmap))
+        bitmap = bloom_bitmap(bench_docs, k=k, bits=bits, hashes=hashes)
+    # broadcast-as-literal: 16 KiB at default geometry in the plan; one
+    # shared hash geometry (_md5_base + _bloom_positions via
+    # _bloom_probe) across build and both probe forms; bits recovered
+    # from the bitmap length so a prebuilt filter is self-describing
+    bits = len(bitmap) * _BLOOM_LANE
+    _check_geometry(bits, hashes)
+    probe = _bloom_probe(F.col("x"), F.lit(bitmap), bits, hashes)
     base = _md5_base(F.col("shingle")).alias("x")
 
     # Probe: per-doc DISTINCT shingles built ROW-LOCALLY (array_distinct

@@ -24,7 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_tfidf_spark.functions.hashing import hex_to_long
@@ -819,6 +819,13 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """
     o = old.select("doc_id", F.md5("text").alias("old_md5"))
     n = new.select("doc_id", F.md5("text").alias("new_md5"))
+    return _classify_diff(o, n)
+
+
+def _classify_diff(o: DataFrame, n: DataFrame) -> DataFrame:
+    """Shared full-outer classify for :func:`corpus_diff` (both hashes
+    computed from text) and :func:`diff_from_ledger` (old hash read from
+    the stored ledger)."""
     return o.join(n, "doc_id", "full_outer").select(
         "doc_id",
         "old_md5",
@@ -878,4 +885,131 @@ def delta_signatures(
         shingles(new_docs.join(dirty, "doc_id", "left_semi"), k=k),
         num_hashes=num_hashes,
     )
-    return carried.unionByName(fresh)
+    # Schema contract: the output is exactly fresh's (doc_id, mh_*)
+    # columns. A stored ledger legitimately carries EXTRA columns (the
+    # production recipe above stores text_hash alongside the
+    # signatures) — project them off rather than letting unionByName
+    # throw on the wider side.
+    return carried.select(*fresh.columns).unionByName(fresh)
+
+
+# --------------------------------------------------------------------------
+# O(delta) signature ledger (round 14) — the delta_signatures docstring's
+# production shapes (1)–(3), shipped: store the content hash IN the
+# signature table, diff the next crawl against the STORED hash (the old
+# generation's text is never rescanned), land generations as partitioned
+# dirs so the storage layer prunes at file level.
+# --------------------------------------------------------------------------
+
+
+def sign_generation(
+    docs: DataFrame, k: int = 3, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """The stored signature-ledger row set for ONE crawl generation:
+    ``(doc_id, text_hash, mh_0 … mh_{n-1})``, one row per document.
+    ``text_hash = md5(text)`` always; signatures are computed
+    row-locally (the :func:`minhash_signatures_from_docs` zero-shuffle
+    form — split → k-gram transform → md5 base → ``array_min`` per
+    seed, all inside the scan stage) and are NULL for docs shorter than
+    ``k`` words, which carry no shingle evidence but must still be
+    diffable next crawl.
+
+    Storing the content hash is what makes the NEXT generation's diff
+    O(delta): :func:`diff_from_ledger` joins the new crawl's hashes
+    against this column, so the old generation contributes 13 slim
+    BIGINT/hex columns — never text (the measured SCALE.md
+    "Incremental signature maintenance" requirement (1))."""
+    words = F.split(F.col("text"), " ")
+    staged = docs.select(
+        "doc_id", F.md5("text").alias("text_hash"), words.alias("_w")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
+    )
+    # NULL (not empty) base array for short docs: array_min/transform
+    # propagate the NULL into every mh_* column
+    bases = F.when(
+        F.size("_w") >= k,
+        F.transform(grams, lambda g: hex_to_long(F.md5(g)) % F.lit(M31)),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("_bases"),
+                lambda b: (F.lit(MINHASH_A[h]) * b + F.lit(MINHASH_B[h]))
+                % F.lit(M31),
+            )
+        ).alias(f"mh_{h}")
+        for h in range(num_hashes)
+    ]
+    return staged.select(
+        "doc_id", "text_hash", bases.alias("_bases")
+    ).select("doc_id", "text_hash", *sig_cols)
+
+
+def diff_from_ledger(old_sigs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """:func:`corpus_diff` built from the STORED content hash — the
+    O(delta) IO form: the old generation side is the signature ledger
+    (``doc_id, text_hash`` projection of :func:`sign_generation` rows),
+    so the only text scanned is the NEW crawl's. Same output schema and
+    classification as :func:`corpus_diff`; provably equal to it because
+    ``text_hash`` is the same ``md5(text)`` corpus_diff would compute.
+    """
+    o = old_sigs.select("doc_id", F.col("text_hash").alias("old_md5"))
+    n = new_docs.select("doc_id", F.md5("text").alias("new_md5"))
+    return _classify_diff(o, n)
+
+
+def delta_sign(
+    old_sigs: DataFrame,
+    new_docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """One-call generation advance for the signature ledger: diff the
+    new crawl against the STORED hashes (:func:`diff_from_ledger` — no
+    old-text scan), carry every unchanged doc's ledger row by doc_id
+    semi-join, re-sign only added/changed docs, and emit the complete
+    NEW generation's ledger (:func:`sign_generation` schema, ready for
+    :func:`write_generation`). Provably equal to
+    ``sign_generation(new_docs)`` — the gate row's oracle signs from
+    scratch.
+
+    This is the crawl-over-crawl loop body at 100 TB: per crawl, text
+    IO = the new crawl once (hash + dirty-slice signing share one
+    scan-stage projection); the carried 99% moves as slim ledger
+    columns. With generations landed via :func:`write_generation`, the
+    storage layer file-prunes the old side to the ledger partition —
+    the layout SCALE.md measured as the condition for the 2× win at 1%
+    dirty share."""
+    diff = diff_from_ledger(old_sigs, new_docs)
+    unchanged = diff.where(F.col("status") == "unchanged").select("doc_id")
+    dirty = diff.where(F.col("status").isin("added", "changed")).select(
+        "doc_id"
+    )
+    fresh = sign_generation(
+        new_docs.join(dirty, "doc_id", "left_semi"), k=k,
+        num_hashes=num_hashes,
+    )
+    carried = old_sigs.join(unchanged, "doc_id", "left_semi")
+    return carried.select(*fresh.columns).unionByName(fresh)
+
+
+def write_generation(sigs: DataFrame, path: str, generation: int) -> str:
+    """Land one generation's ledger under ``path/generation=N`` —
+    production shape (3): a partitioned crawl layout, so reading any
+    one generation is file-level pruning, not a row filter over a
+    monolithic table. Returns the generation directory (feed it to
+    ``spark.read.parquet`` or :func:`read_generation`)."""
+    out = f"{path}/generation={generation}"
+    sigs.write.mode("overwrite").parquet(out)
+    return out
+
+
+def read_generation(
+    spark: SparkSession, path: str, generation: int
+) -> DataFrame:
+    """Read one generation's ledger rows back (no partition-discovery
+    scan over sibling generations — the path IS the prune)."""
+    return spark.read.parquet(f"{path}/generation={generation}")

@@ -1158,7 +1158,7 @@ def ivfpq_topk(
     centroids: list[list[int]],
     codes: DataFrame,
     codebooks: list[list[list[int]]],
-    query_ids: list[int],
+    query_ids: list[int] | None,
     k: int = 10,
     nprobe: int = 2,
     units: int = 1_000_000,
@@ -1167,6 +1167,7 @@ def ivfpq_topk(
     embeddings: DataFrame | None = None,
     residual: bool = False,
     probe_select: str = "auto",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): the realistic 100 TB ANN index —
     coarse-quantize the corpus into IVF cells, PQ-compress every vector,
@@ -1204,10 +1205,25 @@ def ivfpq_topk(
     Catalyst/AQE. ``"auto"`` picks by ``len(query_ids)`` vs
     :data:`DRIVER_PROBE_MAX` (no job — the ids are already a list).
     All-integer either way, so the paths are bit-identical.
+
+    ``queries`` (a relation of ``(id_col, vec_col)`` rows — e.g. the
+    corpus itself for bulk kNN-graph construction) replaces
+    ``query_ids``: the query set never exists as a driver-side list, so
+    it forces the executor path (``probe_select="driver"`` with a
+    relation raises — collecting an unbounded relation to the driver is
+    the exact scale bug the executor path removes).
     """
     m = len(codebooks)
     emb = embeddings if embeddings is not None else assigned
-    if probe_select == "auto":
+    if queries is not None:
+        if probe_select == "driver":
+            raise ValueError(
+                "queries= is a (possibly corpus-sized) relation; the "
+                "driver probe loop would collect it — use "
+                "probe_select='executor' (or 'auto')"
+            )
+        probe_select = "executor"
+    elif probe_select == "auto":
         probe_select = (
             "driver" if len(query_ids) <= DRIVER_PROBE_MAX else "executor"
         )
@@ -1215,7 +1231,12 @@ def ivfpq_topk(
         cent_arr = F.array(
             *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in centroids]
         )
-        qbase = emb.where(F.col(id_col).isin([int(x) for x in query_ids])).select(
+        qsrc = (
+            queries
+            if queries is not None
+            else emb.where(F.col(id_col).isin([int(x) for x in query_ids]))
+        )
+        qbase = qsrc.select(
             F.col(id_col).cast("bigint").alias("query_id"),
             quantized_units(F.col(vec_col), units).alias("_qu"),
             nearest_centroid_ids(F.col(vec_col), centroids, nprobe, units)
@@ -1321,6 +1342,68 @@ def ivfpq_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", id_col, "adc_d2", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def ivfpq_bulk_topk(
+    assigned: DataFrame,
+    centroids: list[list[int]],
+    codes: DataFrame,
+    codebooks: list[list[list[int]]],
+    embeddings: DataFrame,
+    k: int = 10,
+    candidates: int = 30,
+    nprobe: int = 2,
+    units: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = True,
+) -> DataFrame:
+    """Bulk kNN-graph construction over a COMPRESSED index — the shape a
+    100 TB semantic-dedup / clustering job actually runs (vs
+    :func:`ivf_topk`'s bulk form, which scores every within-cell
+    candidate at full precision): stage 1 drives the residual-IVFADC
+    index (:func:`ivfpq_topk`) with the corpus itself as the query
+    RELATION — executor-side probe selection and per-(query, cell) ADC
+    tables as DataFrame expressions, zero query-side collect — and cuts
+    each query's ``candidates`` best by the 2–8-byte ADC distance;
+    stage 2 re-ranks ONLY those ids by exact full-dimension integer L2
+    and emits the top ``k``. Full-precision work per query drops from
+    ~corpus/k_coarse·nprobe vectors to ``candidates`` rows.
+
+    Plan shape: the candidate cut is (n·candidates) rows of pure ids —
+    the re-rank joins are id-keyed equi-joins (no broadcast: both sides
+    scale with the corpus; strategy left to AQE), and the final ranking
+    is one top-k window per query_id. All-integer both stages, so the
+    composed ranking (ADC cut + exact re-rank + id tie-breaks) replays
+    verbatim in the DuckDB oracle (``sim_topk_ivfpq_bulk``).
+    """
+    cand = ivfpq_topk(
+        assigned, centroids, codes, codebooks, None,
+        k=candidates, nprobe=nprobe, units=units, id_col=id_col,
+        vec_col=vec_col, embeddings=embeddings, residual=residual,
+        queries=embeddings,
+    ).select("query_id", id_col)
+    base = embeddings.select(
+        id_col, quantized_units(F.col(vec_col), units).alias("_u")
+    )
+    qp = base.select(
+        F.col(id_col).cast("bigint").alias("query_id"),
+        F.col("_u").alias("_qu"),
+    )
+    rerank = (
+        base.join(cand, id_col)
+        .join(qp, "query_id")
+        .select(
+            "query_id",
+            id_col,
+            _int_d2(F.col("_u"), F.col("_qu")).alias("d2_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2_u", id_col)
+    return (
+        rerank.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= k)
     )
 
 

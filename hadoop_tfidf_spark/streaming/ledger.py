@@ -34,32 +34,96 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def ledger_upsert(sink: str):
+#: Marker file compact_ledger leaves inside the folded base generation
+#: dir. Underscore-prefixed so parquet readers ignore it; its presence
+#: tells a late-replayed upsert of the same batch_id that overwriting
+#: this dir would destroy MERGED state, not just replay one batch.
+_COMPACTED_MARKER = "_COMPACTED"
+
+
+def ledger_upsert(
+    sink: str, keys: list[str] | None = None, compact_every: int | None = None
+):
     """``foreachBatch`` writer: OVERWRITE this batch's own generation dir.
 
     Idempotent under at-least-once replay: a re-delivered batch_id
     rewrites its own directory with the same deterministic content
-    instead of appending duplicates."""
+    instead of appending duplicates.
+
+    Replay-vs-compaction guard (the one interleaving where overwrite
+    idempotence is NOT enough): after :func:`compact_ledger` folds
+    generations ``0..t`` into one base at ``batch_id=t``, a stream
+    restarted from a pre-compaction checkpoint could re-deliver batch
+    ``t`` and overwrite the merged base with that single batch's
+    content — silent loss of every folded row. The writer therefore
+    fails LOUDLY instead of writing when (a) the target dir carries the
+    compaction marker, or (b) a compaction covering this batch_id is
+    mid-flight (a ``_compact_tmp_through=t`` dir with ``t >=
+    batch_id``). Batches NEWER than any compaction are untouched by the
+    swap and write normally — the steady-state path does two
+    ``os.path``/glob probes and nothing else.
+
+    ``compact_every=N`` wires the SCALE.md "compact every Nth commit"
+    policy into the sink itself: after committing batch ``B`` with
+    ``(B + 1) % N == 0``, the writer folds generations ``<= B``
+    (requires ``keys``, the reconstruction key set). foreachBatch runs
+    serially per query, so the single-writer contract holds by
+    construction; the ledger then never exceeds ``N + 1`` generations
+    (``N`` fresh + 1 base), keeping reconstruction cost flat on an
+    always-on stream instead of the measured linear growth."""
+    if compact_every is not None and not keys:
+        raise ValueError("compact_every requires keys= for reconstruction")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{sink}/batch_id={batch_id}")
+        target = f"{sink}/batch_id={batch_id}"
+        if os.path.exists(f"{target}/{_COMPACTED_MARKER}"):
+            raise RuntimeError(
+                f"batch_id={batch_id} at {sink} is a compacted base "
+                "generation; replaying it would overwrite merged state. "
+                "Restart the stream from a checkpoint newer than the "
+                "compaction (or reconstruct and re-seed the ledger)."
+            )
+        tmp = glob.glob(f"{sink}/_compact_tmp_through=*")
+        if tmp and any(
+            int(p.rsplit("=", 1)[1]) >= batch_id for p in tmp
+        ):
+            raise RuntimeError(
+                f"a compaction covering batch_id={batch_id} is in "
+                f"flight at {sink} ({tmp}); concurrent upsert of a "
+                "covered generation violates the single-writer "
+                "contract and could be silently folded away."
+            )
+        batch_df.write.mode("overwrite").parquet(target)
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_ledger(
+                batch_df.sparkSession, sink, list(keys), through=batch_id
+            )
 
     return upsert
 
 
 def _assert_no_partial_compaction(sink: str) -> None:
-    """A leftover ``_compact_tmp_through=*`` dir means a compaction
-    crashed before its swap completed: the folded generations' only
-    complete copy may live in the tmp dir, so serving the remaining
-    ``batch_id=*`` dirs would SILENTLY return partial state. Fail loudly
-    instead; re-running :func:`compact_ledger` finishes or rolls back
-    the swap (leftover ``_trash_batch_id=*`` dirs alone are safe — they
-    only exist after the new base is fully in place)."""
-    tmp = glob.glob(f"{sink}/_compact_tmp_through=*")
-    if tmp:
+    """Refuse to read the genuinely partial mid-swap state: a
+    ``_compact_tmp_through=*`` dir COEXISTING with ``_trash_batch_id=*``
+    dirs means the swap started renaming originals away — some folded
+    generations' only complete copy lives in the tmp dir, so serving
+    the remaining ``batch_id=*`` dirs would SILENTLY return partial
+    state. Fail loudly instead; re-running :func:`compact_ledger`
+    finishes or rolls back the swap.
+
+    A tmp dir WITHOUT trash (compaction still writing its base, or
+    crashed before the first trash-rename) is safe to read through:
+    every original generation dir is still in place, so concurrent
+    serving readers (e.g. a knn-server reconstruct) see complete,
+    consistent state for the whole build phase — only the swap window
+    itself blocks. Trash dirs alone are likewise safe: they only exist
+    after the new base is fully in place."""
+    if glob.glob(f"{sink}/_compact_tmp_through=*") and glob.glob(
+        f"{sink}/_trash_batch_id=*"
+    ):
         raise RuntimeError(
-            f"ledger at {sink} has an unfinished compaction ({tmp[0]}); "
-            "re-run compact_ledger() to finish or roll back the swap "
+            f"ledger at {sink} is mid-compaction-swap (tmp + trash dirs "
+            "coexist); re-run compact_ledger() to finish the swap "
             "before reading"
         )
 
@@ -116,12 +180,29 @@ def compact_ledger(
     loses nothing: before any trash-rename the original dirs are
     intact (rollback = drop tmp); mid-swap the tmp dir holds the
     complete folded base (resume = finish the rename); after the final
-    rename only ignorable trash remains. Reads fail loudly while a tmp
-    dir exists (:func:`_assert_no_partial_compaction`), and re-running
+    rename only ignorable trash remains. Reads fail loudly only during
+    the genuinely partial mid-swap window — tmp + trash coexisting
+    (:func:`_assert_no_partial_compaction`); the build phase, where
+    every original dir is still in place, stays readable. Re-running
     this function first finishes or rolls back any crashed swap
-    (single-writer contract, as with any table-format OPTIMIZE)."""
+    (single-writer contract, as with any table-format OPTIMIZE; a
+    violated contract — two stamped tmp dirs — raises instead of
+    guessing, and the folded base carries a ``_COMPACTED`` marker so a
+    late-replayed upsert of its batch_id fails loudly rather than
+    overwriting merged state)."""
     prior = glob.glob(f"{sink}/_compact_tmp_through=*")
     if prior:
+        if len(prior) > 1:
+            # Two stamped tmp dirs can only mean the single-writer
+            # contract was violated (two compactions raced); picking
+            # one arbitrarily could rename a stale base into place —
+            # make the violation loud instead of silently lossy.
+            raise RuntimeError(
+                f"ledger at {sink} has {len(prior)} compaction tmp dirs "
+                f"({sorted(prior)}); the single-writer contract was "
+                "violated — resolve manually (keep the complete one, "
+                "remove the rest) before re-running compact_ledger()"
+            )
         t = int(prior[0].rsplit("=", 1)[1])
         if glob.glob(f"{sink}/_trash_batch_id=*"):
             # crashed mid-swap: the tmp holds the full folded base. A
@@ -136,6 +217,10 @@ def compact_ledger(
                         f"{sink}/batch_id={g}", f"{sink}/_trash_batch_id={g}"
                     )
             os.rename(prior[0], f"{sink}/batch_id={t}")
+            # re-assert the marker: a crash in the tiny window between
+            # base.write and the marker touch would otherwise recover a
+            # base without its replay guard
+            open(f"{sink}/batch_id={t}/{_COMPACTED_MARKER}", "w").close()
         else:
             # crashed before any dir was trashed: originals are intact —
             # roll the unreferenced tmp back
@@ -150,6 +235,10 @@ def compact_ledger(
     )
     tmp = f"{sink}/_compact_tmp_through={through}"
     base.write.mode("overwrite").parquet(tmp)
+    # Marker travels with the rename into batch_id=<through>: a
+    # late-replayed upsert of this batch_id must not overwrite the
+    # merged base (see ledger_upsert's guard).
+    open(f"{tmp}/{_COMPACTED_MARKER}", "w").close()
     for g in old:
         os.rename(f"{sink}/batch_id={g}", f"{sink}/_trash_batch_id={g}")
     os.rename(tmp, f"{sink}/batch_id={through}")

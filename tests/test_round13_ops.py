@@ -578,9 +578,11 @@ def test_decontaminate_bloom_apply_superset_of_exact_drop(spark, decon_split):
 
 def test_compact_crash_before_swap_rolls_back(spark, ledger_sink):
     """A tmp dir with NO trashed generations = a compaction that died
-    before touching any original dir: reads fail loudly (partial-state
-    guard), and re-running compact_ledger rolls the tmp back and
-    completes fresh — state unchanged."""
+    before touching any original dir (or one still writing its base):
+    every original generation is intact, so concurrent serving reads
+    WORK through the whole build phase — only the swap window itself
+    blocks — and re-running compact_ledger rolls the tmp back and
+    completes fresh, state unchanged."""
     import os
 
     from hadoop_tfidf_spark.streaming.ledger import compact_ledger
@@ -588,8 +590,7 @@ def test_compact_crash_before_swap_rolls_back(spark, ledger_sink):
     sink, up, mk = ledger_sink
     want = _state(spark, sink)
     os.makedirs(f"{sink}/_compact_tmp_through=2")
-    with pytest.raises(RuntimeError, match="unfinished compaction"):
-        _state(spark, sink)
+    assert _state(spark, sink) == want  # no raise: originals all present
     assert compact_ledger(spark, sink, ["k"], through=2) == 3
     assert _state(spark, sink) == want
 
@@ -611,7 +612,7 @@ def test_compact_crash_mid_swap_resumes(spark, ledger_sink):
     assert compact_ledger(spark, sink, ["k"], through=2) == 3
     os.rename(f"{sink}/batch_id=2", f"{sink}/_compact_tmp_through=2")
     os.makedirs(f"{sink}/_trash_batch_id=0")
-    with pytest.raises(RuntimeError, match="unfinished compaction"):
+    with pytest.raises(RuntimeError, match="mid-compaction-swap"):
         _state(spark, sink)
     compact_ledger(spark, sink, ["k"], through=2)
     assert _state(spark, sink) == want
@@ -656,7 +657,7 @@ def test_compact_crash_mid_trash_loop_recovers(spark, ledger_sink):
     # state now: batch_id=2 (base), batch_id=3. Rebuild the crash layout:
     shutil.copytree(f"{sink}/batch_id=2", f"{sink}/_compact_tmp_through=2")
     os.makedirs(f"{sink}/_trash_batch_id=0")
-    with pytest.raises(RuntimeError, match="unfinished compaction"):
+    with pytest.raises(RuntimeError, match="mid-compaction-swap"):
         _state(spark, sink)
     compact_ledger(spark, sink, ["k"], through=2)  # must not raise
     assert _state(spark, sink) == want
