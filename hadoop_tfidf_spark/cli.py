@@ -496,6 +496,13 @@ def main(argv: list[str] | None = None) -> None:
                         .distinct()
                         .count()
                     )
+                    if n == 0:
+                        p.error(
+                            "curate: --bloom-bits-per-key: the benchmark "
+                            "corpus has no 3-gram shingles (every doc "
+                            "shorter than 3 words) — nothing to size "
+                            "against"
+                        )
                     bits, hashes = bloom_geometry(
                         n, bits_per_key=args.bloom_bits_per_key
                     )

@@ -691,6 +691,36 @@ def q_sim_topk_ivf(spark, sf_dir):
     ).select("query_id", "vec_id", "cos_sim", "rn")
 
 
+#: Deterministic training predicate for the sample-trained IVF row: a
+#: pure id-modulus keeps ~2/3 of vectors in the Lloyd statistics — a
+#: content-independent subset both engines derive identically (the same
+#: reason the md5-bucket sampler is the hash-gateable sampling form).
+IVF_TRAIN_MOD = 3
+
+
+def q_sim_topk_ivf_sample(spark, sf_dir):
+    """Round 14 — the SAMPLE-TRAINED IVF build (ivf_build(train=…)): the
+    docstrings have always said "at 100 TB the builds train on a
+    sample, assign the full corpus once"; this row runs that split
+    under the gate. Seed + both Lloyd rounds' statistics cover only the
+    deterministic ~2/3 training subset (vec_id % 3 != 2 — replayable,
+    unlike a random sample), the final assignment and the probe/search
+    cover the FULL corpus, so Lloyd cost scales with the sample while
+    answers stay corpus-complete. The oracle replays the unrolled
+    integer build with the same train restriction (``_ivf_sql
+    (train_where=…)``)."""
+    emb = _emb(spark, sf_dir)
+    assigned, cents = S.ivf_build(
+        emb, k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS,
+        train=emb.where(F.col("vec_id") % IVF_TRAIN_MOD != IVF_TRAIN_MOD - 1),
+    )
+    queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
+    return S.ivf_topk(
+        assigned, cents, queries, k=SIM_K, nprobe=IVF_NPROBE, units=IVF_UNITS,
+        probe_select="driver",
+    ).select("query_id", "vec_id", "cos_sim", "rn")
+
+
 def q_sim_topk_ivf_bulk(spark, sf_dir):
     """Round 13 — the BULK-query IVF path: every corpus vector is a query
     (kNN-graph construction, the shape a semantic-clustering or re-rank
@@ -3462,6 +3492,76 @@ def q_streaming_ledger_compact(spark, sf_dir):
     ).withColumn("n_generations", F.lit(n_gens).cast("bigint"))
 
 
+def q_streaming_ledger_policy(spark, sf_dir):
+    """Round 14 — the compaction POLICY under the gate: the same
+    4-trigger source-stats update stream as
+    ``streaming_source_stats_update``, but the sink itself folds every
+    ``compact_every=2`` commits (``ledger_upsert(keys=…,
+    compact_every=2)``) — no operator remembering to call
+    ``compact_ledger``, the policy SCALE.md names runs inside the
+    foreachBatch callback, which Structured Streaming executes serially
+    per query (single-writer by construction). The fold point is the
+    PREVIOUS batch (``through = B - 1``): folding the triggering batch
+    itself would wedge the stream on the guaranteed at-least-once
+    replay after a crash-before-checkpoint-commit (ledger_upsert's
+    docstring). 4 triggers → the batch-1 fold is a no-op (only
+    generation 0 precedes it), the batch-3 fold lands a base at
+    batch_id=2 → the stream ENDS with exactly TWO generations, pinned
+    by the ``n_generations`` column; the reconstruction still
+    hash-matches the same batch oracle, proving the always-on stream's
+    read path stays flat without losing a row."""
+    import uuid
+
+    from hadoop_tfidf_spark.streaming.ledger import (
+        ledger_upsert,
+        read_ledger,
+        reconstruct_latest,
+    )
+    from hadoop_tfidf_spark.streaming.windows import (
+        staged_source,
+        staging_dir,
+    )
+
+    docs = _tbl(spark, sf_dir, "documents")
+    base = staged_source(
+        ("documents", sf_dir, "full4"),
+        lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
+        prefix="spark_graft_srcstream_",
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    counts = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(words)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    run = staging_dir(prefix=f"spark_graft_srcpol_{uuid.uuid4().hex[:8]}_")
+    sink, ckpt = f"{run}/ledger", f"{run}/ckpt"
+    (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(
+            ledger_upsert(sink, keys=["source", "lang"], compact_every=2)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    ledger = read_ledger(spark, sink)
+    n_gens = ledger.select("batch_id").distinct().count()
+    final = reconstruct_latest(ledger, ["source", "lang"])
+    return final.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.sum("n_docs"), 6).alias("avg_tokens"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    ).withColumn("n_generations", F.lit(n_gens).cast("bigint"))
+
+
 def q_streaming_phash_dedup_update(spark, sf_dir):
     """UPDATE-mode perceptual-dedup ledger — the production variant of
     ``streaming_phash_dedup`` (same rationale as
@@ -3969,20 +4069,24 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_mixture_temperature": q_text_mixture_temperature,
     "text_pii_redact": q_text_pii_redact,
     "text_token_stats": q_text_token_stats,
-    # -- round-14 new queries (newcomers register in-window) --
+    # -- round-14 new queries (newcomers register in-window; the late
+    #    two displaced the dedup_exact_apply / dedup_minhash_lsh fillers
+    #    as they landed) --
     "dedup_delta_ledger": q_dedup_delta_ledger,
     "sim_topk_ivfpq_bulk": q_sim_topk_ivfpq_bulk,
+    "streaming_ledger_policy": q_streaming_ledger_policy,
+    "sim_topk_ivf_sample": q_sim_topk_ivf_sample,
     # -- r11-cohort fill, alphabetical (next-oldest debt) --
     "asof_last_purchase": q_asof_last_purchase,
-    "dedup_exact_apply": q_dedup_exact_apply,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     # ---- past the 50-slot cap from here down ----
     # Ordered by cohort freshness: the r11-cohort remainder, then the
     # r12 cohort, then the round-13 window occupants (greenest rows
     # last); the 2 structurally no-oracle entries close the registry.
     # All hold green rows in their cohort's CORRECTNESS file + the
     # per-round local full drive (tools/check_correctness.py).
-    # -- r11 cohort remainder --
+    # -- r11 cohort remainder (led by the two displaced fillers) --
+    "dedup_exact_apply": q_dedup_exact_apply,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_near_canonical": q_dedup_near_canonical,
     "dedup_simhash": q_dedup_simhash,
     "events_hopping": q_events_hopping,
@@ -4239,7 +4343,9 @@ def _int_d2_sql(a: str, b: str) -> str:
     )
 
 
-def _ivf_sql(query_where: str | None = None) -> str:
+def _ivf_sql(
+    query_where: str | None = None, train_where: str | None = None
+) -> str:
     """Unrolled replay of the integer micro-unit IVF build+search
     (mirrors similarity.ivf_build/ivf_topk with units=IVF_UNITS): seed =
     first k vectors, then per Lloyd round an exact-integer assignment and
@@ -4249,7 +4355,11 @@ def _ivf_sql(query_where: str | None = None) -> str:
     cosine rank over the probed clusters. ``query_where`` swaps the query
     predicate (default: the 5-id gate set) — the bulk variant replays the
     SAME chain over every corpus vector, so one oracle covers both the
-    driver-loop and the executor-expression probe paths."""
+    driver-loop and the executor-expression probe paths. ``train_where``
+    restricts the SEED and every Lloyd round's statistics to a training
+    subset (mirrors ``ivf_build(train=…)``); the final assignment — and
+    everything downstream — still covers the full corpus."""
+    te = "te" if train_where is not None else "e"
     ctes = [
         f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS vec,
@@ -4257,16 +4367,23 @@ def _ivf_sql(query_where: str | None = None) -> str:
                         x -> CAST(round(x * {IVF_UNITS}) AS BIGINT)) AS u
   FROM embeddings
 )""",
-        f"""cent0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u
-  FROM e ORDER BY vec_id LIMIT {IVF_K}
-)""",
     ]
+    if train_where is not None:
+        ctes.append(f"""te AS (
+  SELECT * FROM e WHERE {train_where}
+)""")
+    ctes.append(f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, u
+  FROM {te} ORDER BY vec_id LIMIT {IVF_K}
+)""")
     for it in range(IVF_ITERS + 1):
+        # Lloyd-round assignments (it < final) cover the TRAIN subset;
+        # the final assignment covers the full corpus
+        src = te if it < IVF_ITERS else "e"
         ctes.append(f"""assign{it} AS (
   SELECT vec_id, cluster FROM (
     SELECT e.vec_id, c.cluster, {_int_d2_sql("e.u", "c.u")} AS d2
-    FROM e CROSS JOIN cent{it} c
+    FROM {src} e CROSS JOIN cent{it} c
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
 )""")
         if it < IVF_ITERS:
@@ -4275,7 +4392,7 @@ def _ivf_sql(query_where: str | None = None) -> str:
     SELECT cluster, d, CAST(round(sum(x) / count(*)) AS BIGINT) AS m
     FROM (
       SELECT a.cluster, generate_subscripts(e.u, 1) AS d, unnest(e.u) AS x
-      FROM e JOIN assign{it} a ON a.vec_id = e.vec_id
+      FROM {src} e JOIN assign{it} a ON a.vec_id = e.vec_id
     ) GROUP BY cluster, d
   ) GROUP BY cluster
 )""")
@@ -6620,6 +6737,12 @@ FROM events GROUP BY user_id
     + "SELECT query_id, doc_id, score FROM search_rel",
     "sim_topk_ivf": _ivf_sql(),
     "sim_topk_ivf_bulk": _ivf_sql(query_where="TRUE"),
+    # sample-trained build: seed + Lloyd stats restricted to the
+    # deterministic ~2/3 subset, final assignment + search over the
+    # full corpus (mirrors ivf_build(train=...))
+    "sim_topk_ivf_sample": _ivf_sql(
+        train_where=f"vec_id % {IVF_TRAIN_MOD} <> {IVF_TRAIN_MOD - 1}"
+    ),
     "sim_topk_pq": _pq_sql(),
     "sim_topk_ivfpq": _ivfpq_sql(),
     "sim_topk_ivfpq_res": _ivfpq_sql(residual=True),
@@ -8149,6 +8272,17 @@ FROM g GROUP BY source
 # count: 4 triggers, generations 0..2 folded into one base, 1 newer
 # generation still shadowing it.
 EXTENSION_ORACLE_SQL["streaming_ledger_compact"] = EXTENSION_ORACLE_SQL[
+    "streaming_source_stats_update"
+].replace(
+    "CAST(count(*) AS BIGINT) AS n_langs",
+    "CAST(count(*) AS BIGINT) AS n_langs,\n       CAST(2 AS BIGINT) AS n_generations",
+)
+
+# The compact_every=2 POLICY sink: 4 triggers; the batch-1 fold (<= 0)
+# is a no-op, the batch-3 fold (<= 2) lands a base at batch_id=2 — the
+# stream ends with exactly TWO generations and the same roll-up values
+# (the fold loses nothing).
+EXTENSION_ORACLE_SQL["streaming_ledger_policy"] = EXTENSION_ORACLE_SQL[
     "streaming_source_stats_update"
 ].replace(
     "CAST(count(*) AS BIGINT) AS n_langs",

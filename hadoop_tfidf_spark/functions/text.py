@@ -733,12 +733,24 @@ def bloom_geometry(
     capped at the universal-hash family size. At the default 10
     bits/key that's h=7 and ~0.8% FP; a 10⁸-shingle benchmark suite
     sizes to ~125 MB — still a broadcast-able plan literal, vs the
-    exact semi-join's unbroadcastable multi-GB string set."""
-    from hadoop_tfidf_spark.operators.dedup import MINHASH_A
+    exact semi-join's unbroadcastable multi-GB string set.
+
+    Hard ceiling: positions are ``(a·x + b) mod M31 mod bits``, so bits
+    beyond M31 (2³¹−1, a ~256 MB filter) can never be set — requesting
+    more raises rather than silently allocating dead lanes and
+    degrading the FP rate below the advertised sizing (past that point,
+    shard the benchmark into multiple filters)."""
+    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A
 
     if n_keys <= 0:
         raise ValueError("n_keys must be positive")
     bits = max(_BLOOM_LANE, -(-n_keys * bits_per_key // _BLOOM_LANE) * _BLOOM_LANE)
+    if bits > M31 - (M31 % _BLOOM_LANE):
+        raise ValueError(
+            f"bits={bits} exceeds the hash range (positions are mod M31 "
+            f"= {M31}; lanes past it would be structurally dead) — "
+            "shard the key set into multiple filters instead"
+        )
     if hashes is None:
         hashes = min(max(1, round(0.6931 * bits_per_key)), len(MINHASH_A))
     return bits, hashes
@@ -793,10 +805,15 @@ def bloom_bitmap(
 
 
 def _check_geometry(bits: int, hashes: int) -> None:
-    from hadoop_tfidf_spark.operators.dedup import MINHASH_A
+    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A
 
     if bits < _BLOOM_LANE or bits % _BLOOM_LANE:
         raise ValueError(f"bits must be a positive multiple of {_BLOOM_LANE}")
+    if bits > M31:
+        raise ValueError(
+            f"bits={bits} exceeds the hash range (mod {M31}) — positions "
+            "past it can never be set; shard into multiple filters"
+        )
     if not 1 <= hashes <= len(MINHASH_A):
         raise ValueError(
             f"hashes must be in 1..{len(MINHASH_A)} (the universal-hash "

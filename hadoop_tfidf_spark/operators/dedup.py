@@ -158,12 +158,29 @@ def minhash_signatures_from_docs(
     """
     words = F.split(F.col("text"), " ")
     staged = docs.where(F.size(words) >= k).select("doc_id", words.alias("_w"))
+    return staged.select(
+        "doc_id", _rowlocal_bases(k).alias("_bases")
+    ).select("doc_id", *_rowlocal_sig_cols(num_hashes))
+
+
+def _rowlocal_bases(k: int):
+    """Shingle base hashes from a staged ``_w`` word array — THE single
+    definition of the row-local gram→md5-base chain
+    (:func:`minhash_signatures_from_docs` and :func:`sign_generation`
+    both route through here, so the hash formula cannot drift between
+    the LSH path and the stored ledger)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
         lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
     )
-    bases = F.transform(grams, lambda g: hex_to_long(F.md5(g)) % F.lit(M31))
-    sig_cols = [
+    return F.transform(grams, lambda g: hex_to_long(F.md5(g)) % F.lit(M31))
+
+
+def _rowlocal_sig_cols(num_hashes: int) -> list:
+    """Per-seed ``array_min`` signature columns from a staged ``_bases``
+    array (NULL bases ⇒ NULL signatures — the sub-k-doc rule callers
+    choose by how they stage ``_bases``)."""
+    return [
         F.array_min(
             F.transform(
                 F.col("_bases"),
@@ -172,10 +189,6 @@ def minhash_signatures_from_docs(
         ).alias(f"mh_{h}")
         for h in range(num_hashes)
     ]
-    return (
-        staged.select("doc_id", bases.alias("_bases"))
-        .select("doc_id", *sig_cols)
-    )
 
 
 def lsh_bands(
@@ -886,10 +899,14 @@ def delta_signatures(
         num_hashes=num_hashes,
     )
     # Schema contract: the output is exactly fresh's (doc_id, mh_*)
-    # columns. A stored ledger legitimately carries EXTRA columns (the
-    # production recipe above stores text_hash alongside the
-    # signatures) — project them off rather than letting unionByName
-    # throw on the wider side.
+    # columns — and exactly its ROW MEMBERSHIP: a sign_generation-style
+    # ledger carries NULL-signature rows for sub-k-word docs, which the
+    # from-scratch shingle path never emits, so carried rows filter to
+    # real signatures (min over a non-empty shingle set is never NULL —
+    # the filter is a no-op for minhash_signatures-built ledgers).
+    # Extra stored columns (the production recipe above stores
+    # text_hash) project off rather than breaking unionByName.
+    carried = carried.where(F.col("mh_0").isNotNull())
     return carried.select(*fresh.columns).unionByName(fresh)
 
 
@@ -923,29 +940,15 @@ def sign_generation(
     staged = docs.select(
         "doc_id", F.md5("text").alias("text_hash"), words.alias("_w")
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
-        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
-    )
     # NULL (not empty) base array for short docs: array_min/transform
-    # propagate the NULL into every mh_* column
-    bases = F.when(
-        F.size("_w") >= k,
-        F.transform(grams, lambda g: hex_to_long(F.md5(g)) % F.lit(M31)),
-    )
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("_bases"),
-                lambda b: (F.lit(MINHASH_A[h]) * b + F.lit(MINHASH_B[h]))
-                % F.lit(M31),
-            )
-        ).alias(f"mh_{h}")
-        for h in range(num_hashes)
-    ]
+    # propagate the NULL into every mh_* column. Shares the gram/base/
+    # signature expressions with minhash_signatures_from_docs
+    # (_rowlocal_bases/_rowlocal_sig_cols) — one definition of the hash
+    # chain across the LSH path and the stored ledger.
+    bases = F.when(F.size("_w") >= k, _rowlocal_bases(k))
     return staged.select(
         "doc_id", "text_hash", bases.alias("_bases")
-    ).select("doc_id", "text_hash", *sig_cols)
+    ).select("doc_id", "text_hash", *_rowlocal_sig_cols(num_hashes))
 
 
 def diff_from_ledger(old_sigs: DataFrame, new_docs: DataFrame) -> DataFrame:

@@ -177,6 +177,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     units: int | None = None,
+    train: DataFrame | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids (``iters`` Lloyd rounds) and
     the corpus with a ``cluster`` assignment column.
@@ -185,8 +186,13 @@ def ivf_build(
     is one DataFrame aggregation (posexplode dims → per-(cluster, dim)
     mean) plus a driver-side collect of the k×dim centroid matrix — the
     centroids are tiny, so the collect is the legitimate kind; the corpus
-    itself never leaves executors. At 100 TB: train on a sample
-    (``.sample()`` upstream), assign the full corpus once.
+    itself never leaves executors. At 100 TB: train on a sample — pass
+    ``train=`` (any subset relation; a deterministic id-predicate keeps
+    the build oracle-replayable) and the seed + every Lloyd round's
+    statistics run over it alone, while the FINAL assignment still
+    covers the full ``embeddings`` once. Lloyd cost then scales with
+    the sample, not the corpus — the train/assign split every
+    production ANN build uses.
 
     ``units`` (e.g. ``1_000_000``) switches to INTEGER micro-unit Lloyd:
     inputs quantize once via :func:`quantized_units`, distances are exact
@@ -199,18 +205,24 @@ def ivf_build(
     """
     if units is not None:
         emb = embeddings.withColumn("_u", quantized_units(F.col(vec_col), units))
+        tremb = (
+            emb
+            if train is None
+            else train.withColumn("_u", quantized_units(F.col(vec_col), units))
+        )
         work_col = "_u"
         cents = [
             [int(x) for x in r["_u"]]
-            for r in emb.orderBy(id_col).select("_u").limit(k).collect()
+            for r in tremb.orderBy(id_col).select("_u").limit(k).collect()
         ]
         zero, lit_of = F.lit(0).cast("bigint"), lambda x: F.lit(int(x)).cast("bigint")
     else:
         emb = embeddings
+        tremb = emb if train is None else train
         work_col = vec_col
         cents = [
             [float(x) for x in r[vec_col]]
-            for r in emb.orderBy(id_col).select(vec_col).limit(k).collect()
+            for r in tremb.orderBy(id_col).select(vec_col).limit(k).collect()
         ]
         zero, lit_of = F.lit(0.0), lambda x: F.lit(float(x))
     if not cents:
@@ -240,9 +252,12 @@ def ivf_build(
             "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1
         )
 
-    assigned = assign(emb, cents)
+    # Lloyd statistics over the TRAIN relation only; the final
+    # assignment (below) covers the full corpus. With train=None the
+    # two relations coincide and the job sequence is unchanged.
+    assigned_train = assign(tremb, cents)
     for _ in range(iters):
-        per_dim = assigned.select(
+        per_dim = assigned_train.select(
             "cluster",
             F.posexplode(
                 F.col("_u") if units is not None else _as_double(F.col(vec_col))
@@ -260,7 +275,8 @@ def ivf_build(
         for r in means:
             by_cluster.setdefault(r.cluster, [0] * dim_count)[r.d] = r.m
         cents = [by_cluster.get(c, cents[c]) for c in range(len(cents))]
-        assigned = assign(emb, cents)
+        assigned_train = assign(tremb, cents)
+    assigned = assign(emb, cents)
     return assigned.drop("_u") if units is not None else assigned, cents
 
 
@@ -1215,6 +1231,8 @@ def ivfpq_topk(
     """
     m = len(codebooks)
     emb = embeddings if embeddings is not None else assigned
+    if queries is None and query_ids is None:
+        raise ValueError("pass query_ids (an id list) or queries= (a relation)")
     if queries is not None:
         if probe_select == "driver":
             raise ValueError(

@@ -65,12 +65,20 @@ def ledger_upsert(
 
     ``compact_every=N`` wires the SCALE.md "compact every Nth commit"
     policy into the sink itself: after committing batch ``B`` with
-    ``(B + 1) % N == 0``, the writer folds generations ``<= B``
+    ``(B + 1) % N == 0``, the writer folds generations ``<= B - 1``
     (requires ``keys``, the reconstruction key set). foreachBatch runs
     serially per query, so the single-writer contract holds by
-    construction; the ledger then never exceeds ``N + 1`` generations
-    (``N`` fresh + 1 base), keeping reconstruction cost flat on an
-    always-on stream instead of the measured linear growth."""
+    construction; the ledger then never exceeds ``N + 1`` generations,
+    keeping reconstruction cost flat on an always-on stream instead of
+    the measured linear growth. The fold point is ``B - 1``, NOT ``B``:
+    foreachBatch is at-least-once, and a crash between the inline
+    compaction and batch ``B``'s checkpoint commit guarantees ``B`` is
+    re-delivered on restart — if ``B`` itself were the folded base, the
+    replay would hit its ``_COMPACTED`` marker and wedge the stream
+    permanently (no newer checkpoint exists to restart from). Folding
+    only strictly-older generations keeps the replay a plain idempotent
+    overwrite of ``B``'s own dir, and the replayed trigger re-runs the
+    fold as a no-op."""
     if compact_every is not None and not keys:
         raise ValueError("compact_every requires keys= for reconstruction")
 
@@ -96,7 +104,8 @@ def ledger_upsert(
         batch_df.write.mode("overwrite").parquet(target)
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
             compact_ledger(
-                batch_df.sparkSession, sink, list(keys), through=batch_id
+                batch_df.sparkSession, sink, list(keys),
+                through=batch_id - 1,
             )
 
     return upsert

@@ -46,15 +46,22 @@ def test_compact_every_bounds_generation_count(spark, tmp_path):
     plain = str(tmp_path / "plain")
     up = ledger_upsert(sink, keys=["k"], compact_every=3)
     up_plain = ledger_upsert(plain)
-    for b in range(8):  # commits 0..7: compactions after batches 2 and 5
-        df = _mk(spark, [(f"k{b % 4}", b), ("hot", b * 10)])
-        up(df, b)
-        up_plain(df, b)
+    mkdf = lambda b: _mk(spark, [(f"k{b % 4}", b), ("hot", b * 10)])
+    for b in range(8):  # commits 0..7: folds (<= B-1) after batches 2, 5
+        up(mkdf(b), b)
+        up_plain(mkdf(b), b)
         assert _state(spark, sink) == _state(spark, plain)
-        assert len(ledger_generations(sink)) <= 4  # N fresh + 1 base
-    # after batch 5's fold: base at 5, then 6 and 7 on top
-    assert ledger_generations(sink) == [5, 6, 7]
+        assert len(ledger_generations(sink)) <= 4  # N + 1
+    # batch 5's fold covers <= 4 (NOT 5 itself): base at 4, then 5..7
+    assert ledger_generations(sink) == [4, 5, 6, 7]
     assert len(ledger_generations(plain)) == 8
+    # THE replay-wedge regression (the reason the fold point is B-1):
+    # a crash between batch 5's inline fold and its checkpoint commit
+    # re-delivers batch 5 — the replay must overwrite its own dir and
+    # re-run the fold as a no-op, never hit a _COMPACTED marker
+    up(mkdf(5), 5)
+    assert ledger_generations(sink) == [4, 5, 6, 7]
+    assert _state(spark, sink) == _state(spark, plain)
 
 
 def test_compact_every_requires_keys(tmp_path):
@@ -461,3 +468,92 @@ def test_ivfpq_bulk_census_zero_query_side_collect(spark):
             assigned, cents, codes, books, None, queries=emb,
             probe_select="driver",
         )
+
+
+# ------------------------------------------------ sample-trained IVF
+
+
+def test_ivf_build_train_subset(spark):
+    """ivf_build(train=…): train=full is bit-identical to the default;
+    a strict subset changes the centroids (non-vacuous) while the FINAL
+    assignment still covers every corpus vector."""
+    from hadoop_tfidf_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet")
+    a_full, c_full = S.ivf_build(emb, k=8, iters=1, units=1_000_000)
+    a_same, c_same = S.ivf_build(emb, k=8, iters=1, units=1_000_000,
+                                 train=emb)
+    assert c_full == c_same
+    assert sorted(map(tuple, a_full.collect())) == sorted(
+        map(tuple, a_same.collect())
+    )
+    sub = emb.where(F.col("vec_id") % 3 != 2)
+    a_sub, c_sub = S.ivf_build(emb, k=8, iters=1, units=1_000_000,
+                               train=sub)
+    assert c_sub != c_full  # the sample actually drove the statistics
+    assert a_sub.count() == emb.count()  # assignment is corpus-complete
+    # every vector's cell is the argmin over the sample-trained matrix
+    got = (
+        a_sub.select(
+            "vec_id",
+            F.element_at(
+                S.nearest_centroid_ids(
+                    F.col("embedding"), c_sub, 1, 1_000_000
+                ),
+                1,
+            ).alias("cell"),
+            "cluster",
+        )
+        .where(F.col("cell") != F.col("cluster"))
+        .count()
+    )
+    assert got == 0
+
+
+# --------------------------------- review-pass regressions (round 14b)
+
+
+def test_bloom_geometry_rejects_dead_lanes():
+    """Positions are mod M31, so bits beyond it can never be set — the
+    sizing helper and the probe both refuse instead of silently
+    allocating dead lanes with a degraded FP rate."""
+    from hadoop_tfidf_spark.functions.text import bloom_geometry
+    from hadoop_tfidf_spark.operators.dedup import M31
+
+    # 3·10⁹ requested bits > M31: refuse with the sharding pointer
+    with pytest.raises(ValueError, match="shard"):
+        bloom_geometry(300_000_000, bits_per_key=10)
+    # the largest legal geometry still sizes
+    bits, _ = bloom_geometry(100_000_000, bits_per_key=10)
+    assert bits <= M31
+
+
+def test_delta_signatures_membership_matches_from_scratch(spark):
+    """A sign_generation-style stored ledger carries NULL-signature rows
+    for sub-k-word docs; delta_signatures must NOT leak them into its
+    output (the from-scratch contract has no such rows)."""
+    from hadoop_tfidf_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "hi"), (3, "one two three")],
+        "doc_id BIGINT, text STRING",
+    )
+    stored = D.sign_generation(docs)  # doc 2 carries NULL signatures
+    assert stored.where(F.col("mh_0").isNull()).count() == 1
+    out = D.delta_signatures(stored, D.corpus_diff(docs, docs), docs)
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(tuple, D.minhash_signatures(D.shingles(docs)).collect())
+    )
+    assert got == want  # no phantom NULL row for unchanged doc 2
+
+
+def test_ivfpq_topk_requires_some_query_input(spark):
+    from hadoop_tfidf_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR_SMOKE}/embeddings.parquet")
+    assigned, cents = S.ivf_build(emb, k=8, iters=1, units=1_000_000)
+    codes, books = S.pq_build(emb, m=4, k=8, iters=1, units=1_000_000,
+                              pack=True)
+    with pytest.raises(ValueError, match="query_ids.*or queries"):
+        S.ivfpq_topk(assigned, cents, codes, books, None)
