@@ -9,13 +9,24 @@ from pyspark.storagelevel import StorageLevel
 from tests.conftest import SF_DIR_SMOKE
 
 
-def _cached_levels(spark):
-    """(useDisk, useMemory) per currently-cached RDD."""
+def _cached_levels(spark, ignore_ids=frozenset()):
+    """(useDisk, useMemory) per currently-cached RDD. ``ignore_ids``
+    excludes RDDs cached BEFORE the operation under test:
+    getRDDStorageInfo is JVM-global, and clearCache() only drops
+    CacheManager-registered relations — a raw RDD persist leaked by an
+    earlier test in a long full-suite run would otherwise flake the
+    all-disk-only assertion (observed round 14)."""
     sc = spark.sparkContext
     return [
         (i.storageLevel().useDisk(), i.storageLevel().useMemory())
         for i in sc._jsc.sc().getRDDStorageInfo()
+        if i.id() not in ignore_ids
     ]
+
+
+def _cached_ids(spark):
+    sc = spark.sparkContext
+    return frozenset(i.id() for i in sc._jsc.sc().getRDDStorageInfo())
 
 
 def test_tfidf_storage_level_disk_only(spark):
@@ -23,6 +34,7 @@ def test_tfidf_storage_level_disk_only(spark):
     from hadoop_tfidf_spark.tfidf import tfidf
 
     spark.catalog.clearCache()
+    pre = _cached_ids(spark)
     docs = load_docs(spark, f"{SF_DIR_SMOKE}/documents.parquet")
     out = tfidf(
         docs,
@@ -31,7 +43,7 @@ def test_tfidf_storage_level_disk_only(spark):
     )
     n = out.count()
     assert n > 0
-    levels = _cached_levels(spark)
+    levels = _cached_levels(spark, pre)
     assert levels, "persist_intermediate must materialize a cached relation"
     assert all(use_disk and not use_mem for use_disk, use_mem in levels)
     spark.catalog.clearCache()
@@ -151,11 +163,12 @@ def test_curate_storage_level_disk_only(spark):
     from hadoop_tfidf_spark.pipeline import curate_corpus
 
     spark.catalog.clearCache()
+    pre = _cached_ids(spark)
     docs = load_docs(spark, f"{SF_DIR_SMOKE}/documents.parquet")
     out = curate_corpus(
         docs, persist_intermediate=True, storage_level=StorageLevel.DISK_ONLY
     )
     assert out.count() > 0
-    levels = _cached_levels(spark)
+    levels = _cached_levels(spark, pre)
     assert levels and all(d and not m for d, m in levels)
     spark.catalog.clearCache()

@@ -20,8 +20,11 @@ the live delta, fold everything older). The scaling exponent
 ``alpha = log(T_G2/T_G1) / log(G2/G1)`` prices the no-compaction path;
 ``t_compacted`` is what the policy buys back.
 
-Usage: python tools/ledger_scale_check.py [gens...] [--keys N]
-Defaults: gens 10 100 1000, 2000 keys, 10% delta. Prints ONE JSON line;
+Usage: python tools/ledger_scale_check.py [gens...] [--keys N] [--policy N]
+Defaults: gens 10 100 1000, 2000 keys, 10% delta. ``--policy N`` builds
+each ledger through ``ledger_upsert(compact_every=N)`` instead — the
+shipped round-14 steady-state path — and reports the (flat) read cost
+an always-on stream actually pays. Prints ONE JSON line;
 SCALE.md records the adjudicated results. Run EXCLUSIVELY (no concurrent
 Spark timing jobs).
 """
@@ -38,17 +41,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_ledger(spark, sink: str, gens: int, n_keys: int, delta_frac: float):
+def build_ledger(
+    spark,
+    sink: str,
+    gens: int,
+    n_keys: int,
+    delta_frac: float,
+    compact_every: int | None = None,
+):
     """Deterministic synthetic ledger: generation g upserts the keys with
     ``hash-ish(k, g) < delta_frac`` (plus key g mod n_keys, so no
     generation is empty). One parquet write per generation — the same
     physical layout ``ledger_upsert`` produces, without paying a
-    streaming query per generation."""
+    streaming query per generation. ``compact_every`` routes through the
+    sink's own fold policy — the round-14 steady-state path."""
     from pyspark.sql import functions as F
 
     from hadoop_tfidf_spark.streaming.ledger import ledger_upsert
 
-    up = ledger_upsert(sink)
+    up = ledger_upsert(
+        sink,
+        keys=["k"] if compact_every else None,
+        compact_every=compact_every,
+    )
     keys = spark.range(n_keys).withColumnRenamed("id", "k")
     cut = int(delta_frac * 1_000_000)
     for g in range(gens):
@@ -81,17 +96,23 @@ def time_reconstruct(spark, sink: str, trials: int) -> tuple[float, int]:
 
 
 def main() -> None:
-    n_keys, delta_frac, trials = 2000, 0.1, 2
+    n_keys, delta_frac, trials, policy = 2000, 0.1, 2, None
+    usage = "usage: ledger_scale_check.py [gens...] [--keys N] [--policy N]"
     args = sys.argv[1:]
-    if "--keys" in args:
-        i = args.index("--keys")
-        try:
-            n_keys = int(args[i + 1])
-        except (IndexError, ValueError):
-            sys.exit("usage: ledger_scale_check.py [gens...] [--keys N]")
-        del args[i : i + 2]
+    for flag in ("--keys", "--policy"):
+        if flag in args:
+            i = args.index(flag)
+            try:
+                v = int(args[i + 1])
+            except (IndexError, ValueError):
+                sys.exit(usage)
+            if flag == "--keys":
+                n_keys = v
+            else:
+                policy = v
+            del args[i : i + 2]
     if not all(a.isdigit() for a in args):
-        sys.exit("usage: ledger_scale_check.py [gens...] [--keys N]")
+        sys.exit(usage)
     gens_list = [int(a) for a in args] or [10, 100, 1000]
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 
@@ -112,6 +133,24 @@ def main() -> None:
     for gens in gens_list:
         sink = f"/tmp/spark_graft_ledger_{gens}"
         shutil.rmtree(sink, ignore_errors=True)
+        if policy is not None:
+            # the shipped steady-state path: the SINK folds itself every
+            # `policy` commits — measure what an always-on stream's read
+            # actually costs after `gens` commits (should be flat in
+            # gens, bounded by policy+1 generations)
+            t0 = time.time()
+            build_ledger(
+                spark, sink, gens, n_keys, delta_frac, compact_every=policy
+            )
+            t_build = round(time.time() - t0, 3)
+            t_rec, rows = time_reconstruct(spark, sink, trials)
+            results[str(gens)] = {
+                "t_build_with_policy": t_build,
+                "t_reconstruct": t_rec,
+                "ledger_rows": rows,
+                "generations_on_disk": len(ledger_generations(sink)),
+            }
+            continue
         build_ledger(spark, sink, gens, n_keys, delta_frac)
         t_full, rows_full = time_reconstruct(spark, sink, trials)
         folded = compact_ledger(spark, sink, ["k"], through=gens - 2)
@@ -137,11 +176,12 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "ledger_scale_check",
+                "policy": policy,
                 "n_keys": n_keys,
                 "delta_frac": delta_frac,
                 "trials": trials,
                 "per_gens": results,
-                "alpha_uncompacted": alphas,
+                ("alpha_with_policy" if policy else "alpha_uncompacted"): alphas,
             }
         )
     )
