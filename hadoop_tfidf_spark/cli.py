@@ -36,6 +36,8 @@ Usage::
     python -m hadoop_tfidf_spark.cli knn           IN OUT --query-ids 0,1
                   [--knn-index brute|bq|sq|ivfsq] [--k K]
                   [--candidates C] [--nprobe P] [--units U]
+    python -m hadoop_tfidf_spark.cli sign          IN OUT [--ledger DIR]
+                  [--generation N] [--from-generation N]
     python -m hadoop_tfidf_spark.cli explain       QUERY SF_DIR
     python -m hadoop_tfidf_spark.cli frontier      SF_DIR OUT
 
@@ -82,6 +84,14 @@ stage-1 cut + exact re-rank writing the family shape ``(query_id,
 vec_id, d2_u, rn)``. One-shot build+search; production splits them via
 the ``bq_build``/``ivfsq_build`` API.
 
+``sign`` maintains the O(delta) MinHash signature ledger
+(``operators/dedup``): a fresh run signs every doc of IN (content hash +
+zero-shuffle signature columns) into ``OUT/generation=0``; with
+``--ledger`` it advances an existing ledger crawl-over-crawl — docs are
+diffed against the STORED content hashes, unchanged rows carried by id,
+only the added/changed slice re-shingled; the previous generation's
+text is never read. Prints a one-line JSON crawl-delta census.
+
 ``IN`` is a text directory (file-per-document, the reference's input
 shape) or a parquet path with (doc_id, text) columns.
 """
@@ -122,7 +132,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
         "curate", "select", "bpe-train", "project", "compact", "knn",
-        "explain", "frontier",
+        "sign", "explain", "frontier",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -152,6 +162,18 @@ def main(argv: list[str] | None = None) -> None:
                         "broadcast-Bloom filter (one-sided error: drops "
                         "a superset; use when the benchmark shingle set "
                         "is too large to broadcast as strings)")
+    p.add_argument("--ledger", default=None, metavar="DIR",
+                   help="sign: existing signature-ledger root (written by "
+                        "an earlier sign run); advances it by the O(delta) "
+                        "path — only added/changed docs are re-shingled, "
+                        "the old generation's text is never read")
+    p.add_argument("--generation", type=int, default=None, metavar="N",
+                   help="sign: generation number to write under "
+                        "OUT/generation=N (default: 0 for a fresh ledger, "
+                        "previous+1 when advancing via --ledger)")
+    p.add_argument("--from-generation", type=int, default=None, metavar="N",
+                   help="sign: which generation of --ledger to advance "
+                        "from (default: its highest)")
     p.add_argument("--bloom-bits-per-key", default=None, type=int,
                    metavar="B",
                    help="curate: size the Bloom filter from the benchmark "
@@ -246,6 +268,14 @@ def main(argv: list[str] | None = None) -> None:
         p.error("curate: --decontaminate-bloom needs --decontaminate BENCH")
     if args.bloom_bits_per_key is not None and not args.decontaminate_bloom:
         p.error("curate: --bloom-bits-per-key needs --decontaminate-bloom")
+    if args.tool != "sign" and (
+        args.ledger is not None
+        or args.generation is not None
+        or args.from_generation is not None
+    ):
+        p.error("--ledger/--generation/--from-generation are sign-only")
+    if args.from_generation is not None and args.ledger is None:
+        p.error("sign: --from-generation needs --ledger")
 
     from hadoop_tfidf_spark.corpus import tokenize
     from hadoop_tfidf_spark.search import query_term_bag, rank, search, tfidf_rank
@@ -342,6 +372,66 @@ def main(argv: list[str] | None = None) -> None:
         stats = compact_parquet(
             spark, args.input, args.output, target_file_mb=args.target_file_mb
         )
+        print(json.dumps(stats))
+        spark.stop()
+        return
+
+    if args.tool == "sign":
+        # signature-ledger maintenance (operators/dedup): IN is the new
+        # crawl's corpus; OUT the ledger root. Fresh ledger: sign every
+        # doc (content hash + row-local MinHash columns). With --ledger:
+        # the O(delta) crawl-over-crawl advance — diff against the
+        # STORED content hashes, carry unchanged rows, re-sign only the
+        # dirty slice; the old generation's text is never read. Prints
+        # a one-line JSON census (generation written, row/status
+        # counts) so operators can log the crawl delta.
+        import glob as _glob
+        import json
+        import os as _os
+
+        from hadoop_tfidf_spark.operators.dedup import (
+            delta_sign,
+            diff_from_ledger,
+            read_generation,
+            sign_generation,
+            write_generation,
+        )
+
+        docs = _load(spark, args.input)
+        if args.ledger is None:
+            gen = args.generation if args.generation is not None else 0
+            out = write_generation(sign_generation(docs), args.output, gen)
+            stats = {"generation": gen, "path": out,
+                     "rows": spark.read.parquet(out).count(), "mode": "full"}
+        else:
+            gens = sorted(
+                int(_os.path.basename(d).split("=", 1)[1])
+                for d in _glob.glob(f"{args.ledger}/generation=*")
+            )
+            if not gens:
+                p.error(f"sign: no generation=* dirs under {args.ledger}")
+            src = (
+                args.from_generation
+                if args.from_generation is not None
+                else gens[-1]
+            )
+            if src not in gens:
+                p.error(f"sign: --from-generation {src} not in {gens}")
+            gen = args.generation if args.generation is not None else src + 1
+            old_sigs = read_generation(spark, args.ledger, src)
+            counts = {
+                r["status"]: r["n"]
+                for r in diff_from_ledger(old_sigs, docs)
+                .groupBy("status").agg(F.count("*").alias("n")).collect()
+            }
+            out = write_generation(
+                delta_sign(old_sigs, docs), args.output, gen
+            )
+            stats = {"generation": gen, "path": out,
+                     "rows": spark.read.parquet(out).count(),
+                     "mode": "delta", "from_generation": src,
+                     "diff": {k: counts.get(k, 0) for k in
+                              ("added", "changed", "unchanged", "removed")}}
         print(json.dumps(stats))
         spark.stop()
         return

@@ -630,3 +630,80 @@ def test_decontaminate_bloom_flag_requires_bench(tmp_path):
     )
     assert res.returncode != 0
     assert "--decontaminate-bloom needs --decontaminate" in res.stderr
+
+
+def _run_json(tool, inp, out, *extra):
+    """_run + parse the one-line JSON census the maintenance verbs print."""
+    import json
+    import os
+
+    cmd = [
+        sys.executable, "-m", "hadoop_tfidf_spark.cli", tool, inp, out,
+        *extra,
+    ]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_sign_fresh_then_delta_advance(tmp_path):
+    """The O(delta) ledger from the CLI: a fresh sign lands
+    generation=0; a later crawl advances it via --ledger — the census
+    reports the crawl delta, and the new generation carries exactly the
+    surviving docs with their new content hashes."""
+    gen0 = tmp_path / "crawl0"
+    gen0.mkdir()
+    (gen0 / "a.txt").write_text("spark data data lake house\n")
+    (gen0 / "b.txt").write_text("data lake lives on parquet\n")
+    gen1 = tmp_path / "crawl1"
+    gen1.mkdir()
+    (gen1 / "a.txt").write_text("spark data data lake house v2\n")
+    (gen1 / "c.txt").write_text("a brand new page with words\n")
+    ledger = str(tmp_path / "sigs")
+
+    fresh = _run_json("sign", str(gen0), ledger)
+    assert fresh == {
+        "generation": 0, "path": f"{ledger}/generation=0",
+        "rows": 2, "mode": "full",
+    }
+    delta = _run_json("sign", str(gen1), ledger, "--ledger", ledger)
+    assert delta["generation"] == 1 and delta["from_generation"] == 0
+    assert delta["rows"] == 2 and delta["mode"] == "delta"
+    assert delta["diff"] == {
+        "added": 1, "changed": 1, "unchanged": 0, "removed": 1,
+    }
+    rows = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT doc_id, text_hash FROM '{ledger}/generation=1/*.parquet'"
+        ).fetchall()
+    }
+    want_a = duckdb.sql(
+        "SELECT md5('spark data data lake house v2')"
+    ).fetchone()[0]
+    assert set(rows) == {"a.txt", "c.txt"} and rows["a.txt"] == want_a
+
+
+def test_sign_flag_contracts(tmp_path):
+    """--ledger/--generation/--from-generation are sign-only, and
+    --from-generation needs --ledger."""
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    for extra in (
+        ["tfidf", "x", "y", "--ledger", "z"],
+        ["sign", "x", "y", "--from-generation", "3"],
+    ):
+        res = subprocess.run(
+            [sys.executable, "-m", "hadoop_tfidf_spark.cli", *extra],
+            capture_output=True, text=True, timeout=120, cwd="/root/repo",
+            env=env,
+        )
+        assert res.returncode == 2 and (
+            "sign-only" in res.stderr or "needs --ledger" in res.stderr
+        )
