@@ -38,6 +38,8 @@ Usage::
                   [--candidates C] [--nprobe P] [--units U]
     python -m hadoop_tfidf_spark.cli sign          IN OUT [--ledger DIR]
                   [--generation N] [--from-generation N]
+    python -m hadoop_tfidf_spark.cli ledger-compact SINK - --keys K1,K2
+                  [--through N]
     python -m hadoop_tfidf_spark.cli explain       QUERY SF_DIR
     python -m hadoop_tfidf_spark.cli frontier      SF_DIR OUT
 
@@ -92,6 +94,12 @@ diffed against the STORED content hashes, unchanged rows carried by id,
 only the added/changed slice re-shingled; the previous generation's
 text is never read. Prints a one-line JSON crawl-delta census.
 
+``ledger-compact`` folds an update-mode streaming ledger's old
+generations into one base (``streaming/ledger.compact_ledger`` — a
+table format's OPTIMIZE on plain parquet): reconstruction-invariant,
+crash-safe, replay-guarded. The manual counterpart of
+``ledger_upsert(compact_every=N)``; prints the fold census.
+
 ``IN`` is a text directory (file-per-document, the reference's input
 shape) or a parquet path with (doc_id, text) columns.
 """
@@ -132,7 +140,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
         "curate", "select", "bpe-train", "project", "compact", "knn",
-        "sign", "explain", "frontier",
+        "sign", "ledger-compact", "explain", "frontier",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -174,6 +182,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--from-generation", type=int, default=None, metavar="N",
                    help="sign: which generation of --ledger to advance "
                         "from (default: its highest)")
+    p.add_argument("--keys", default=None, metavar="K1,K2",
+                   help="ledger-compact: the reconstruction key columns "
+                        "(latest row per key wins)")
+    p.add_argument("--through", type=int, default=None, metavar="N",
+                   help="ledger-compact: fold generations <= N (default: "
+                        "all but the newest)")
     p.add_argument("--bloom-bits-per-key", default=None, type=int,
                    metavar="B",
                    help="curate: size the Bloom filter from the benchmark "
@@ -276,6 +290,12 @@ def main(argv: list[str] | None = None) -> None:
         p.error("--ledger/--generation/--from-generation are sign-only")
     if args.from_generation is not None and args.ledger is None:
         p.error("sign: --from-generation needs --ledger")
+    if args.tool == "ledger-compact" and not args.keys:
+        p.error("ledger-compact: --keys K1,K2 is required")
+    if args.tool != "ledger-compact" and (
+        args.keys is not None or args.through is not None
+    ):
+        p.error("--keys/--through are ledger-compact-only")
 
     from hadoop_tfidf_spark.corpus import tokenize
     from hadoop_tfidf_spark.search import query_term_bag, rank, search, tfidf_rank
@@ -433,6 +453,37 @@ def main(argv: list[str] | None = None) -> None:
                      "diff": {k: counts.get(k, 0) for k in
                               ("added", "changed", "unchanged", "removed")}}
         print(json.dumps(stats))
+        spark.stop()
+        return
+
+    if args.tool == "ledger-compact":
+        # update-ledger maintenance (streaming/ledger): IN is the
+        # batch_id=N ledger root an update-mode sink wrote; OUT is
+        # ignored (in-place fold, like a table format's OPTIMIZE — pass
+        # "-"). Folds generations <= --through (default: all but the
+        # newest, the same policy the scale tool prices) into one base;
+        # reconstruction-invariant, crash-safe swap, replay-guarded.
+        # Prefer ledger_upsert(compact_every=N) to automate this inside
+        # the stream itself.
+        import json
+
+        from hadoop_tfidf_spark.streaming.ledger import (
+            compact_ledger,
+            ledger_generations,
+        )
+
+        gens = ledger_generations(args.input)
+        if not gens:
+            p.error(f"ledger-compact: no batch_id=* dirs under {args.input}")
+        through = args.through if args.through is not None else gens[-1] - 1
+        folded = compact_ledger(
+            spark, args.input, args.keys.split(","), through=through
+        )
+        print(json.dumps({
+            "through": through,
+            "folded_generations": folded,
+            "generations_on_disk": ledger_generations(args.input),
+        }))
         spark.stop()
         return
 

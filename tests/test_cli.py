@@ -707,3 +707,57 @@ def test_sign_flag_contracts(tmp_path):
         assert res.returncode == 2 and (
             "sign-only" in res.stderr or "needs --ledger" in res.stderr
         )
+
+
+def test_ledger_compact_verb(tmp_path):
+    """The manual OPTIMIZE counterpart of compact_every: fold an
+    update-ledger's old generations from the CLI, state invariant."""
+    import os
+
+    # build a 4-generation ledger in-process (cheap), then fold via CLI
+    sys.path.insert(0, "/root/repo")
+    from hadoop_tfidf_spark.session import get_spark
+    from hadoop_tfidf_spark.streaming.ledger import (
+        ledger_upsert,
+        read_ledger,
+        reconstruct_latest,
+    )
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    spark = get_spark(app_name="cli_ledger_fixture")
+    sink = str(tmp_path / "ledger")
+    up = ledger_upsert(sink)
+    for b, rows in enumerate(
+        [[("a", 1)], [("b", 2)], [("a", 3)], [("c", 4)]]
+    ):
+        up(spark.createDataFrame(rows, "k STRING, n BIGINT"), b)
+    want = sorted(
+        map(tuple, reconstruct_latest(read_ledger(spark, sink), ["k"]).collect())
+    )
+
+    census = _run_json("ledger-compact", sink, "-", "--keys", "k")
+    assert census == {
+        "through": 2,
+        "folded_generations": 3,
+        "generations_on_disk": [2, 3],
+    }
+    got = sorted(
+        map(tuple, reconstruct_latest(read_ledger(spark, sink), ["k"]).collect())
+    )
+    assert got == want
+
+
+def test_ledger_compact_flag_contracts():
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    for extra, msg in (
+        (["ledger-compact", "x", "-"], "--keys"),
+        (["tfidf", "x", "y", "--through", "3"], "ledger-compact-only"),
+    ):
+        res = subprocess.run(
+            [sys.executable, "-m", "hadoop_tfidf_spark.cli", *extra],
+            capture_output=True, text=True, timeout=120, cwd="/root/repo",
+            env=env,
+        )
+        assert res.returncode == 2 and msg in res.stderr
