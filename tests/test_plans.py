@@ -403,3 +403,26 @@ def test_quality_adaptive_one_shuffle_no_join(stats_of):
     assert s.broadcast_hash_joins == 0
     assert s.sort_merge_joins == 0
     assert s.parquet_scans == 1
+
+
+def test_ivfpq_bulk_census(stats_of):
+    """The bulk compressed kNN graph (round 14): stage-1 candidates come
+    from the pre-joined (cluster, code) index — ONE regrouping exchange
+    total, zero cartesian products, and the final per-query top-k window
+    carries the partial WindowGroupLimit pushdown (the exchange stays
+    k-rows-per-key-per-task, not corpus-sized)."""
+    s = stats_of("sim_topk_ivfpq_bulk")
+    assert s.cartesian_products == 0
+    assert s.shuffle_exchanges <= 2
+    assert s.partial_window_group_limits >= 1
+
+
+def test_delta_ledger_census(stats_of):
+    """The O(delta) ledger advance (round 14): zero cartesian products
+    and exactly four relation scans — the stored ledger twice (slim
+    diff projection + full carry) and the NEW crawl twice (hash side +
+    dirty-slice signing); the old generation's text contributes no scan
+    at all (the inputFiles pin lives in test_round14_ops)."""
+    s = stats_of("dedup_delta_ledger")
+    assert s.cartesian_products == 0
+    assert s.parquet_scans == 4
