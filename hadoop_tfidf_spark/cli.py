@@ -290,8 +290,19 @@ def main(argv: list[str] | None = None) -> None:
         p.error("--ledger/--generation/--from-generation are sign-only")
     if args.from_generation is not None and args.ledger is None:
         p.error("sign: --from-generation needs --ledger")
-    if args.tool == "ledger-compact" and not args.keys:
-        p.error("ledger-compact: --keys K1,K2 is required")
+    if args.tool == "ledger-compact":
+        if not args.keys or not [
+            k for k in args.keys.split(",") if k.strip()
+        ]:
+            p.error(
+                "ledger-compact: --keys K1,K2 is required (non-empty "
+                "column names)"
+            )
+        if args.output != "-":
+            p.error(
+                "ledger-compact folds IN in place (a table format's "
+                "OPTIMIZE) — pass '-' as OUT; it does not write a copy"
+            )
     if args.tool != "ledger-compact" and (
         args.keys is not None or args.through is not None
     ):
@@ -417,9 +428,21 @@ def main(argv: list[str] | None = None) -> None:
             write_generation,
         )
 
+        def _guard_fresh_target(gen: int) -> None:
+            # write_generation overwrites; a ledger is history — refuse
+            # to silently destroy an existing generation (re-run with an
+            # explicit unused --generation, or remove the dir first)
+            if _os.path.isdir(f"{args.output}/generation={gen}"):
+                p.error(
+                    f"sign: {args.output}/generation={gen} already "
+                    "exists; refusing to overwrite ledger history — "
+                    "pass an unused --generation"
+                )
+
         docs = _load(spark, args.input)
         if args.ledger is None:
             gen = args.generation if args.generation is not None else 0
+            _guard_fresh_target(gen)
             out = write_generation(sign_generation(docs), args.output, gen)
             stats = {"generation": gen, "path": out,
                      "rows": spark.read.parquet(out).count(), "mode": "full"}
@@ -438,15 +461,22 @@ def main(argv: list[str] | None = None) -> None:
             if src not in gens:
                 p.error(f"sign: --from-generation {src} not in {gens}")
             gen = args.generation if args.generation is not None else src + 1
+            _guard_fresh_target(gen)
             old_sigs = read_generation(spark, args.ledger, src)
+            # ONE hash-and-join pass feeds both the census and the
+            # advance: persist the diff, collect the status counts,
+            # then hand the same relation to delta_sign (its diff=
+            # parameter exists for exactly this sharing)
+            diff = diff_from_ledger(old_sigs, docs).persist()
             counts = {
                 r["status"]: r["n"]
-                for r in diff_from_ledger(old_sigs, docs)
-                .groupBy("status").agg(F.count("*").alias("n")).collect()
+                for r in diff.groupBy("status")
+                .agg(F.count("*").alias("n")).collect()
             }
             out = write_generation(
-                delta_sign(old_sigs, docs), args.output, gen
+                delta_sign(old_sigs, docs, diff=diff), args.output, gen
             )
+            diff.unpersist()
             stats = {"generation": gen, "path": out,
                      "rows": spark.read.parquet(out).count(),
                      "mode": "delta", "from_generation": src,
@@ -476,9 +506,19 @@ def main(argv: list[str] | None = None) -> None:
         if not gens:
             p.error(f"ledger-compact: no batch_id=* dirs under {args.input}")
         through = args.through if args.through is not None else gens[-1] - 1
-        folded = compact_ledger(
-            spark, args.input, args.keys.split(","), through=through
-        )
+        if through >= gens[-1]:
+            # folding the newest generation (or beyond) either wedges a
+            # live stream on its guaranteed at-least-once replay (base's
+            # _COMPACTED marker) or, past the newest id, plants a base
+            # that SHADOWS every future upsert until batch ids catch up
+            # — the same reason compact_every folds through B-1
+            p.error(
+                f"ledger-compact: --through {through} >= newest "
+                f"generation {gens[-1]}; fold at most {gens[-1] - 1} so "
+                "replays and future upserts stay ahead of the base"
+            )
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+        folded = compact_ledger(spark, args.input, keys, through=through)
         print(json.dumps({
             "through": through,
             "folded_generations": folded,

@@ -969,6 +969,7 @@ def delta_sign(
     new_docs: DataFrame,
     k: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    diff: DataFrame | None = None,
 ) -> DataFrame:
     """One-call generation advance for the signature ledger: diff the
     new crawl against the STORED hashes (:func:`diff_from_ledger` — no
@@ -985,8 +986,14 @@ def delta_sign(
     columns. With generations landed via :func:`write_generation`, the
     storage layer file-prunes the old side to the ledger partition —
     the layout SCALE.md measured as the condition for the 2× win at 1%
-    dirty share."""
-    diff = diff_from_ledger(old_sigs, new_docs)
+    dirty share.
+
+    ``diff`` accepts a precomputed (ideally persisted)
+    :func:`diff_from_ledger` result so callers that also need the diff
+    (e.g. the ``cli sign`` crawl-delta census) don't pay the
+    hash-and-join pass twice; default recomputes it internally."""
+    if diff is None:
+        diff = diff_from_ledger(old_sigs, new_docs)
     unchanged = diff.where(F.col("status") == "unchanged").select("doc_id")
     dirty = diff.where(F.col("status").isin("added", "changed")).select(
         "doc_id"

@@ -33,6 +33,7 @@ def _run(tool, inp, out, *extra):
         env=env,
     )
     assert res.returncode == 0, res.stderr[-2000:]
+    return res
 
 
 def test_docwordcount_text_corpus(text_corpus, tmp_path):
@@ -635,18 +636,8 @@ def test_decontaminate_bloom_flag_requires_bench(tmp_path):
 def _run_json(tool, inp, out, *extra):
     """_run + parse the one-line JSON census the maintenance verbs print."""
     import json
-    import os
 
-    cmd = [
-        sys.executable, "-m", "hadoop_tfidf_spark.cli", tool, inp, out,
-        *extra,
-    ]
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
-    res = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=300, cwd="/root/repo",
-        env=env,
-    )
-    assert res.returncode == 0, res.stderr[-2000:]
+    res = _run(tool, inp, out, *extra)
     line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -687,6 +678,23 @@ def test_sign_fresh_then_delta_advance(tmp_path):
         "SELECT md5('spark data data lake house v2')"
     ).fetchone()[0]
     assert set(rows) == {"a.txt", "c.txt"} and rows["a.txt"] == want_a
+    # a ledger is history: re-running the same advance (or a fresh sign
+    # onto an existing root) must refuse to overwrite, not clobber
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    for extra in (
+        # advancing from gen 0 again targets the existing generation=1
+        ["sign", str(gen1), ledger, "--ledger", ledger,
+         "--from-generation", "0"],
+        ["sign", str(gen0), ledger],                        # gen 0 exists
+    ):
+        res = subprocess.run(
+            [sys.executable, "-m", "hadoop_tfidf_spark.cli", *extra],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            env=env,
+        )
+        assert res.returncode == 2 and "already exists" in res.stderr
 
 
 def test_sign_flag_contracts(tmp_path):
@@ -695,18 +703,16 @@ def test_sign_flag_contracts(tmp_path):
     import os
 
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
-    for extra in (
-        ["tfidf", "x", "y", "--ledger", "z"],
-        ["sign", "x", "y", "--from-generation", "3"],
+    for extra, msg in (
+        (["tfidf", "x", "y", "--ledger", "z"], "sign-only"),
+        (["sign", "x", "y", "--from-generation", "3"], "needs --ledger"),
     ):
         res = subprocess.run(
             [sys.executable, "-m", "hadoop_tfidf_spark.cli", *extra],
             capture_output=True, text=True, timeout=120, cwd="/root/repo",
             env=env,
         )
-        assert res.returncode == 2 and (
-            "sign-only" in res.stderr or "needs --ledger" in res.stderr
-        )
+        assert res.returncode == 2 and msg in res.stderr
 
 
 def test_ledger_compact_verb(tmp_path):
@@ -745,6 +751,19 @@ def test_ledger_compact_verb(tmp_path):
         map(tuple, reconstruct_latest(read_ledger(spark, sink), ["k"]).collect())
     )
     assert got == want
+    # folding the newest generation (or beyond) must refuse — a live
+    # stream's replay of that batch would wedge on the base's marker,
+    # and a beyond-newest base would shadow every future upsert
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    for bad_through in ("3", "50"):
+        res = subprocess.run(
+            [sys.executable, "-m", "hadoop_tfidf_spark.cli",
+             "ledger-compact", sink, "-", "--keys", "k",
+             "--through", bad_through],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            env=env,
+        )
+        assert res.returncode == 2 and "newest generation" in res.stderr
 
 
 def test_ledger_compact_flag_contracts():
@@ -753,6 +772,8 @@ def test_ledger_compact_flag_contracts():
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     for extra, msg in (
         (["ledger-compact", "x", "-"], "--keys"),
+        (["ledger-compact", "x", "out", "--keys", "k"], "in place"),
+        (["ledger-compact", "x", "-", "--keys", " , "], "non-empty"),
         (["tfidf", "x", "y", "--through", "3"], "ledger-compact-only"),
     ):
         res = subprocess.run(

@@ -61,7 +61,7 @@ def build_ledger(
 
     up = ledger_upsert(
         sink,
-        keys=["k"] if compact_every else None,
+        keys=["k"] if compact_every is not None else None,
         compact_every=compact_every,
     )
     keys = spark.range(n_keys).withColumnRenamed("id", "k")
@@ -109,6 +109,8 @@ def main() -> None:
             if flag == "--keys":
                 n_keys = v
             else:
+                if v < 1:
+                    sys.exit("--policy must be >= 1")
                 policy = v
             del args[i : i + 2]
     if not all(a.isdigit() for a in args):
@@ -181,7 +183,7 @@ def main() -> None:
                 "delta_frac": delta_frac,
                 "trials": trials,
                 "per_gens": results,
-                ("alpha_with_policy" if policy else "alpha_uncompacted"): alphas,
+                ("alpha_with_policy" if policy is not None else "alpha_uncompacted"): alphas,
             }
         )
     )
