@@ -4027,64 +4027,12 @@ def q_streaming_ivfsq_index(spark, sf_dir):
 # sketches, BLAS ulp) close the registry.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
-    # ROUND-14 GATE WINDOW (first 41 extension slots; 9 core precede).
+    # ROUND-15 GATE WINDOW (first 41 extension slots; 9 core precede).
     # Policy: rotate the stale-est driver rows in; cohorts with fresh
     # CORRECTNESS rows cede their slots. New queries register IN-window.
     # ------------------------------------------------------------------
-    # -- the ENTIRE r10-row remainder (stale-est recorded rows; the
-    #    VERDICT r13 rotation priority, verbatim), registry order --
-    "dedup_span_sliding": q_dedup_span_sliding,
-    "doc_frequency_salted": q_doc_frequency_salted,
-    "doc_similarity_tfidf": q_doc_similarity_tfidf,
-    "events_time_rollup": q_events_time_rollup,
-    "multimodal_phash": q_multimodal_phash,
-    "multimodal_phash_dedup": q_multimodal_phash_dedup,
-    "multimodal_phash_pairs": q_multimodal_phash_pairs,
-    "pipeline_curate_semantic": q_pipeline_curate_semantic,
-    "rel_customers_without_orders": q_rel_customers_without_orders,
-    "rel_market_share": q_rel_market_share,
-    "rel_orders_above_avg": q_rel_orders_above_avg,
-    "rel_parts_with_shipments": q_rel_parts_with_shipments,
-    "rel_returned_top": q_rel_returned_top,
-    "rel_revenue_by_region": q_rel_revenue_by_region,
-    "rel_status_priority": q_rel_status_priority,
-    "sim_quantize_int8": q_sim_quantize_int8,
-    "sim_recall_curve": q_sim_recall_curve,
-    "sim_rp_ivfpq_recall": q_sim_rp_ivfpq_recall,
-    "sim_rp_project": q_sim_rp_project,
-    "sim_rp_recall": q_sim_rp_recall,
-    "sim_rp_topk": q_sim_rp_topk,
-    "sim_topk_brute": q_sim_topk_brute,
-    "sim_topk_lsh": q_sim_topk_lsh,
-    "sim_topk_rp_ivfpq": q_sim_topk_rp_ivfpq,
-    "sql_tfidf_top100": q_sql_tfidf_top100,
-    "streaming_dsir": q_streaming_dsir,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "text_bpe_tokens_holdout": q_text_bpe_tokens_holdout,
-    "text_dsir": q_text_dsir,
-    "text_dsir_select": q_text_dsir_select,
-    "text_hash_sample": q_text_hash_sample,
-    "text_lang_id": q_text_lang_id,
-    "text_mixture_sample": q_text_mixture_sample,
-    "text_mixture_temperature": q_text_mixture_temperature,
-    "text_pii_redact": q_text_pii_redact,
-    "text_token_stats": q_text_token_stats,
-    # -- round-14 new queries (newcomers register in-window; the late
-    #    two displaced the dedup_exact_apply / dedup_minhash_lsh fillers
-    #    as they landed) --
-    "dedup_delta_ledger": q_dedup_delta_ledger,
-    "sim_topk_ivfpq_bulk": q_sim_topk_ivfpq_bulk,
-    "streaming_ledger_policy": q_streaming_ledger_policy,
-    "sim_topk_ivf_sample": q_sim_topk_ivf_sample,
-    # -- r11-cohort fill, alphabetical (next-oldest debt) --
-    "asof_last_purchase": q_asof_last_purchase,
-    # ---- past the 50-slot cap from here down ----
-    # Ordered by cohort freshness: the r11-cohort remainder, then the
-    # r12 cohort, then the round-13 window occupants (greenest rows
-    # last); the 2 structurally no-oracle entries close the registry.
-    # All hold green rows in their cohort's CORRECTNESS file + the
-    # per-round local full drive (tools/check_correctness.py).
-    # -- r11 cohort remainder (led by the two displaced fillers) --
+    # -- the ENTIRE r11-cohort remainder (40 stale-est recorded rows;
+    #    the VERDICT r14 rotation priority, verbatim), registry order --
     "dedup_exact_apply": q_dedup_exact_apply,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_near_canonical": q_dedup_near_canonical,
@@ -4125,6 +4073,16 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_source_quality": q_text_source_quality,
     "text_source_stats": q_text_source_stats,
     "text_stratified_sample": q_text_stratified_sample,
+    # -- sketch-twin freshening (VERDICT r14 "Next round" ¶6): the
+    #    hash-gated error-envelope twin of the structurally no-oracle
+    #    rel_approx_distinct, whose contract needs a current driver row --
+    "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
+    # ---- past the 50-slot cap from here down ----
+    # Ordered by cohort freshness: the r12 cohort, then the round-13
+    # window occupants, then the round-14 window occupants (greenest
+    # rows last); the 2 structurally no-oracle entries close the
+    # registry. All hold green rows in their cohort's CORRECTNESS file
+    # + the per-round local full drive (tools/check_correctness.py).
     # -- r12 cohort (fresh CORRECTNESS_r12 rows), alphabetical --
     "asof_last_purchase_30d": q_asof_last_purchase_30d,
     "asof_next_event": q_asof_next_event,
@@ -4169,14 +4127,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_self_dedup": q_text_self_dedup,
     # -- round-13 window occupants (fresh CORRECTNESS_r13 rows):
     #    the full r8-row cohort, the six round-13 newcomers, and the
-    #    five r10 fillers that earned r13 rows --
+    #    five r10 fillers that earned r13 rows (minus the bounds twin
+    #    promoted into the round-15 window above) --
     "dedup_semantic_capped": q_dedup_semantic_capped,
     "events_range_frame": q_events_range_frame,
     "events_user_extremes": q_events_user_extremes,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
-    "rel_approx_distinct_bounds": q_rel_approx_distinct_bounds,
     "sim_label_centroids": q_sim_label_centroids,
     "sim_pca_components": q_sim_pca_components,
     "sim_pca_project": q_sim_pca_project,
@@ -4211,6 +4169,50 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_span_exact": q_dedup_span_exact,
+    # -- round-14 window occupants (fresh CORRECTNESS_r14 rows): the
+    #    full r10-row remainder, the four round-14 newcomers, and the
+    #    r11 filler that earned an r14 row --
+    "dedup_span_sliding": q_dedup_span_sliding,
+    "doc_frequency_salted": q_doc_frequency_salted,
+    "doc_similarity_tfidf": q_doc_similarity_tfidf,
+    "events_time_rollup": q_events_time_rollup,
+    "multimodal_phash": q_multimodal_phash,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
+    "multimodal_phash_pairs": q_multimodal_phash_pairs,
+    "pipeline_curate_semantic": q_pipeline_curate_semantic,
+    "rel_customers_without_orders": q_rel_customers_without_orders,
+    "rel_market_share": q_rel_market_share,
+    "rel_orders_above_avg": q_rel_orders_above_avg,
+    "rel_parts_with_shipments": q_rel_parts_with_shipments,
+    "rel_returned_top": q_rel_returned_top,
+    "rel_revenue_by_region": q_rel_revenue_by_region,
+    "rel_status_priority": q_rel_status_priority,
+    "sim_quantize_int8": q_sim_quantize_int8,
+    "sim_recall_curve": q_sim_recall_curve,
+    "sim_rp_ivfpq_recall": q_sim_rp_ivfpq_recall,
+    "sim_rp_project": q_sim_rp_project,
+    "sim_rp_recall": q_sim_rp_recall,
+    "sim_rp_topk": q_sim_rp_topk,
+    "sim_topk_brute": q_sim_topk_brute,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "sim_topk_rp_ivfpq": q_sim_topk_rp_ivfpq,
+    "sql_tfidf_top100": q_sql_tfidf_top100,
+    "streaming_dsir": q_streaming_dsir,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "text_bpe_tokens_holdout": q_text_bpe_tokens_holdout,
+    "text_dsir": q_text_dsir,
+    "text_dsir_select": q_text_dsir_select,
+    "text_hash_sample": q_text_hash_sample,
+    "text_lang_id": q_text_lang_id,
+    "text_mixture_sample": q_text_mixture_sample,
+    "text_mixture_temperature": q_text_mixture_temperature,
+    "text_pii_redact": q_text_pii_redact,
+    "text_token_stats": q_text_token_stats,
+    "dedup_delta_ledger": q_dedup_delta_ledger,
+    "sim_topk_ivfpq_bulk": q_sim_topk_ivfpq_bulk,
+    "streaming_ledger_policy": q_streaming_ledger_policy,
+    "sim_topk_ivf_sample": q_sim_topk_ivf_sample,
+    "asof_last_purchase": q_asof_last_purchase,
     # -- structurally no-oracle (rows-only) --
     "rel_approx_distinct": q_rel_approx_distinct,
     "sim_topk_pandas": q_sim_topk_pandas,
