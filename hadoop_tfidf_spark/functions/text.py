@@ -772,9 +772,13 @@ def bloom_bitmap(
     every corpus against it — the build-once / probe-many split of the
     ivfsq ``index=`` pattern. (No pre-distinct: bit_or is
     duplicate-invariant, same reasoning as min() in
-    minhash_signatures.) The probe side recovers ``bits`` from the
-    list length, so a bitmap is self-describing except for ``hashes``
-    — pass the same value to the probe functions."""
+    minhash_signatures.) The returned list is fully self-describing:
+    the probe side recovers ``bits`` from the word count and ``hashes``
+    from a trailing sentinel word ``-hashes`` (packed lanes are always
+    ≥ 0, so the tag is unambiguous) — probing a prebuilt filter with a
+    DIFFERENT hash count would silently break the no-false-negative
+    guarantee, so :func:`_untag_bitmap` validates instead of trusting
+    the caller to match by convention."""
     from hadoop_tfidf_spark.operators.dedup import shingles
 
     _check_geometry(bits, hashes)
@@ -801,7 +805,30 @@ def bloom_bitmap(
     words = [0] * (bits // _BLOOM_LANE)
     for row in packed:
         words[row["w_idx"]] = row["bits"]
-    return words
+    return words + [-hashes]
+
+
+def _untag_bitmap(
+    bitmap: list[int], hashes: int | None
+) -> tuple[list[int], int]:
+    """Recover ``(packed_words, hashes)`` from a bitmap list. Tagged
+    bitmaps (:func:`bloom_bitmap` appends ``-hashes`` as a sentinel
+    word) carry their own hash count: ``hashes=None`` adopts it, and an
+    explicit ``hashes`` that CONTRADICTS the tag raises — a probe with
+    more hashes than the build silently loses the no-false-negative
+    guarantee (contaminated docs kept), the one failure mode a Bloom
+    decontaminator must never have. Legacy untagged lists (all words
+    ≥ 0) fall back to the explicit value or the default geometry."""
+    if bitmap and bitmap[-1] < 0:
+        built = -bitmap[-1]
+        if hashes is not None and hashes != built:
+            raise ValueError(
+                f"bitmap was built with hashes={built} but the probe "
+                f"requested hashes={hashes}; a geometry mismatch breaks "
+                "the Bloom no-false-negative guarantee"
+            )
+        return bitmap[:-1], built
+    return bitmap, BLOOM_HASHES if hashes is None else hashes
 
 
 def _check_geometry(bits: int, hashes: int) -> None:
@@ -855,7 +882,7 @@ def contamination_bloom_stateless(
     bitmap: list[int],
     k: int = 3,
     max_overlap: float = 0.1,
-    hashes: int = BLOOM_HASHES,
+    hashes: int | None = None,
 ) -> DataFrame:
     """Bloom contamination verdicts computed ENTIRELY row-locally — the
     streaming-safe form: per doc, distinct ``k``-gram shingles via
@@ -880,9 +907,11 @@ def contamination_bloom_stateless(
     staged for the same reason — inlined into ``keep`` the full
     Bloom-probe filter would run twice per row).
 
-    ``hashes`` must match the value the ``bitmap`` was built with
-    (``bits`` is recovered from the bitmap length).
+    Geometry is recovered from the ``bitmap`` itself: ``bits`` from the
+    word count, ``hashes`` from the sentinel tag (:func:`_untag_bitmap`
+    — an explicit ``hashes`` contradicting the tag raises).
     """
+    bitmap, hashes = _untag_bitmap(bitmap, hashes)
     bits = len(bitmap) * _BLOOM_LANE
     _check_geometry(bits, hashes)
     lit = F.lit(bitmap)
@@ -930,7 +959,7 @@ def decontaminate_bloom(
     max_overlap: float = 0.1,
     bitmap: list[int] | None = None,
     bits: int = BLOOM_BITS,
-    hashes: int = BLOOM_HASHES,
+    hashes: int | None = None,
 ) -> DataFrame:
     """APPLY form of the broadcast-Bloom decontamination — the drop-in
     counterpart of :func:`decontaminate` for when the benchmark shingle
@@ -939,7 +968,8 @@ def decontaminate_bloom(
     shorter than ``k`` words carry no evidence and are kept, same rule).
     One-sided error means this only ever drops a superset of the exact
     form's drop set. Pass a prebuilt ``bitmap`` (:func:`bloom_bitmap`)
-    to skip the build job — ``hashes`` must then match the build;
+    to skip the build job — its geometry is recovered from the bitmap
+    itself (an explicit ``hashes`` contradicting its tag raises);
     otherwise ``bits``/``hashes`` size the inline build (production:
     :func:`bloom_geometry` from the benchmark shingle count). Returns
     the cleaned corpus with its input columns.
@@ -951,7 +981,10 @@ def decontaminate_bloom(
     if bitmap is None:
         if bench_docs is None:
             raise ValueError("pass bench_docs or a prebuilt bitmap")
-        bitmap = bloom_bitmap(bench_docs, k=k, bits=bits, hashes=hashes)
+        bitmap = bloom_bitmap(
+            bench_docs, k=k, bits=bits,
+            hashes=BLOOM_HASHES if hashes is None else hashes,
+        )
     dropped = (
         contamination_bloom_stateless(
             docs, bitmap, k=k, max_overlap=max_overlap, hashes=hashes
@@ -975,7 +1008,7 @@ def contamination_bloom(
     k: int = 3,
     bitmap: list[int] | None = None,
     bits: int = BLOOM_BITS,
-    hashes: int = BLOOM_HASHES,
+    hashes: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination scan, BROADCAST-BLOOM form — the 100 TB
     shape of :func:`contamination_check`: instead of semi-joining the
@@ -1023,11 +1056,16 @@ def contamination_bloom(
     if bitmap is None:
         if bench_docs is None:
             raise ValueError("pass bench_docs or a prebuilt bitmap")
-        bitmap = bloom_bitmap(bench_docs, k=k, bits=bits, hashes=hashes)
+        bitmap = bloom_bitmap(
+            bench_docs, k=k, bits=bits,
+            hashes=BLOOM_HASHES if hashes is None else hashes,
+        )
     # broadcast-as-literal: 16 KiB at default geometry in the plan; one
     # shared hash geometry (_md5_base + _bloom_positions via
-    # _bloom_probe) across build and both probe forms; bits recovered
-    # from the bitmap length so a prebuilt filter is self-describing
+    # _bloom_probe) across build and both probe forms; both geometry
+    # numbers recovered from the bitmap itself (word count + hash tag)
+    # so a prebuilt filter is fully self-describing
+    bitmap, hashes = _untag_bitmap(bitmap, hashes)
     bits = len(bitmap) * _BLOOM_LANE
     _check_geometry(bits, hashes)
     probe = _bloom_probe(F.col("x"), F.lit(bitmap), bits, hashes)

@@ -1233,6 +1233,13 @@ def ivfpq_topk(
     emb = embeddings if embeddings is not None else assigned
     if queries is None and query_ids is None:
         raise ValueError("pass query_ids (an id list) or queries= (a relation)")
+    if queries is not None and query_ids is not None:
+        # silently ignoring one of them would mask a call-site bug (the
+        # caller probably meant a different query set than we'd pick)
+        raise ValueError(
+            "pass query_ids OR queries=, not both — the relation path "
+            "would silently ignore query_ids"
+        )
     if queries is not None:
         if probe_select == "driver":
             raise ValueError(

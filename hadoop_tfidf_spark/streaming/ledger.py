@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -39,6 +40,25 @@ from pyspark.sql import functions as F
 #: tells a late-replayed upsert of the same batch_id that overwriting
 #: this dir would destroy MERGED state, not just replay one batch.
 _COMPACTED_MARKER = "_COMPACTED"
+
+
+def _assert_local(sink: str) -> None:
+    """Every replay/compaction guard in this module probes the LOCAL
+    filesystem (``os.path``/``glob``/``os.rename``). For a scheme-
+    prefixed Hadoop URI (``hdfs://``, ``s3a://``, even ``file://``)
+    those probes silently see nothing — a replayed batch could then
+    overwrite a compacted base, the exact loss the marker exists to
+    prevent. Fail loudly at entry instead of silently not guarding; on
+    remote storage the ledger belongs in a table format (Delta/Iceberg
+    MERGE + OPTIMIZE), which is what this module models."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", sink):
+        raise ValueError(
+            f"ledger sink {sink!r} has a filesystem-scheme prefix; the "
+            "generation-directory ledger's replay-vs-compaction guards "
+            "probe the local filesystem and would never fire on a "
+            "remote URI. Use a local path, or a table format "
+            "(Delta/Iceberg) for remote storage."
+        )
 
 
 def ledger_upsert(
@@ -81,6 +101,7 @@ def ledger_upsert(
     fold as a no-op."""
     if compact_every is not None and not keys:
         raise ValueError("compact_every requires keys= for reconstruction")
+    _assert_local(sink)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         target = f"{sink}/batch_id={batch_id}"
@@ -137,14 +158,39 @@ def _assert_no_partial_compaction(sink: str) -> None:
         )
 
 
+def _stable_generations(sink: str, retries: int = 5) -> list[int]:
+    """A consistent snapshot of the generation list. A single
+    assert-then-glob has a TOCTOU window: a compaction's first
+    trash-rename can land between the partial-swap assertion and the
+    generation glob, so the glob lists a ledger with some folded
+    generations already renamed away — silently partial state. Close it
+    by re-asserting AND re-globbing after the listing: a swap that
+    started mid-snapshot either trips the second assertion (tmp + trash
+    now coexist — loud, same contract as any mid-swap read) or changed
+    the generation set (retry; the next iteration sees the settled
+    post-swap state)."""
+    for _ in range(retries):
+        _assert_no_partial_compaction(sink)
+        gens = ledger_generations(sink)
+        _assert_no_partial_compaction(sink)
+        if ledger_generations(sink) == gens:
+            return gens
+    raise RuntimeError(
+        f"ledger at {sink} kept changing across {retries} snapshot "
+        "attempts (concurrent compaction churn); retry when the "
+        "writer settles"
+    )
+
+
 def read_ledger(spark: SparkSession, sink: str) -> DataFrame:
     """All generations, with the hive-partition ``batch_id`` column.
     Concrete generation dirs, not a glob — a glob string makes
     FileStreamSink's metadata probe log a FileNotFoundException stack
-    trace at WARN on every read. Refuses to read mid-compaction state
-    (:func:`_assert_no_partial_compaction`)."""
-    _assert_no_partial_compaction(sink)
-    paths = [f"{sink}/batch_id={g}" for g in ledger_generations(sink)]
+    trace at WARN on every read. Refuses to read mid-compaction state,
+    and snapshots the generation list race-free vs an in-flight swap
+    (:func:`_stable_generations`)."""
+    _assert_local(sink)
+    paths = [f"{sink}/batch_id={g}" for g in _stable_generations(sink)]
     if not paths:
         # zero paths would surface as Spark's opaque UNABLE_TO_INFER_SCHEMA
         raise FileNotFoundError(
@@ -199,6 +245,7 @@ def compact_ledger(
     guessing, and the folded base carries a ``_COMPACTED`` marker so a
     late-replayed upsert of its batch_id fails loudly rather than
     overwriting merged state)."""
+    _assert_local(sink)
     prior = glob.glob(f"{sink}/_compact_tmp_through=*")
     if prior:
         if len(prior) > 1:

@@ -204,7 +204,8 @@ def test_bloom_custom_geometry_round_trips(spark, tmp_path):
     bench = docs.where(F.col("doc_id") % 7 == 0)
     bits, hashes = bloom_geometry(2000, bits_per_key=10)
     bm = bloom_bitmap(bench, k=3, bits=bits, hashes=hashes)
-    assert len(bm) == bits // 32
+    # bits//32 packed words + the trailing -hashes geometry tag
+    assert len(bm) == bits // 32 + 1 and bm[-1] == -hashes
     # one-sided error: a bench doc probed against its own filter is 100%
     # hits in BOTH probe forms
     agg = {
