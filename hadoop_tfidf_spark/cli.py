@@ -34,8 +34,12 @@ Usage::
                   [--out-dim K] [--in-dim D] [--whiten]
     python -m hadoop_tfidf_spark.cli compact       IN OUT [--target-file-mb N]
     python -m hadoop_tfidf_spark.cli knn           IN OUT --query-ids 0,1
-                  [--knn-index brute|bq|sq|ivfsq] [--k K]
+                  [--knn-index brute|bq|sq|ivfsq|ivfpq] [--k K]
                   [--candidates C] [--nprobe P] [--units U]
+                  [--index-dir DIR]
+    python -m hadoop_tfidf_spark.cli knn-build     IN INDEX_DIR
+                  --knn-index bq|sq|ivfsq|ivfpq [--coarse-k K]
+                  [--units U]
     python -m hadoop_tfidf_spark.cli sign          IN OUT [--ledger DIR]
                   [--generation N] [--from-generation N]
     python -m hadoop_tfidf_spark.cli ledger-compact SINK - --keys K1,K2
@@ -83,8 +87,15 @@ looks like the target).
 tiers — binary sign-bit/Hamming (``bq``), flat INT8 scalar quantization
 (``sq``), IVF-SQ8 probed byte-coded residuals (``ivfsq``) — each a
 stage-1 cut + exact re-rank writing the family shape ``(query_id,
-vec_id, d2_u, rn)``. One-shot build+search; production splits them via
-the ``bq_build``/``ivfsq_build`` API.
+vec_id, d2_u, rn)``. Without ``--index-dir`` it's a one-shot
+build+search; production splits them: ``knn-build`` trains the tier
+ONCE and persists it (artifacts in a versioned manifest, code tables as
+parquet — ``operators/index_store``), then ``knn --index-dir DIR``
+serves queries from the stored index without re-running any training
+job (no Lloyd rounds, no calibration scan). ``ivfpq`` is the residual
+IVFADC tier (coarse cells + 8-byte packed residual codes, ADC ranking)
+— available through the build/serve split only, since a one-shot
+retrain per query set defeats its point.
 
 ``sign`` maintains the O(delta) MinHash signature ledger
 (``operators/dedup``): a fresh run signs every doc of IN (content hash +
@@ -140,7 +151,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
         "curate", "select", "bpe-train", "project", "compact", "knn",
-        "sign", "ledger-compact", "explain", "frontier",
+        "knn-build", "sign", "ledger-compact", "explain", "frontier",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -236,11 +247,17 @@ def main(argv: list[str] | None = None) -> None:
                    help="project (pca): divide scores by sqrt-eigenvalues")
     p.add_argument("--query-ids", default=None, metavar="ID,ID,...",
                    help="knn: comma-separated vec_ids to search for")
-    p.add_argument("--knn-index", dest="knn_index", default="brute",
-                   choices=["brute", "bq", "sq", "ivfsq"],
-                   help="knn: index tier — exact integer-L2 scan, binary "
-                        "sign-bit/Hamming, flat INT8 SQ, or IVF-SQ8 "
-                        "(probed byte-coded residuals)")
+    p.add_argument("--knn-index", dest="knn_index", default=None,
+                   choices=["brute", "bq", "sq", "ivfsq", "ivfpq"],
+                   help="knn/knn-build: index tier — exact integer-L2 "
+                        "scan (knn only), binary sign-bit/Hamming, flat "
+                        "INT8 SQ, IVF-SQ8 (probed byte-coded residuals), "
+                        "or residual IVFADC (knn-build/--index-dir only)")
+    p.add_argument("--index-dir", default=None, metavar="DIR",
+                   help="knn: serve from the stored index a knn-build "
+                        "run wrote here (no training job re-runs)")
+    p.add_argument("--coarse-k", type=int, default=16,
+                   help="knn-build (ivfsq/ivfpq): coarse IVF cell count")
     p.add_argument("--k", type=int, default=10, help="knn: results per query")
     p.add_argument("--candidates", type=int, default=50,
                    help="knn: stage-1 survivors per query (bq/sq/ivfsq)")
@@ -266,6 +283,17 @@ def main(argv: list[str] | None = None) -> None:
             p.error(f"knn: --query-ids must be integers, got {args.query_ids!r}")
         if not knn_ids:
             p.error("knn: --query-ids is empty")
+        if args.index_dir is None and args.knn_index == "ivfpq":
+            p.error(
+                "knn: the ivfpq tier serves from a stored index only — "
+                "run knn-build first, then knn --index-dir DIR (a "
+                "one-shot retrain per query set defeats its point)"
+            )
+    if args.tool == "knn-build":
+        if args.knn_index not in ("bq", "sq", "ivfsq", "ivfpq"):
+            p.error("knn-build: --knn-index bq|sq|ivfsq|ivfpq is required")
+    if args.index_dir is not None and args.tool != "knn":
+        p.error("--index-dir is knn-only (knn-build's OUT is the index dir)")
 
     if args.tool == "select":
         # argparse-level contract checks (no Spark session needed to fail)
@@ -362,24 +390,76 @@ def main(argv: list[str] | None = None) -> None:
         spark.stop()
         return
 
+    if args.tool == "knn-build":
+        # IN is an embeddings parquet (vec_id, embedding); OUT is the
+        # index directory — training runs HERE, once; `knn --index-dir`
+        # then serves without re-running any training job. Prints a
+        # one-line JSON census of what was trained and stored.
+        import json
+
+        from hadoop_tfidf_spark.operators.index_store import (
+            build_knn_index,
+            load_index,
+        )
+
+        emb = spark.read.parquet(args.input)
+        kind = "ivfpq_res" if args.knn_index == "ivfpq" else args.knn_index
+        build_knn_index(
+            emb, kind, args.output,
+            units=args.units, coarse_k=args.coarse_k,
+        )
+        idx = load_index(spark, args.output)
+        print(json.dumps({
+            "kind": idx.kind, "path": args.output,
+            "params": idx.params,
+            "artifacts": sorted(idx.artifacts),
+            "tables": sorted(idx.tables),
+        }, sort_keys=True))
+        spark.stop()
+        return
+
     if args.tool == "knn":
         # IN is an embeddings parquet (vec_id, embedding); OUT gets the
-        # family-shape result (query_id, vec_id, d2_u, rn). One-shot
-        # build+search — production splits build from search via the
-        # bq_build/ivfsq_build API and passes the stored index in.
+        # family-shape result (query_id, vec_id, d2_u, rn). With
+        # --index-dir: SERVE from the stored index (operators/
+        # index_store — zero training jobs, the build-once/serve-many
+        # split). Without: one-shot build+search.
         from hadoop_tfidf_spark.operators import similarity as S
 
         emb = spark.read.parquet(args.input)
+        if args.index_dir is not None:
+            from hadoop_tfidf_spark.operators.index_store import (
+                load_index,
+                serve_knn,
+            )
+
+            idx = load_index(spark, args.index_dir)
+            want = "ivfpq_res" if args.knn_index == "ivfpq" else args.knn_index
+            if want is not None and want != idx.kind:
+                p.error(
+                    f"knn: --index-dir holds a {idx.kind!r} index but "
+                    f"--knn-index asked for {want!r}; drop --knn-index "
+                    "(the manifest knows the tier) or point at the "
+                    "right index"
+                )
+            out = serve_knn(
+                emb, idx, knn_ids, k=args.k,
+                candidates=args.candidates, nprobe=args.nprobe,
+            )
+            _write(out, args.output, args.format)
+            spark.stop()
+            return
+        tier = args.knn_index or "brute"
         in_dim = len(emb.select("embedding").first()["embedding"])
         queries = emb.where(F.col("vec_id").isin(knn_ids))
-        if args.knn_index == "brute":
+        if tier == "brute":
             out = S.int_l2_topk(emb, queries, k=args.k, units=args.units)
-        elif args.knn_index == "bq":
+        elif tier == "bq":
             out = S.bq_topk(
                 emb, queries, k=args.k, candidates=args.candidates,
                 units=args.units, in_dim=in_dim,
             )
-        elif args.knn_index == "sq":
+        elif tier == "sq":
             out = S.sq_topk(
                 emb, queries, k=args.k, candidates=args.candidates,
                 units=args.units, in_dim=in_dim,

@@ -521,6 +521,69 @@ def test_knn_brute_and_bq(spark, tmp_path):
     assert bq == brute
 
 
+def test_knn_build_then_serve_matches_one_shot(spark, tmp_path):
+    """The build-once/serve-many split end-to-end through the CLI in
+    separate processes: knn-build trains and persists the ivfsq tier
+    (printing its manifest census), knn --index-dir serves from the
+    stored artifacts, and the served rows hash-equal the one-shot
+    build+search twin (deterministic integer Lloyd → identical index
+    either way)."""
+    import json
+
+    emb_path = str(tmp_path / "emb.parquet")
+    rows = [
+        (i, [((i * 29 + d * 13) % 19 - 9) / 10.0 for d in range(8)])
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(emb_path)
+
+    idx_dir = str(tmp_path / "idx")
+    res = _run("knn-build", emb_path, idx_dir, "--knn-index", "ivfsq",
+               "--units", "1000")
+    census = json.loads(res.stdout.strip().splitlines()[-1])
+    assert census["kind"] == "ivfsq"
+    assert census["artifacts"] == ["centroids", "vmax"]
+    assert census["tables"] == ["index"]
+
+    # nprobe=16 probes every coarse cell: the tiny fixture can then
+    # always fill k=5 (2 cells may hold < 5 neighbors)
+    out_served = str(tmp_path / "served")
+    _run("knn", emb_path, out_served, "--query-ids", "0,3", "--k", "5",
+         "--index-dir", idx_dir, "--candidates", "30", "--nprobe", "16")
+    served = sorted(duckdb.sql(
+        f"SELECT query_id, rn, vec_id, d2_u FROM '{out_served}/*.parquet'"
+    ).fetchall())
+
+    out_oneshot = str(tmp_path / "oneshot")
+    _run("knn", emb_path, out_oneshot, "--query-ids", "0,3", "--k", "5",
+         "--knn-index", "ivfsq", "--candidates", "30", "--nprobe", "16",
+         "--units", "1000")
+    oneshot = sorted(duckdb.sql(
+        f"SELECT query_id, rn, vec_id, d2_u FROM '{out_oneshot}/*.parquet'"
+    ).fetchall())
+
+    assert served == oneshot and len(served) == 10
+
+    # tier mismatch between the flag and the manifest fails loudly
+    res = subprocess.run(
+        [sys.executable, "-m", "hadoop_tfidf_spark.cli", "knn", emb_path,
+         str(tmp_path / "x"), "--query-ids", "0", "--index-dir", idx_dir,
+         "--knn-index", "bq"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert res.returncode != 0 and "ivfsq" in res.stderr
+
+    # ivfpq is build/serve only — the one-shot path refuses it
+    res = subprocess.run(
+        [sys.executable, "-m", "hadoop_tfidf_spark.cli", "knn", emb_path,
+         str(tmp_path / "y"), "--query-ids", "0", "--knn-index", "ivfpq"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert res.returncode != 0 and "knn-build" in res.stderr
+
+
 def test_knn_rejects_missing_query_ids(tmp_path):
     import subprocess
 

@@ -164,6 +164,170 @@ def test_bloom_untagged_bitmap_stays_probeable(spark):
     assert a == b
 
 
+# ------------------------------------------------ trained-index persistence
+
+
+def _emb(spark, n=60, dim=8):
+    rows = [
+        (i, [((i * 29 + d * 13) % 19 - 9) / 10.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+_BUILD_KW = dict(units=1000, coarse_k=4, m=2, pq_k=4, pq_iters=1)
+
+
+def _in_session_twin(spark, emb, kind, qids, k, candidates, nprobe):
+    """The same search run against an index built IN this session —
+    what serve-from-disk must hash-equal."""
+    from hadoop_tfidf_spark.operators import similarity as S
+
+    queries = emb.where(F.col("vec_id").isin(qids))
+    if kind == "bq":
+        return S.bq_topk(
+            emb, queries, k=k, candidates=candidates, units=1000, in_dim=8
+        )
+    if kind == "sq":
+        return S.sq_topk(
+            emb, queries, k=k, candidates=candidates, units=1000, in_dim=8
+        )
+    if kind == "ivfsq":
+        return S.ivfsq_topk(
+            emb, qids, k=k, candidates=candidates, nprobe=nprobe,
+            coarse_k=4, units=1000, in_dim=8,
+        )
+    assigned, cents, codes, codebooks = S.ivfpq_build_residual(
+        emb, coarse_k=4, m=2, k=4, iters=1, units=1000, pack=True
+    )
+    return S.ivfpq_topk(
+        assigned, cents, codes, codebooks, query_ids=qids, k=k,
+        nprobe=nprobe, units=1000, residual=True,
+    )
+
+
+def test_saved_index_serves_identically_to_in_session_build(spark, tmp_path):
+    """The build-once/serve-many contract: for every cli-knn tier, a
+    query answered from a LOADED index equals the same query against an
+    in-session build, row for row — every artifact is integer-exact and
+    round-trips the JSON manifest losslessly."""
+    from hadoop_tfidf_spark.operators.index_store import (
+        KNN_KINDS,
+        build_knn_index,
+        load_index,
+        serve_knn,
+    )
+
+    emb = _emb(spark)
+    qids = [0, 7]
+    for kind in KNN_KINDS:
+        d = str(tmp_path / f"idx_{kind}")
+        build_knn_index(emb, kind, d, **_BUILD_KW)
+        served = sorted(
+            map(
+                tuple,
+                serve_knn(
+                    emb, load_index(spark, d), qids,
+                    k=5, candidates=30, nprobe=2,
+                ).collect(),
+            )
+        )
+        twin = sorted(
+            map(
+                tuple,
+                _in_session_twin(spark, emb, kind, qids, 5, 30, 2).collect(),
+            )
+        )
+        assert served == twin, kind
+        assert len(served) == len(qids) * 5, kind
+
+
+def test_serve_knn_never_reruns_a_training_job(spark, tmp_path, monkeypatch):
+    """The census VERDICT asked for: with every trainer in the
+    similarity module made unreachable, serving from a stored index
+    still answers — proof the serve path reads artifacts instead of
+    re-running Lloyd / calibration / encoding."""
+    from hadoop_tfidf_spark.operators import similarity as S
+    from hadoop_tfidf_spark.operators.index_store import (
+        KNN_KINDS,
+        build_knn_index,
+        load_index,
+        serve_knn,
+    )
+
+    emb = _emb(spark)
+    dirs = {}
+    for kind in KNN_KINDS:
+        dirs[kind] = str(tmp_path / f"idx_{kind}")
+        build_knn_index(emb, kind, dirs[kind], **_BUILD_KW)
+
+    def _trap(name):
+        def boom(*a, **kw):
+            raise AssertionError(f"training job {name} ran during serve")
+
+        return boom
+
+    for trainer in (
+        "ivf_build", "pq_build", "ivfpq_build_residual", "ivfsq_build",
+        "bq_build", "sq_vmax", "opq_permutation", "_pq_train_units",
+    ):
+        monkeypatch.setattr(S, trainer, _trap(trainer))
+
+    for kind in KNN_KINDS:
+        out = serve_knn(
+            emb, load_index(spark, dirs[kind]), [0, 7],
+            k=5, candidates=30, nprobe=2,
+        ).collect()
+        assert len(out) == 10, kind
+
+
+def test_index_manifest_contracts(spark, tmp_path):
+    """The manifest is the versioned pairing between artifacts and
+    stored tables: saves refuse overwrites, loads refuse missing or
+    wrong-version manifests and out-of-sync table schemas, and
+    non-integer artifacts (which would not round-trip exactly) refuse
+    to persist at all."""
+    import json
+    import os
+
+    from hadoop_tfidf_spark.operators.index_store import (
+        build_knn_index,
+        load_index,
+        save_index,
+    )
+
+    emb = _emb(spark)
+    d = str(tmp_path / "idx")
+    build_knn_index(emb, "ivfsq", d, **_BUILD_KW)
+
+    with pytest.raises(FileExistsError, match="immutable"):
+        build_knn_index(emb, "ivfsq", d, **_BUILD_KW)
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        load_index(spark, str(tmp_path / "nowhere"))
+    with pytest.raises(TypeError, match="exact-integer"):
+        save_index(str(tmp_path / "f"), "sq", {}, {"vmax": 1.5}, {})
+
+    mpath = f"{d}/manifest.json"
+    m = json.load(open(mpath))
+
+    m2 = dict(m, format_version=999)
+    json.dump(m2, open(mpath, "w"))
+    with pytest.raises(ValueError, match="format_version"):
+        load_index(spark, d)
+
+    m3 = dict(m)
+    m3["tables"] = {"index": {"schema": "struct<wrong:int>"}}
+    json.dump(m3, open(mpath, "w"))
+    with pytest.raises(ValueError, match="out of sync"):
+        load_index(spark, d)
+
+    json.dump(m, open(mpath, "w"))  # restore — loads again
+    assert load_index(spark, d).kind == "ivfsq"
+    os.remove(mpath)
+    with pytest.raises(FileNotFoundError):
+        load_index(spark, d)
+
+
 # ------------------------------------------------ ivfpq query-source guard
 
 
