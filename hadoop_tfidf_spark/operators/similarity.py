@@ -1409,6 +1409,23 @@ def ivfpq_bulk_topk(
         vec_col=vec_col, embeddings=embeddings, residual=residual,
         queries=embeddings,
     ).select("query_id", id_col)
+    return _exact_rerank(
+        embeddings, cand, k, units=units, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _exact_rerank(
+    embeddings: DataFrame,
+    cand: DataFrame,
+    k: int,
+    units: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Stage 2 of every compressed bulk search: exact full-dimension
+    integer L2 over the ``(query_id, id)`` candidate relation only, then
+    one top-k window per query. Id-keyed equi-joins, strategy left to
+    AQE (both sides scale with the candidate cut, not the corpus)."""
     base = embeddings.select(
         id_col, quantized_units(F.col(vec_col), units).alias("_u")
     )
@@ -1429,6 +1446,107 @@ def ivfpq_bulk_topk(
     return (
         rerank.withColumn("rn", F.row_number().over(w).cast("int"))
         .where(F.col("rn") <= k)
+    )
+
+
+def size_knn_budget(
+    assigned: DataFrame,
+    centroids: list[list[int]],
+    codes: DataFrame,
+    codebooks: list[list[list[int]]],
+    embeddings: DataFrame,
+    target_recall: float = 0.8,
+    k: int = 10,
+    sample_mod: int = 10,
+    nprobes: list[int] | None = None,
+    candidate_ladder: list[int] | None = None,
+    units: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = True,
+) -> tuple[int, int, list[dict]]:
+    """Turn a target recall into a measured ``(nprobe, candidates)``
+    budget for :func:`ivfpq_bulk_topk` — the auto-sizer for the tuning
+    dial the bulk compressed path otherwise leaves manual. The engine
+    already measures recall curves (``sim_recall_curve``); this walks
+    one on a SAMPLE and returns the cheapest budget that clears the
+    target:
+
+    1. sample queries by deterministic id-modulus (``id % sample_mod
+       == 0``, capped at :data:`DRIVER_PROBE_MAX` — a bounded collect);
+    2. exact integer-L2 top-``k`` truth for the sample (one broadcast
+       scan — sample-sized, never corpus × corpus);
+    3. walk budgets cheapest-first (``nprobe`` doubling outer,
+       ``candidates`` ladder inner), each: ADC cut at that budget →
+       exact re-rank (:func:`_exact_rerank`, the same stage 2 the bulk
+       job runs) → recall@k vs the truth;
+    4. return the first budget meeting ``target_recall`` plus the full
+       measured curve (for SCALE.md-style dashboards); raise with the
+       curve embedded if even the top budget misses — the index itself
+       (coarse_k, m, PQ bits) is then the dial to turn, not the search
+       budget.
+
+    Cost: every probe of the curve touches ~``n_sample·nprobe/k_coarse``
+    of the corpus through the 2–8-byte codes plus ``n_sample·candidates``
+    exact rows — at 100 TB this is minutes on a sample while the bulk
+    job it sizes is hours on the corpus; sizing before bulking is the
+    production order of operations."""
+    if nprobes is None:
+        nprobes, p = [], 1
+        while p < len(centroids):
+            nprobes.append(p)
+            p *= 2
+        nprobes.append(len(centroids))
+    if candidate_ladder is None:
+        candidate_ladder = [2 * k, 4 * k, 8 * k]
+    qids = [
+        int(r[id_col])
+        for r in embeddings.where(
+            (F.col(id_col) % sample_mod) == 0
+        ).select(id_col).orderBy(id_col).limit(DRIVER_PROBE_MAX).collect()
+    ]
+    if not qids:
+        raise ValueError("size_knn_budget: empty query sample")
+    sample_q = embeddings.where(F.col(id_col).isin(qids))
+    truth = {
+        (int(r["query_id"]), int(r[id_col]))
+        for r in int_l2_topk(
+            embeddings, sample_q, k=k, units=units,
+            id_col=id_col, vec_col=vec_col,
+        ).select("query_id", id_col).collect()
+    }
+    if not truth:
+        raise ValueError("size_knn_budget: empty exact truth set")
+    curve: list[dict] = []
+    for nprobe in nprobes:
+        for candidates in candidate_ladder:
+            approx = _exact_rerank(
+                embeddings,
+                ivfpq_topk(
+                    assigned, centroids, codes, codebooks, qids,
+                    k=candidates, nprobe=nprobe, units=units,
+                    id_col=id_col, vec_col=vec_col,
+                    embeddings=embeddings, residual=residual,
+                ).select("query_id", id_col),
+                k, units=units, id_col=id_col, vec_col=vec_col,
+            )
+            hits = sum(
+                (int(r["query_id"]), int(r[id_col])) in truth
+                for r in approx.select("query_id", id_col).collect()
+            )
+            recall = hits / len(truth)
+            curve.append(
+                {"nprobe": nprobe, "candidates": candidates,
+                 "recall": recall}
+            )
+            if recall >= target_recall:
+                return nprobe, candidates, curve
+    raise ValueError(
+        f"size_knn_budget: target recall {target_recall} unreachable at "
+        f"any searched budget (best "
+        f"{max(c['recall'] for c in curve):.3f}); the index itself is "
+        f"the dial now — more coarse cells, more PQ bits, or a larger "
+        f"candidate ladder. Measured curve: {curve}"
     )
 
 

@@ -328,6 +328,67 @@ def test_index_manifest_contracts(spark, tmp_path):
         load_index(spark, d)
 
 
+# ------------------------------------------------ auto-sized kNN budget
+
+
+def test_bulk_recall_floor_at_auto_sized_budget(spark):
+    """The tuning dial, automated: size_knn_budget walks the recall
+    curve on a deterministic query sample and returns the cheapest
+    (nprobe, candidates) clearing the target — and the FULL-corpus bulk
+    job at that budget then clears the same floor (everything is
+    integer-exact, so the numbers are pinnable). Floor raised from the
+    manual 0.5 to an auto-sized 0.8."""
+    from hadoop_tfidf_spark.operators import similarity as S
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).where(F.col("vec_id") < 200)
+    a, c, co, cb = S.ivfpq_build_residual(
+        emb, coarse_k=8, coarse_iters=1, m=4, k=8, iters=1,
+        units=1_000_000, pack=True,
+    )
+    nprobe, cand, curve = S.size_knn_budget(
+        a, c, co, cb, emb, target_recall=0.8, k=5, sample_mod=5,
+        candidate_ladder=[10, 20, 40, 80, 120],
+    )
+    # integer-exact end to end → the sized budget is deterministic
+    assert (nprobe, cand) == (8, 80)
+    assert curve[-1]["nprobe"] == nprobe
+    assert curve[-1]["candidates"] == cand
+    assert curve[-1]["recall"] >= 0.8
+    # at fixed nprobe, recall is weakly increasing in candidates (a
+    # bigger ADC cut can only add true neighbors to the exact re-rank)
+    by_np: dict[int, list[float]] = {}
+    for row in curve:
+        by_np.setdefault(row["nprobe"], []).append(row["recall"])
+    for recalls in by_np.values():
+        assert recalls == sorted(recalls)
+
+    # the floor test proper: the FULL-corpus bulk kNN graph at the
+    # auto-sized budget clears the target
+    approx = S.ivfpq_bulk_topk(
+        a, c, co, cb, emb, k=5, candidates=cand, nprobe=nprobe,
+        units=1_000_000,
+    ).select("query_id", "vec_id")
+    exact = S.int_l2_topk(emb, emb, k=5, units=1_000_000).select(
+        F.col("query_id"), F.col("vec_id").alias("true_id")
+    )
+    hits = approx.join(
+        exact,
+        (approx.query_id == exact.query_id)
+        & (approx.vec_id == exact.true_id),
+    ).count()
+    assert hits / (200 * 5) >= 0.8
+
+    # an unreachable target fails loudly WITH the measured curve, never
+    # silently returns an under-budgeted point
+    with pytest.raises(ValueError, match="unreachable"):
+        S.size_knn_budget(
+            a, c, co, cb, emb, target_recall=0.99, k=5, sample_mod=5,
+            nprobes=[1], candidate_ladder=[10],
+        )
+
+
 # ------------------------------------------------ ivfpq query-source guard
 
 
