@@ -11,6 +11,8 @@ distributed — no skew concern at 100 TB).
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -749,11 +751,193 @@ def bloom_geometry(
         raise ValueError(
             f"bits={bits} exceeds the hash range (positions are mod M31 "
             f"= {M31}; lanes past it would be structurally dead) — "
-            "shard the key set into multiple filters instead"
+            "shard the key set with bloom_geometry_sharded / "
+            "bloom_bitmap_sharded instead"
         )
     if hashes is None:
         hashes = min(max(1, round(0.6931 * bits_per_key)), len(MINHASH_A))
     return bits, hashes
+
+
+def bloom_geometry_sharded(
+    n_keys: int, bits_per_key: int = 10, hashes: int | None = None
+) -> tuple[int, int, int]:
+    """Sizing past :func:`bloom_geometry`'s hard M31 ceiling: when the
+    requested total bits exceed the hash range (a 10⁹-shingle benchmark
+    release at 10 bits/key wants ~10 Gbit ≈ 1.25 GB — four times past
+    the ~256 MB single-filter wall), partition the KEY SET by a
+    shingle-hash modulus into the fewest shards whose per-shard filter
+    fits, and size each shard for its ~1/S key share. Returns
+    ``(bits_per_shard, hashes, n_shards)``; per-key FP math is
+    unchanged because each key probes only its own shard (pairwise
+    independence of the Carter–Wegman positions holds within any
+    residue class of the shard modulus). ``n_shards == 1`` degrades to
+    the single-filter geometry exactly."""
+    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A
+
+    if n_keys <= 0:
+        raise ValueError("n_keys must be positive")
+    ceiling = M31 - (M31 % _BLOOM_LANE)
+    total = max(_BLOOM_LANE, n_keys * bits_per_key)
+    n_shards = -(-total // ceiling)
+    keys_per_shard = -(-n_keys // n_shards)
+    bits = max(
+        _BLOOM_LANE,
+        -(-keys_per_shard * bits_per_key // _BLOOM_LANE) * _BLOOM_LANE,
+    )
+    if hashes is None:
+        hashes = min(max(1, round(0.6931 * bits_per_key)), len(MINHASH_A))
+    return bits, hashes, n_shards
+
+
+@dataclasses.dataclass
+class ShardedBloom:
+    """A shard-major flat word array plus its geometry — the past-M31
+    form of the tagged single bitmap (fully self-describing, like the
+    single filter's sentinel tag). Total plan-literal size is
+    ``n_shards × bits_per_shard / 8`` bytes; each shard individually
+    respects the M31 position range."""
+
+    words: list[int]
+    bits_per_shard: int
+    n_shards: int
+    hashes: int
+
+
+def bloom_bitmap_sharded(
+    bench_docs: DataFrame,
+    k: int = 3,
+    bits_per_shard: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+    n_shards: int = 1,
+) -> ShardedBloom:
+    """Build the SHARDED benchmark Bloom filter ONCE: each distinct
+    ``k``-gram shingle routes to shard ``base_hash % n_shards`` and
+    sets its ``hashes`` Carter–Wegman positions within THAT shard's
+    ``bits_per_shard``-bit filter. One ``bit_or`` aggregation keyed on
+    the flat shard-major word index builds all shards in a single job;
+    the collect stays bounded by total geometry, never data. Size with
+    :func:`bloom_geometry_sharded`. The probe (:func:`
+    contamination_bloom_sharded`) ORs nothing across shards — a key's
+    membership is decided entirely inside its own shard, so the
+    one-sided-error contract is per-key identical to the single
+    filter's."""
+    from hadoop_tfidf_spark.operators.dedup import shingles
+
+    _check_geometry(bits_per_shard, hashes)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    wps = bits_per_shard // _BLOOM_LANE
+    flat_idx = (
+        (F.col("x") % n_shards) * wps
+        + (F.col("pos") / _BLOOM_LANE).cast("int")
+    ).cast("int")
+    packed = (
+        shingles(bench_docs, k=k)
+        .select(_md5_base(F.col("shingle")).alias("x"))
+        .select(
+            "x",
+            F.explode(
+                F.array(*_bloom_positions(F.col("x"), bits_per_shard, hashes))
+            ).alias("pos"),
+        )
+        .groupBy(flat_idx.alias("w_idx"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("pos") % _BLOOM_LANE).cast("int"),
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * (n_shards * wps)
+    for row in packed:
+        words[row["w_idx"]] = row["bits"]
+    return ShardedBloom(words, bits_per_shard, n_shards, hashes)
+
+
+def _bloom_probe_sharded(x: Column, flat_lit: Column, sb: ShardedBloom) -> Column:
+    """Membership of a base-hash column against its OWN shard of the
+    flat word array: same lane arithmetic as :func:`_bloom_probe` with
+    the word index offset by ``(x % n_shards) · words_per_shard``.
+    Still pure integer expressions over one plan literal."""
+    wps = sb.bits_per_shard // _BLOOM_LANE
+    base_word = (x % sb.n_shards) * wps
+    probe = F.lit(True)
+    for pos in _bloom_positions(x, sb.bits_per_shard, sb.hashes):
+        lane = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % _BLOOM_LANE).cast("int")
+        )
+        word = F.element_at(
+            flat_lit, (base_word + (pos / _BLOOM_LANE).cast("int") + 1).cast("int")
+        )
+        probe = probe & (word.bitwiseAND(lane) != 0)
+    return probe
+
+
+def contamination_bloom_sharded(
+    docs: DataFrame,
+    sharded: ShardedBloom,
+    k: int = 3,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """The stateless row-local contamination verdict
+    (:func:`contamination_bloom_stateless`'s exact output schema and
+    staging discipline) probed against a SHARDED filter — the form a
+    10⁹-shingle benchmark release needs once a single filter would
+    cross the M31 position range. ZERO aggregation/joins/shuffles; the
+    whole sharded filter rides the plan as one flat literal (still a
+    broadcast-able few hundred MB at the sizes that force sharding —
+    the alternative, an exact semi-join against a multi-GB string set,
+    shuffles the corpus)."""
+    _check_geometry(sharded.bits_per_shard, sharded.hashes)
+    if len(sharded.words) != sharded.n_shards * (
+        sharded.bits_per_shard // _BLOOM_LANE
+    ):
+        raise ValueError(
+            "ShardedBloom words length does not match its geometry "
+            f"({len(sharded.words)} words for {sharded.n_shards} shards "
+            f"x {sharded.bits_per_shard} bits)"
+        )
+    lit = F.lit(sharded.words)
+    wcol = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size("_w") >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+                lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    xs = F.transform("_g", lambda g: _md5_base(g))
+    n_sh = F.size("_g").cast("bigint")
+    hits = F.size(
+        F.filter("_x", lambda x: _bloom_probe_sharded(x, lit, sharded))
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", wcol.alias("_w"))
+        .select("doc_id", grams.alias("_g"))
+        .select("doc_id", n_sh.alias("n_shingles"), xs.alias("_x"))
+        .select("doc_id", "n_shingles", hits.alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.when(F.col("n_shingles") == 0, F.lit(1))
+            .otherwise(
+                (
+                    F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+                    <= F.lit(max_overlap)
+                ).cast("int")
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
 
 
 def bloom_bitmap(
