@@ -164,6 +164,35 @@ def test_bloom_untagged_bitmap_stays_probeable(spark):
     assert a == b
 
 
+# ------------------------------------------------ registry contract pin
+
+
+def test_registry_order_and_oracle_sql_are_pinned():
+    """The driver's gate window is the FIRST 50 queries() entries and
+    its hash compare runs the oracle SQL verbatim — so registry ORDER
+    and oracle TEXT are contract, not style. This pin (snapshotted
+    before the round-15 extensions.py split) fails on any accidental
+    reorder, key loss, or oracle-SQL drift; a deliberate rotation
+    regenerates the fixture in the same commit."""
+    import hashlib
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    fix = json.load(
+        open(os.path.join(os.path.dirname(__file__), "fixtures_registry_pin.json"))
+    )
+    qs = list(e.queries())
+    assert qs == fix["key_order"]
+    assert qs[:50] == fix["window"]
+    osql = e.oracle_sql()
+    got = {
+        k: hashlib.sha256(v.encode()).hexdigest() for k, v in osql.items()
+    }
+    assert got == fix["oracle_sha256"]
+
+
 # ------------------------------------------------ sharded Bloom filters
 
 
