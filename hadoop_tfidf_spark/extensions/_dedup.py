@@ -1,0 +1,272 @@
+"""Dedup-family declared queries (exact / MinHash-LSH / SimHash / fuzzy / semantic / span / delta ledger).
+
+Split from the original single-module ``extensions.py`` (round 15) with
+block text preserved verbatim; see the package ``__init__`` for the
+registry contract.
+"""
+
+from __future__ import annotations
+
+from hadoop_tfidf_spark.operators import dedup as D
+from pyspark.sql import functions as F
+from hadoop_tfidf_spark.operators import similarity as S
+from hadoop_tfidf_spark.extensions._base import (
+    _docs,
+    _emb,
+)
+from hadoop_tfidf_spark.extensions._sim import (
+    IVF_ITERS,
+    IVF_K,
+    IVF_UNITS,
+)
+
+NEAR_DUP_COS = 0.9
+#: Gate-only near-dup threshold. The driver's synthetic embeddings are
+#: near-orthogonal random vectors (max same-bucket pairwise cosine ≈ 0.43 at
+#: sf0.01), so the production default 0.9 yields an EMPTY relation and the
+#: oracle row would vacuously compare {} to {} — proving nothing. 0.30 keeps
+#: ~24 pairs at sf0.01 flowing through the full blocking-join + cosine
+#: pipeline, making the hash check exercise real data. The operator default
+#: stays :data:`NEAR_DUP_COS`; unit tests cover genuinely-near vectors.
+GATE_NEAR_DUP_COS = 0.30
+JACCARD_K = 3
+
+
+def q_dedup_corpus_diff(spark, sf_dir):
+    """Content-addressed ingest diff between two synthetic corpus
+    generations (old = doc_id % 10 != 0; new = doc_id % 13 != 0 with
+    docs at doc_id % 7 == 0 textually revised) — every status class
+    (added / removed / changed / unchanged) populated at sf0.01."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.corpus_diff(old, new)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_exact_apply(spark, sf_dir):
+    """The corpus after exact dedup (keep min doc_id per text) — the
+    apply side of dedup_exact."""
+    return D.exact_dedup_apply(_docs(spark, sf_dir)).select("doc_id")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_dedup(_docs(spark, sf_dir, rebalance=True))
+
+
+#: Gate/bench value for the LSH megabucket cap. Production corpora use
+#: caps in the hundreds-to-thousands (drop only boilerplate megabuckets);
+#: the synthetic corpus has no megabuckets (max bucket = 4 docs), so 2 is
+#: the only value that *engages* the valve here — it drops the size-3/4
+#: buckets (25→22 pairs at sf0.01) and thereby gives the cap's sizes-agg +
+#: filter-join dataflow both a correctness row and a bench timing signal.
+GATE_LSH_BUCKET_CAP = 2
+
+
+def q_dedup_minhash_capped(spark, sf_dir):
+    """MinHash-LSH with the ``max_bucket_size`` safety valve ENGAGED (the
+    100 TB boilerplate-megabucket path of dedup.lsh_candidate_pairs) —
+    see :data:`GATE_LSH_BUCKET_CAP` for the cap choice."""
+    return D.minhash_lsh_dedup(
+        _docs(spark, sf_dir, rebalance=True),
+        max_bucket_size=GATE_LSH_BUCKET_CAP,
+    )
+
+
+def q_dedup_fuzzy(spark, sf_dir):
+    """Fuzzy matching: LSH candidate pairs annotated with exact Levenshtein
+    distance (dedup.fuzzy_pairs) — all candidates kept so the gate checks
+    the distances themselves, not just a threshold's survivors."""
+    docs = _docs(spark, sf_dir, rebalance=True)
+    return D.fuzzy_pairs(docs, D.minhash_lsh_dedup(docs))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(D.simhash(_docs(spark, sf_dir)))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
+    docs = _docs(spark, sf_dir, rebalance=True)
+    # One persisted distinct-shingle relation feeds MinHash, both verify
+    # join sides, and the size aggregate (Spark recomputes diamonds).
+    sh = (
+        D.shingles(docs, k=JACCARD_K)
+        .select("doc_id", "shingle")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = D.minhash_lsh_dedup(docs, shingle_df=sh)
+    return D.ngram_jaccard(docs, pairs, k=JACCARD_K, shingle_df=sh)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs at the gate threshold (see
+    :data:`GATE_NEAR_DUP_COS` for why it differs from the 0.9 default)."""
+    return S.embedding_near_dup(_emb(spark, sf_dir), threshold=GATE_NEAR_DUP_COS)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup: integer-Lloyd IVF cells as
+    blocking, within-cell rounded-cosine neighbor test, lowest-id
+    representative survives. Gate threshold is
+    :data:`GATE_NEAR_DUP_COS` (the synthetic embeddings are random —
+    0.95-cosine semantic twins don't exist at sf0.01; the planted
+    paraphrase fixtures in tests/test_round8_ops.py exercise the
+    production operating point). The embeddings persist across the
+    Lloyd build collects (the q_sim_topk_ivfpq pattern — released
+    before the lazy pair plan returns); remaining wall at sf0.1 is
+    Lloyd driver-job count + codegen of the centroid literal matrix,
+    not data volume."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    out = S.semantic_dedup(
+        emb,
+        k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS,
+        threshold=GATE_NEAR_DUP_COS,
+    )
+    emb.unpersist()  # build collects done — see q_sim_topk_ivfpq
+    return out
+
+
+#: Megacell cap for the gate's capped semantic-dedup row: cells at
+#: sf0.01 run 21-38 members (k=16 over 500 vectors), so 34 engages on
+#: the real top-4 cells — the valve is exercised, not decorative (the
+#: dedup_minhash_capped precedent).
+GATE_SEM_CELL_CAP = 34
+
+
+def q_dedup_semantic_capped(spark, sf_dir):
+    """Semantic dedup with the megacell valve ENGAGED: cells larger
+    than :data:`GATE_SEM_CELL_CAP` skip the pair test and flag
+    ``cell_capped = 1`` (keep-all — dedup's conservative failure mode);
+    the flagged fraction is the re-cluster-with-larger-k alarm. Oracle
+    replays the cap over the same Lloyd chain."""
+    return S.semantic_dedup(
+        _emb(spark, sf_dir),
+        k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS,
+        threshold=GATE_NEAR_DUP_COS,
+        max_cell_size=GATE_SEM_CELL_CAP,
+    )
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster-size distribution: per cluster size (1 =
+    singleton, no near-dup), how many clusters and how many docs — the
+    dedup AUDIT chart (how much of the corpus is boilerplate clusters?
+    did this crawl's dup rate drift?). Two label-keyed aggregations over
+    the 1-hop canonicalization — both shuffles are cluster-sized, and
+    the output is histogram-sized regardless of corpus scale."""
+    docs = _docs(spark, sf_dir, rebalance=True)
+    canon = D.near_dup_canonical(docs, D.minhash_lsh_dedup(docs))
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )
+
+
+def q_dedup_near_canonical(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return D.near_dup_canonical(docs, D.minhash_lsh_dedup(docs))
+
+
+def q_dedup_components(spark, sf_dir):
+    """Fixpoint canonicalization (connected components over LSH candidate
+    pairs) — survivor-valid representatives, unlike the 1-hop star."""
+    docs = _docs(spark, sf_dir)
+    return D.near_dup_components(docs, D.minhash_lsh_dedup(docs))
+
+
+def q_dedup_span_exact(spark, sf_dir):
+    """Span-granularity exact dedup (Lee et al. 2022 exact-substring
+    style): 5-word spans occurring verbatim in ≥ 2 documents are removed
+    and each doc reassembled — row-local span construction, one
+    md5-keyed count aggregation, one anti-join. Non-vacuous at sf0.01
+    (~226 cross-doc duplicate spans)."""
+    return D.span_dedup(_docs(spark, sf_dir), span_words=5)
+
+
+def q_dedup_span_sliding(spark, sf_dir):
+    """SLIDING-span exact dedup (Lee et al. arbitrary-boundary
+    approximation): 5-word spans starting every 2 words; a word is
+    removed iff covered by any span duplicated across ≥ 2 docs.
+    Strictly more sensitive than the fixed tiling (catches passages that
+    start mid-span); plan is still 2 row-local span passes + 1 md5-keyed
+    count + 1 equi-join."""
+    return D.span_dedup(_docs(spark, sf_dir), span_words=5, stride=2)
+
+
+def q_dedup_delta_signatures(spark, sf_dir):
+    """Round 13 — INCREMENTAL signature-index maintenance
+    (dedup.delta_signatures) over the same two synthetic corpus
+    generations as ``dedup_corpus_diff``: old = doc_id % 10 != 0 with a
+    stored signature table; new = doc_id % 13 != 0 with doc_id % 7 == 0
+    textually revised. Only added/changed docs are re-shingled; every
+    unchanged doc's signature row is carried from the stored table by a
+    doc_id semi-join — text for the unchanged 99% (at crawl scale)
+    never moves. The oracle computes the new generation's signatures
+    FROM SCRATCH (the full _minhash_body_sql sig chain over the revised
+    corpus), so the hash row IS the incremental == batch proof."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    old_sigs = D.minhash_signatures(D.shingles(old))
+    return D.delta_signatures(old_sigs, D.corpus_diff(old, new), new)
+
+
+def q_dedup_delta_ledger(spark, sf_dir):
+    """Round 14 — the O(delta) signature LEDGER shipped end-to-end
+    (dedup.sign_generation / write_generation / diff_from_ledger /
+    delta_sign): the gen-0 ledger — signatures PLUS the stored
+    ``md5(text)`` content hash — is MATERIALIZED to a
+    generation-partitioned parquet dir once per session (the stored
+    index), and the returned plan advances it to gen 1 against the SAME
+    revised corpus as ``dedup_delta_signatures``: the diff joins the
+    new crawl's hashes against the STORED hash column, so the old
+    generation's text appears NOWHERE in the plan (census-pinned in
+    tests/test_round14_ops.py — this is the production shape (1)+(3)
+    the SCALE.md cost ladder measured as the condition for the O(delta)
+    wall-time win). Oracle: sign gen 1 from scratch, content hash
+    included."""
+    from hadoop_tfidf_spark.streaming.windows import staged_source
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    ledger_root = staged_source(
+        ("delta_ledger_gen0", sf_dir),
+        lambda d: D.write_generation(D.sign_generation(old), d, 0),
+    )
+    old_sigs = D.read_generation(spark, ledger_root, 0)
+    return D.delta_sign(old_sigs, new)
