@@ -40,6 +40,9 @@ Usage::
     python -m hadoop_tfidf_spark.cli knn-build     IN INDEX_DIR
                   --knn-index bq|sq|ivfsq|ivfpq [--coarse-k K]
                   [--units U]
+    python -m hadoop_tfidf_spark.cli knn-graph     IN OUT --index-dir DIR
+                  (--target-recall R | --nprobe P --candidates C)
+                  [--k K]
     python -m hadoop_tfidf_spark.cli sign          IN OUT [--ledger DIR]
                   [--generation N] [--from-generation N]
     python -m hadoop_tfidf_spark.cli ledger-compact SINK - --keys K1,K2
@@ -95,7 +98,13 @@ serves queries from the stored index without re-running any training
 job (no Lloyd rounds, no calibration scan). ``ivfpq`` is the residual
 IVFADC tier (coarse cells + 8-byte packed residual codes, ADC ranking)
 — available through the build/serve split only, since a one-shot
-retrain per query set defeats its point.
+retrain per query set defeats its point. ``knn-graph`` is the bulk job:
+the whole-corpus kNN graph (semantic-dedup / clustering input) from a
+stored ivfpq index, with the search budget either pinned
+(``--nprobe``/``--candidates``) or AUTO-SIZED from a target recall
+(``--target-recall`` walks a sample recall curve against the exact
+integer-L2 truth and picks the cheapest clearing budget — the measured
+dial, not a guess).
 
 ``sign`` maintains the O(delta) MinHash signature ledger
 (``operators/dedup``): a fresh run signs every doc of IN (content hash +
@@ -151,7 +160,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
         "curate", "select", "bpe-train", "project", "compact", "knn",
-        "knn-build", "sign", "ledger-compact", "explain", "frontier",
+        "knn-build", "knn-graph", "sign", "ledger-compact", "explain",
+        "frontier",
     ])
     p.add_argument("input")
     p.add_argument("output")
@@ -258,6 +268,11 @@ def main(argv: list[str] | None = None) -> None:
                         "run wrote here (no training job re-runs)")
     p.add_argument("--coarse-k", type=int, default=16,
                    help="knn-build (ivfsq/ivfpq): coarse IVF cell count")
+    p.add_argument("--target-recall", type=float, default=None,
+                   metavar="R",
+                   help="knn-graph: auto-size the (nprobe, candidates) "
+                        "budget to the cheapest point clearing recall R "
+                        "on a sample curve vs the exact ranking")
     p.add_argument("--k", type=int, default=10, help="knn: results per query")
     p.add_argument("--candidates", type=int, default=50,
                    help="knn: stage-1 survivors per query (bq/sq/ivfsq)")
@@ -292,8 +307,17 @@ def main(argv: list[str] | None = None) -> None:
     if args.tool == "knn-build":
         if args.knn_index not in ("bq", "sq", "ivfsq", "ivfpq"):
             p.error("knn-build: --knn-index bq|sq|ivfsq|ivfpq is required")
-    if args.index_dir is not None and args.tool != "knn":
-        p.error("--index-dir is knn-only (knn-build's OUT is the index dir)")
+    if args.tool == "knn-graph":
+        if args.index_dir is None:
+            p.error("knn-graph: --index-dir DIR (a knn-build output) is "
+                    "required — the bulk job serves a stored index only")
+        if args.target_recall is not None and not 0 < args.target_recall <= 1:
+            p.error("knn-graph: --target-recall must be in (0, 1]")
+    if args.index_dir is not None and args.tool not in ("knn", "knn-graph"):
+        p.error("--index-dir is knn/knn-graph-only (knn-build's OUT is "
+                "the index dir)")
+    if args.target_recall is not None and args.tool != "knn-graph":
+        p.error("--target-recall is knn-graph-only")
 
     if args.tool == "select":
         # argparse-level contract checks (no Spark session needed to fail)
@@ -415,6 +439,32 @@ def main(argv: list[str] | None = None) -> None:
             "artifacts": sorted(idx.artifacts),
             "tables": sorted(idx.tables),
         }, sort_keys=True))
+        spark.stop()
+        return
+
+    if args.tool == "knn-graph":
+        # IN is an embeddings parquet; OUT gets the whole-corpus kNN
+        # graph (query_id, vec_id, d2_u, rn) from the STORED ivfpq
+        # index — the semantic-dedup / clustering input job. Budget is
+        # pinned (--nprobe/--candidates) or auto-sized from
+        # --target-recall via the sample recall curve.
+        from hadoop_tfidf_spark.operators.index_store import (
+            load_index,
+            serve_knn_bulk,
+        )
+
+        emb = spark.read.parquet(args.input)
+        idx = load_index(spark, args.index_dir)
+        if args.target_recall is not None:
+            out = serve_knn_bulk(
+                emb, idx, k=args.k, target_recall=args.target_recall
+            )
+        else:
+            out = serve_knn_bulk(
+                emb, idx, k=args.k, candidates=args.candidates,
+                nprobe=args.nprobe,
+            )
+        _write(out, args.output, args.format)
         spark.stop()
         return
 

@@ -299,3 +299,57 @@ def serve_knn(
             embeddings=embeddings, residual=True,
         )
     raise ValueError(f"unknown index kind {index.kind!r}")
+
+
+def serve_knn_bulk(
+    embeddings: DataFrame,
+    index: AnnIndex,
+    k: int = 10,
+    candidates: int | None = None,
+    nprobe: int | None = None,
+    target_recall: float | None = None,
+) -> DataFrame:
+    """The whole-corpus kNN graph from a LOADED residual-IVFADC index —
+    the semantic-dedup / clustering input job, composed from stored
+    artifacts: stage 1 drives the persisted ``(cluster, pq_code)``
+    relation with the corpus as the query relation (executor-side
+    probes, zero collect), stage 2 re-ranks the candidate cut by exact
+    integer L2. Pass ``target_recall`` to AUTO-SIZE the budget first
+    (``similarity.size_knn_budget`` walks a sample recall curve against
+    the exact truth — minutes on a sample before hours on the corpus);
+    or pin ``nprobe``/``candidates`` explicitly. No training job runs
+    either way."""
+    from hadoop_tfidf_spark.operators import similarity as S
+
+    if index.kind != "ivfpq_res":
+        raise ValueError(
+            f"serve_knn_bulk needs an ivfpq_res index (got {index.kind!r})"
+            " — the compressed tier is the one whose bulk scan pays"
+        )
+    p = index.params
+    cents = [[int(x) for x in c] for c in index.artifacts["centroids"]]
+    books = [
+        [[int(x) for x in cent] for cent in sub]
+        for sub in index.artifacts["codebooks"]
+    ]
+    if target_recall is not None:
+        if candidates is not None or nprobe is not None:
+            raise ValueError(
+                "pass target_recall OR explicit nprobe/candidates, not "
+                "both — auto-sizing would silently override the pins"
+            )
+        nprobe, candidates, _curve = S.size_knn_budget(
+            embeddings, cents, index.tables["codes"], books, embeddings,
+            target_recall=target_recall, k=k, units=p["units"],
+            id_col=p["id_col"], vec_col=p["vec_col"],
+        )
+    if candidates is None or nprobe is None:
+        raise ValueError(
+            "pass target_recall= (auto-size) or both nprobe= and "
+            "candidates= (pinned budget)"
+        )
+    return S.ivfpq_bulk_topk(
+        embeddings, cents, index.tables["codes"], books, embeddings,
+        k=k, candidates=candidates, nprobe=nprobe, units=p["units"],
+        id_col=p["id_col"], vec_col=p["vec_col"],
+    )

@@ -584,6 +584,40 @@ def test_knn_build_then_serve_matches_one_shot(spark, tmp_path):
     assert res.returncode != 0 and "knn-build" in res.stderr
 
 
+def test_knn_graph_serves_bulk_from_stored_index(spark, tmp_path):
+    """knn-graph end-to-end: build the ivfpq tier once, emit the
+    whole-corpus kNN graph from the stored index at a pinned budget —
+    every vector appears as a query, ranks are within k, and the output
+    is the family shape. Missing --index-dir refuses at argparse
+    level."""
+    emb_path = str(tmp_path / "emb.parquet")
+    rows = [
+        (i, [((i * 29 + d * 13) % 19 - 9) / 10.0 for d in range(8)])
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(emb_path)
+    idx_dir = str(tmp_path / "idx")
+    _run("knn-build", emb_path, idx_dir, "--knn-index", "ivfpq",
+         "--coarse-k", "4", "--units", "1000")
+    out = str(tmp_path / "graph")
+    _run("knn-graph", emb_path, out, "--index-dir", idx_dir,
+         "--k", "3", "--nprobe", "4", "--candidates", "30")
+    got = duckdb.sql(
+        f"SELECT query_id, vec_id, rn FROM '{out}/*.parquet'"
+    ).fetchall()
+    assert {r[0] for r in got} == set(range(40))  # every vector queries
+    assert all(1 <= r[2] <= 3 and r[0] != r[1] for r in got)
+
+    res = subprocess.run(
+        [sys.executable, "-m", "hadoop_tfidf_spark.cli", "knn-graph",
+         emb_path, str(tmp_path / "x")],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert res.returncode != 0 and "--index-dir" in res.stderr
+
+
 def test_knn_rejects_missing_query_ids(tmp_path):
     import subprocess
 

@@ -465,6 +465,72 @@ def test_index_manifest_contracts(spark, tmp_path):
         load_index(spark, d)
 
 
+# ------------------------------------------------ bulk serve from stored index
+
+
+def test_serve_knn_bulk_from_stored_index(spark, tmp_path, monkeypatch):
+    """The whole-corpus kNN graph from a LOADED ivfpq index: pinned
+    budget equals the in-session build+bulk twin row for row; the
+    auto-sized path sizes and answers with every trainer unreachable
+    (sizing measures, it never retrains); wrong-kind and ambiguous
+    budgets refuse."""
+    from hadoop_tfidf_spark.operators import similarity as S
+    from hadoop_tfidf_spark.operators.index_store import (
+        build_knn_index,
+        load_index,
+        serve_knn_bulk,
+    )
+
+    emb = _emb(spark)
+    d = str(tmp_path / "idx")
+    build_knn_index(emb, "ivfpq_res", d, **_BUILD_KW)
+    idx = load_index(spark, d)
+
+    a, c, co, cb = S.ivfpq_build_residual(
+        emb, coarse_k=4, m=2, k=4, iters=1, units=1000, pack=True
+    )
+    twin = sorted(
+        map(
+            tuple,
+            S.ivfpq_bulk_topk(
+                a, c, co, cb, emb, k=5, candidates=30, nprobe=4, units=1000
+            ).collect(),
+        )
+    )
+    served = sorted(
+        map(
+            tuple,
+            serve_knn_bulk(emb, idx, k=5, candidates=30, nprobe=4).collect(),
+        )
+    )
+    assert served == twin and served
+
+    # auto-size path: no trainer may run (sizing only measures)
+    for trainer in (
+        "ivf_build", "pq_build", "ivfpq_build_residual", "ivfsq_build",
+        "bq_build", "sq_vmax", "_pq_train_units",
+    ):
+        monkeypatch.setattr(
+            S, trainer,
+            lambda *a, **kw: (_ for _ in ()).throw(
+                AssertionError("trainer ran during bulk serve")
+            ),
+        )
+    sized = serve_knn_bulk(emb, idx, k=5, target_recall=0.3).collect()
+    assert sized
+
+    # refusals: wrong index kind, ambiguous budget, missing budget
+    d2 = str(tmp_path / "idx_bq")
+    monkeypatch.undo()
+    build_knn_index(emb, "bq", d2, units=1000)
+    with pytest.raises(ValueError, match="ivfpq_res"):
+        serve_knn_bulk(emb, load_index(spark, d2), k=5, nprobe=1, candidates=10)
+    with pytest.raises(ValueError, match="not.*both|not both"):
+        serve_knn_bulk(emb, idx, k=5, target_recall=0.5, nprobe=1, candidates=10)
+    with pytest.raises(ValueError, match="target_recall"):
+        serve_knn_bulk(emb, idx, k=5)
+
+
 # ------------------------------------------------ auto-sized kNN budget
 
 
