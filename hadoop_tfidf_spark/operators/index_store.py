@@ -201,11 +201,13 @@ def build_knn_index(
         )
         return save_index(index_dir, kind, params, {}, {"index": index})
     if kind == "sq":
-        vmax = S.sq_vmax(
+        index, vmax = S.sq_build(
             embeddings, units=units, in_dim=in_dim,
             id_col=id_col, vec_col=vec_col,
         )
-        return save_index(index_dir, kind, params, {"vmax": int(vmax)}, {})
+        return save_index(
+            index_dir, kind, params, {"vmax": int(vmax)}, {"index": index}
+        )
     if kind == "ivfsq":
         index, cents, vmax = S.ivfsq_build(
             embeddings, coarse_k=coarse_k, coarse_iters=coarse_iters,
@@ -274,6 +276,7 @@ def serve_knn(
             embeddings, queries, k=k, candidates=candidates, units=units,
             in_dim=in_dim, id_col=id_col, vec_col=vec_col,
             vmax=int(index.artifacts["vmax"]),
+            index=index.tables["index"],
         )
     if index.kind == "ivfsq":
         return S.ivfsq_topk(

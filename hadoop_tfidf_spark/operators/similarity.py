@@ -2325,6 +2325,36 @@ def sq_vmax(
     return max(1, int(row["m"] or 0))
 
 
+def sq_build(
+    embeddings: DataFrame,
+    units: int = 1_000_000,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vmax: int | None = None,
+) -> tuple[DataFrame, int]:
+    """The stored flat-SQ8 index: ``(id, _sq array<bigint>)`` at one
+    signed byte per component on the corpus-wide ``floor(u·127/vmax)``
+    scale, plus the ``vmax`` calibration the codes are meaningless
+    without — the build-once artifact pair :func:`sq_topk`'s ``index=``
+    scans instead of re-encoding the corpus per call (the whole point
+    of SQ is that searches read the byte codes, not the full vectors).
+    One zero-shuffle projection after the (skippable via ``vmax=``)
+    calibration scan."""
+    base = embeddings.select(
+        id_col,
+        _quantized_dim_checked(F.col(vec_col), units, in_dim, "sq_build")
+        .alias("_u"),
+    )
+    if vmax is None:
+        vmax = sq_vmax(
+            embeddings, units=units, in_dim=in_dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    vmax = max(1, int(vmax))
+    return base.select(id_col, _sq_codes(F.col("_u"), vmax).alias("_sq")), vmax
+
+
 def sq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -2335,6 +2365,7 @@ def sq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vmax: int | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieval through INT8 scalar quantization — the FAISS
     ``SQ8`` deployment shape: the stored index is one signed byte per
@@ -2370,6 +2401,10 @@ def sq_topk(
     joins wider than the broadcast query relation; stage 2 reads
     ``candidates`` full-width rows per query. The vmax aggregation is
     one map-side-combined ``max`` — a single scalar crosses the wire.
+    Pass ``index=`` (with its ``vmax=`` — :func:`sq_build` returns the
+    pair) to scan a STORED code table instead of re-encoding the
+    corpus in-plan: the deployment shape, since reading byte codes
+    rather than full vectors is the tier's entire point.
     """
     base = embeddings.select(
         id_col,
@@ -2377,13 +2412,22 @@ def sq_topk(
             "_u"
         ),
     )
+    if index is not None and vmax is None:
+        # codes without their scale are meaningless — queries quantized
+        # on a freshly-derived vmax would silently disagree with the
+        # stored codes' calibration
+        raise ValueError(
+            "sq_topk: a prebuilt index= needs its vmax= calibration "
+            "(sq_build returns the pair)"
+        )
     if vmax is None:
         vmax = sq_vmax(
             embeddings, units=units, in_dim=in_dim,
             id_col=id_col, vec_col=vec_col,
         )
     vmax = max(1, int(vmax))
-    index = base.select(id_col, _sq_codes(F.col("_u"), vmax).alias("_sq"))
+    if index is None:
+        index = base.select(id_col, _sq_codes(F.col("_u"), vmax).alias("_sq"))
     qp = queries.select(
         F.col(id_col).alias("query_id"),
         _quantized_dim_checked(F.col(vec_col), units, in_dim, "sq_topk").alias(

@@ -406,7 +406,8 @@ def test_serve_knn_never_reruns_a_training_job(spark, tmp_path, monkeypatch):
 
     for trainer in (
         "ivf_build", "pq_build", "ivfpq_build_residual", "ivfsq_build",
-        "bq_build", "sq_vmax", "opq_permutation", "_pq_train_units",
+        "bq_build", "sq_build", "sq_vmax", "opq_permutation",
+        "_pq_train_units",
     ):
         monkeypatch.setattr(S, trainer, _trap(trainer))
 
@@ -465,6 +466,64 @@ def test_index_manifest_contracts(spark, tmp_path):
         load_index(spark, d)
 
 
+# ------------------------------------------------ stored-codes scan census
+
+
+def test_sq_serve_scans_stored_codes_not_reencoded(spark, tmp_path, monkeypatch):
+    """SQ's point is that searches read 1-byte codes instead of full
+    vectors — so the serve plan must SCAN the persisted code table, not
+    re-encode the corpus: the served plan's input files include the
+    stored index parquet, serving works with sq_build/sq_vmax
+    unreachable, and a prebuilt index without its vmax calibration
+    refuses (codes are meaningless off their scale)."""
+    from hadoop_tfidf_spark.operators import similarity as S
+    from hadoop_tfidf_spark.operators.index_store import (
+        build_knn_index,
+        load_index,
+        serve_knn,
+    )
+
+    emb_path = str(tmp_path / "emb.parquet")
+    _emb(spark).write.parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+    d = str(tmp_path / "idx_sq")
+    build_knn_index(emb, "sq", d, units=1000)
+    idx = load_index(spark, d)
+    assert "index" in idx.tables  # the codes now persist
+
+    monkeypatch.setattr(
+        S, "sq_build",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("re-encoded")),
+    )
+    monkeypatch.setattr(
+        S, "sq_vmax",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("re-calibrated")),
+    )
+    out = serve_knn(emb, idx, [0, 7], k=5, candidates=30)
+    files = set(out.inputFiles())
+    assert any("idx_sq/tables/index" in f for f in files)
+    rows = sorted(map(tuple, out.collect()))
+    assert len(rows) == 10
+
+    monkeypatch.undo()
+    queries = emb.where(F.col("vec_id").isin([0, 7]))
+    twin = sorted(
+        map(
+            tuple,
+            S.sq_topk(
+                emb, queries, k=5, candidates=30, units=1000, in_dim=8
+            ).collect(),
+        )
+    )
+    assert rows == twin
+
+    with pytest.raises(ValueError, match="vmax"):
+        S.sq_topk(
+            emb, queries, k=5, units=1000, in_dim=8,
+            index=idx.tables["index"],
+        )
+
+
 # ------------------------------------------------ bulk serve from stored index
 
 
@@ -508,7 +567,7 @@ def test_serve_knn_bulk_from_stored_index(spark, tmp_path, monkeypatch):
     # auto-size path: no trainer may run (sizing only measures)
     for trainer in (
         "ivf_build", "pq_build", "ivfpq_build_residual", "ivfsq_build",
-        "bq_build", "sq_vmax", "_pq_train_units",
+        "bq_build", "sq_build", "sq_vmax", "_pq_train_units",
     ):
         monkeypatch.setattr(
             S, trainer,
