@@ -38,7 +38,7 @@ Usage::
                   [--candidates C] [--nprobe P] [--units U]
                   [--index-dir DIR]
     python -m hadoop_tfidf_spark.cli knn-build     IN INDEX_DIR
-                  --knn-index bq|sq|ivfsq|ivfpq [--coarse-k K]
+                  --knn-index ivf|bq|sq|ivfsq|ivfpq [--coarse-k K]
                   [--units U]
     python -m hadoop_tfidf_spark.cli knn-graph     IN OUT --index-dir DIR
                   (--target-recall R | --nprobe P --candidates C)
@@ -258,11 +258,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--query-ids", default=None, metavar="ID,ID,...",
                    help="knn: comma-separated vec_ids to search for")
     p.add_argument("--knn-index", dest="knn_index", default=None,
-                   choices=["brute", "bq", "sq", "ivfsq", "ivfpq"],
+                   choices=["brute", "ivf", "bq", "sq", "ivfsq", "ivfpq"],
                    help="knn/knn-build: index tier — exact integer-L2 "
-                        "scan (knn only), binary sign-bit/Hamming, flat "
-                        "INT8 SQ, IVF-SQ8 (probed byte-coded residuals), "
-                        "or residual IVFADC (knn-build/--index-dir only)")
+                        "scan (knn only), full-precision IVF "
+                        "(knn-build/--index-dir only), binary "
+                        "sign-bit/Hamming, flat INT8 SQ, IVF-SQ8 (probed "
+                        "byte-coded residuals), or residual IVFADC "
+                        "(knn-build/--index-dir only)")
     p.add_argument("--index-dir", default=None, metavar="DIR",
                    help="knn: serve from the stored index a knn-build "
                         "run wrote here (no training job re-runs)")
@@ -298,15 +300,17 @@ def main(argv: list[str] | None = None) -> None:
             p.error(f"knn: --query-ids must be integers, got {args.query_ids!r}")
         if not knn_ids:
             p.error("knn: --query-ids is empty")
-        if args.index_dir is None and args.knn_index == "ivfpq":
+        if args.index_dir is None and args.knn_index in ("ivfpq", "ivf"):
             p.error(
-                "knn: the ivfpq tier serves from a stored index only — "
-                "run knn-build first, then knn --index-dir DIR (a "
-                "one-shot retrain per query set defeats its point)"
+                f"knn: the {args.knn_index} tier serves from a stored "
+                "index only — run knn-build first, then knn --index-dir "
+                "DIR (a one-shot retrain per query set defeats its point)"
             )
     if args.tool == "knn-build":
-        if args.knn_index not in ("bq", "sq", "ivfsq", "ivfpq"):
-            p.error("knn-build: --knn-index bq|sq|ivfsq|ivfpq is required")
+        if args.knn_index not in ("ivf", "bq", "sq", "ivfsq", "ivfpq"):
+            p.error(
+                "knn-build: --knn-index ivf|bq|sq|ivfsq|ivfpq is required"
+            )
     if args.tool == "knn-graph":
         if args.index_dir is None:
             p.error("knn-graph: --index-dir DIR (a knn-build output) is "

@@ -45,8 +45,10 @@ from pyspark.sql import functions as F
 FORMAT_VERSION = 1
 
 #: Index kinds build_knn_index knows how to train and serve_knn how to
-#: answer. Each maps to the similarity-module functions used.
-KNN_KINDS = ("bq", "sq", "ivfsq", "ivfpq_res")
+#: answer. Each maps to the similarity-module functions used. "ivf" is
+#: the full-precision tier (the exact-scoring baseline whose index IS
+#: the cluster-assigned corpus); the byte-code tiers follow the ladder.
+KNN_KINDS = ("ivf", "bq", "sq", "ivfsq", "ivfpq_res")
 
 
 @dataclasses.dataclass
@@ -194,6 +196,17 @@ def build_knn_index(
         "units": units, "in_dim": in_dim,
         "id_col": id_col, "vec_col": vec_col,
     }
+    if kind == "ivf":
+        assigned, cents = S.ivf_build(
+            embeddings, k=coarse_k, iters=coarse_iters,
+            id_col=id_col, vec_col=vec_col, units=units,
+        )
+        params.update({"coarse_k": coarse_k, "coarse_iters": coarse_iters})
+        return save_index(
+            index_dir, kind, params,
+            {"centroids": [[int(x) for x in c] for c in cents]},
+            {"assigned": assigned},
+        )
     if kind == "bq":
         index = S.bq_build(
             embeddings, units=units, in_dim=in_dim,
@@ -265,6 +278,13 @@ def serve_knn(
     queries = embeddings.where(
         F.col(id_col).isin([int(x) for x in query_ids])
     )
+    if index.kind == "ivf":
+        return S.ivf_topk(
+            index.tables["assigned"],
+            [[int(x) for x in c] for c in index.artifacts["centroids"]],
+            queries, k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col, units=units,
+        )
     if index.kind == "bq":
         return S.bq_topk(
             embeddings, queries, k=k, candidates=candidates, units=units,

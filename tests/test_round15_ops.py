@@ -321,6 +321,11 @@ def _in_session_twin(spark, emb, kind, qids, k, candidates, nprobe):
     from hadoop_tfidf_spark.operators import similarity as S
 
     queries = emb.where(F.col("vec_id").isin(qids))
+    if kind == "ivf":
+        assigned, cents = S.ivf_build(emb, k=4, iters=2, units=1000)
+        return S.ivf_topk(
+            assigned, cents, queries, k=k, nprobe=nprobe, units=1000
+        )
     if kind == "bq":
         return S.bq_topk(
             emb, queries, k=k, candidates=candidates, units=1000, in_dim=8
