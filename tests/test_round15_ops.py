@@ -595,6 +595,40 @@ def test_serve_knn_bulk_from_stored_index(spark, tmp_path, monkeypatch):
         serve_knn_bulk(emb, idx, k=5)
 
 
+# ------------------------------------------------ serve-plan censuses
+
+
+def test_serve_plans_have_no_cartesian_products(spark, tmp_path):
+    """Scale-shape pin for every serve path: the post-AQE physical plan
+    of each tier's serve (and the bulk graph) contains ZERO cartesian
+    products — candidate generation stays an equi-join / broadcast
+    probe at every tier, loaded-from-disk exactly as built-in-session."""
+    from hadoop_tfidf_spark.operators.index_store import (
+        KNN_KINDS,
+        build_knn_index,
+        load_index,
+        serve_knn,
+        serve_knn_bulk,
+    )
+    from hadoop_tfidf_spark.plans import plan_stats
+
+    emb = _emb(spark)
+    for kind in KNN_KINDS:
+        d = str(tmp_path / f"idx_{kind}")
+        build_knn_index(emb, kind, d, **_BUILD_KW)
+        idx = load_index(spark, d)
+        stats = plan_stats(
+            serve_knn(emb, idx, [0, 7], k=5, candidates=30, nprobe=2)
+        )
+        assert stats.cartesian_products == 0, (kind, stats)
+    bulk = serve_knn_bulk(
+        emb, load_index(spark, str(tmp_path / "idx_ivfpq_res")),
+        k=5, candidates=30, nprobe=2,
+    )
+    stats = plan_stats(bulk)
+    assert stats.cartesian_products == 0, stats
+
+
 # ------------------------------------------------ auto-sized kNN budget
 
 
