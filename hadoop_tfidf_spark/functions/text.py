@@ -940,6 +940,29 @@ def contamination_bloom_sharded(
     )
 
 
+def decontaminate_bloom_sharded(
+    docs: DataFrame,
+    sharded: ShardedBloom,
+    k: int = 3,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """APPLY form of the sharded probe — :func:`decontaminate_bloom`
+    for benchmark releases past the single-filter ceiling: keep every
+    doc whose shard-local Bloom overlap is ≤ ``max_overlap`` (sub-``k``
+    word docs carry no evidence and are kept). Same one-sided-error
+    contract: only ever drops a superset of the exact form's drop set.
+    The verdict is a pure projection; the drop set is doc_id-sized and
+    anti-joins back on the id."""
+    dropped = (
+        contamination_bloom_sharded(
+            docs, sharded, k=k, max_overlap=max_overlap
+        )
+        .where(F.col("keep") == 0)
+        .select("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti")
+
+
 def bloom_bitmap(
     bench_docs: DataFrame,
     k: int = 3,

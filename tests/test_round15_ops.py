@@ -300,6 +300,18 @@ def test_sharded_bloom_probe_and_fp_accounting(spark):
             clean, ShardedBloom([0] * 10, 1 << 15, 3, 4), k=3
         ).collect()
 
+    # APPLY form: sharded decontamination drops every bench doc (100%
+    # self-overlap) and keeps the whole disjoint-vocabulary clean corpus
+    from hadoop_tfidf_spark.functions.text import decontaminate_bloom_sharded
+
+    mixed = bench.select("doc_id", "text").unionByName(
+        clean.withColumn("doc_id", F.col("doc_id") + 10_000)
+    )
+    kept = decontaminate_bloom_sharded(mixed, sized, k=3).select("doc_id")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert all(i >= 10_000 for i in kept_ids)
+    assert len(kept_ids) == 50
+
 
 # ------------------------------------------------ trained-index persistence
 
