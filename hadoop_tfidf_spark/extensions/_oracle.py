@@ -6,8 +6,6 @@ reuse). Split from ``extensions.py`` (round 15), text verbatim.
 
 from __future__ import annotations
 
-from __future__ import annotations
-
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
