@@ -40,6 +40,9 @@ Usage::
     python -m hadoop_tfidf_spark.cli knn-build     IN INDEX_DIR
                   --knn-index ivf|bq|sq|ivfsq|ivfpq [--coarse-k K]
                   [--units U]
+    python -m hadoop_tfidf_spark.cli knn-extend    DELTA INDEX_DIR
+    python -m hadoop_tfidf_spark.cli knn-drift     IN - --index-dir DIR
+                  [--k K] [--candidates C] [--nprobe P]
     python -m hadoop_tfidf_spark.cli knn-graph     IN OUT --index-dir DIR
                   (--target-recall R | --nprobe P --candidates C)
                   [--k K]
@@ -106,6 +109,15 @@ stored ivfpq index, with the search budget either pinned
 integer-L2 truth and picks the cheapest clearing budget — the measured
 dial, not a guess).
 
+``knn-extend`` grows a stored index crawl-over-crawl WITHOUT
+retraining: it encodes a new generation's vectors against the frozen
+centroids/codebooks/vmax (O(delta) — old generations are never
+rescanned) and commits them as a ``generations/gen=N`` slice every
+later ``knn``/``knn-graph`` load serves. ``knn-drift`` is the paired
+telemetry: recall@k per query generation against the exact integer-L2
+truth, with the documented retrain trigger (``retrain_due``) — when it
+fires, run a fresh ``knn-build`` into a NEW directory and flip serving.
+
 ``sign`` maintains the O(delta) MinHash signature ledger
 (``operators/dedup``): a fresh run signs every doc of IN (content hash +
 zero-shuffle signature columns) into ``OUT/generation=0``; with
@@ -160,7 +172,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
         "curate", "select", "bpe-train", "project", "compact", "knn",
-        "knn-build", "knn-graph", "sign", "ledger-compact", "explain",
+        "knn-build", "knn-extend", "knn-drift", "knn-graph", "sign",
+        "ledger-compact", "explain",
         "frontier",
     ])
     p.add_argument("input")
@@ -317,9 +330,13 @@ def main(argv: list[str] | None = None) -> None:
                     "required — the bulk job serves a stored index only")
         if args.target_recall is not None and not 0 < args.target_recall <= 1:
             p.error("knn-graph: --target-recall must be in (0, 1]")
-    if args.index_dir is not None and args.tool not in ("knn", "knn-graph"):
-        p.error("--index-dir is knn/knn-graph-only (knn-build's OUT is "
-                "the index dir)")
+    if args.index_dir is not None and args.tool not in (
+        "knn", "knn-graph", "knn-drift"
+    ):
+        p.error("--index-dir is knn/knn-graph/knn-drift-only (knn-build's "
+                "and knn-extend's OUT is the index dir)")
+    if args.tool == "knn-drift" and args.index_dir is None:
+        p.error("knn-drift: --index-dir DIR (a knn-build output) is required")
     if args.target_recall is not None and args.tool != "knn-graph":
         p.error("--target-recall is knn-graph-only")
 
@@ -443,6 +460,56 @@ def main(argv: list[str] | None = None) -> None:
             "artifacts": sorted(idx.artifacts),
             "tables": sorted(idx.tables),
         }, sort_keys=True))
+        spark.stop()
+        return
+
+    if args.tool == "knn-extend":
+        # IN is the NEW CRAWL's embeddings parquet (the delta); OUT is an
+        # existing knn-build index dir. Encode-only append against the
+        # FROZEN centroids/codebooks/vmax — no Lloyd round, no
+        # calibration scan, O(delta) cost — landing as a committed
+        # generations/gen=N slice that every later load serves. Run
+        # knn-drift afterwards; retrain (knn-build to a NEW dir) when it
+        # says so.
+        import json
+
+        from hadoop_tfidf_spark.operators.index_store import (
+            extend_index,
+            load_index,
+        )
+
+        delta = spark.read.parquet(args.input)
+        gen = extend_index(spark, args.output, delta)
+        idx = load_index(spark, args.output)
+        print(json.dumps({
+            "kind": idx.kind, "path": args.output, "generation": gen,
+            "generations": [
+                {"generation": g["generation"], "n_rows": g["n_rows"]}
+                for g in idx.generations
+            ],
+        }, sort_keys=True))
+        spark.stop()
+        return
+
+    if args.tool == "knn-drift":
+        # IN is the full (all-generations) embeddings parquet; prints the
+        # recall-drift telemetry for the stored index: recall@k per
+        # query generation vs the exact integer-L2 truth on a bounded
+        # sample, and the documented retrain trigger.
+        import json
+
+        from hadoop_tfidf_spark.operators.index_store import (
+            load_index,
+            recall_drift,
+        )
+
+        emb = spark.read.parquet(args.input)
+        idx = load_index(spark, args.index_dir)
+        rep = recall_drift(
+            emb, idx, k=args.k, candidates=args.candidates,
+            nprobe=args.nprobe,
+        )
+        print(json.dumps(rep, sort_keys=True))
         spark.stop()
         return
 

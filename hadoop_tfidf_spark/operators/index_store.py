@@ -51,15 +51,40 @@ FORMAT_VERSION = 1
 KNN_KINDS = ("ivf", "bq", "sq", "ivfsq", "ivfpq_res")
 
 
+#: The one stored relation each tier's searches scan — the relation
+#: :func:`extend_index` appends generation slices to.
+KIND_TABLE = {
+    "ivf": "assigned",
+    "bq": "index",
+    "sq": "index",
+    "ivfsq": "index",
+    "ivfpq_res": "codes",
+}
+
+#: Subdirectory holding encode-only generation appends; each committed
+#: generation is ``generations/gen=N/<table>`` parquet plus a
+#: ``_META.json`` commit marker written LAST (a crashed encode leaves a
+#: marker-less dir that loads skip and later extends number past).
+GENERATIONS_DIR = "generations"
+_GEN_META = "_META.json"
+
+
 @dataclasses.dataclass
 class AnnIndex:
-    """A loaded index: trained artifacts + lazily-read stored relations."""
+    """A loaded index: trained artifacts + lazily-read stored relations.
+
+    ``tables[KIND_TABLE[kind]]`` is the FULL searchable relation — the
+    base build unioned with every committed generation slice — so the
+    serve paths need no generation awareness. ``generations`` keeps the
+    per-slice handles (generation 0 = the base build) for telemetry
+    such as :func:`recall_drift`."""
 
     kind: str
     params: dict
     artifacts: dict
     tables: dict[str, DataFrame]
     path: str
+    generations: list = dataclasses.field(default_factory=list)
 
 
 def save_index(
@@ -158,13 +183,75 @@ def load_index(spark: SparkSession, index_dir: str) -> AnnIndex:
                 f"{meta['schema']} — table and manifest are out of sync"
             )
         tables[name] = df
+    kind = manifest["kind"]
+    main = KIND_TABLE.get(kind)
+    generations = []
+    if main in tables:
+        generations.append({"generation": 0, "n_rows": None, "df": tables[main]})
+        for gen_n, gdir, gmeta in _committed_generations(index_dir):
+            if gmeta.get("kind") != kind:
+                raise ValueError(
+                    f"generation {gen_n} at {gdir} was encoded for kind "
+                    f"{gmeta.get('kind')!r} but the index is {kind!r}"
+                )
+            gdf = spark.read.parquet(f"{gdir}/{main}")
+            want = manifest["tables"][main]["schema"]
+            if gdf.schema.simpleString() != want:
+                raise ValueError(
+                    f"generation {gen_n} table at {gdir}/{main} has schema "
+                    f"{gdf.schema.simpleString()} but the index stores "
+                    f"{want} — slice and manifest are out of sync"
+                )
+            tables[main] = tables[main].unionByName(gdf)
+            generations.append(
+                {"generation": gen_n, "n_rows": gmeta.get("n_rows"), "df": gdf}
+            )
     return AnnIndex(
-        kind=manifest["kind"],
+        kind=kind,
         params=manifest["params"],
         artifacts=manifest["artifacts"],
         tables=tables,
         path=index_dir,
+        generations=generations,
     )
+
+
+def _committed_generations(index_dir: str) -> list[tuple[int, str, dict]]:
+    """Committed generation slices under ``index_dir``, ascending. A dir
+    without its ``_META.json`` commit marker is a crashed encode: it is
+    INVISIBLE here (never served) but still occupies its number — the
+    next extend writes past it, so a retry never collides with debris."""
+    root = f"{index_dir}/{GENERATIONS_DIR}"
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith("gen="):
+            continue
+        try:
+            n = int(entry.split("=", 1)[1])
+        except ValueError:
+            continue
+        meta_path = f"{root}/{entry}/{_GEN_META}"
+        if not os.path.exists(meta_path):
+            continue
+        with open(meta_path) as f:
+            out.append((n, f"{root}/{entry}", json.load(f)))
+    return sorted(out)
+
+
+def _next_generation_number(index_dir: str) -> int:
+    """1 + the highest gen= dir present, committed OR crashed."""
+    root = f"{index_dir}/{GENERATIONS_DIR}"
+    top = 0
+    if os.path.isdir(root):
+        for entry in os.listdir(root):
+            if entry.startswith("gen="):
+                try:
+                    top = max(top, int(entry.split("=", 1)[1]))
+                except ValueError:
+                    continue
+    return top + 1
 
 
 def build_knn_index(
@@ -376,3 +463,272 @@ def serve_knn_bulk(
         k=k, candidates=candidates, nprobe=nprobe, units=p["units"],
         id_col=p["id_col"], vec_col=p["vec_col"],
     )
+
+
+def _encode_generation(
+    new_embeddings: DataFrame, kind: str, params: dict, artifacts: dict,
+    packed: bool,
+) -> DataFrame:
+    """Encode new vectors against FROZEN artifacts — the append half of
+    crawl-over-crawl index growth. NO training job runs here: no Lloyd
+    round, no calibration scan, no codebook fit — every path below is a
+    pure projection against broadcast centroid/codebook/vmax literals,
+    so extend cost is one scan of the NEW rows (O(delta), the
+    ``dedup.delta_sign`` shape applied to ANN storage). Emits exactly
+    the tier's stored-relation schema so the slice unions cleanly under
+    the base build."""
+    from hadoop_tfidf_spark.operators import similarity as S
+
+    units = params["units"]
+    in_dim = params["in_dim"]
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    if kind == "bq":
+        # BQ is trainless — its build IS the stateless sign-pack encode
+        return S.bq_build(
+            new_embeddings, units=units, in_dim=in_dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if kind == "sq":
+        # frozen vmax → sq_build skips its calibration scan entirely
+        index, _ = S.sq_build(
+            new_embeddings, units=units, in_dim=in_dim,
+            id_col=id_col, vec_col=vec_col, vmax=int(artifacts["vmax"]),
+        )
+        return index
+    if kind == "ivfsq":
+        return S.ivfsq_encode(
+            new_embeddings,
+            [[int(x) for x in c] for c in artifacts["centroids"]],
+            int(artifacts["vmax"]), units=units, in_dim=in_dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cents = [[int(x) for x in c] for c in artifacts["centroids"]]
+    # frozen-centroid assignment: nearest_centroid_ids' first element is
+    # the same first-minimum argmin ivf_build's final Lloyd pass takes
+    cluster = F.element_at(
+        S.nearest_centroid_ids(F.col(vec_col), cents, 1, units), 1
+    )
+    if kind == "ivf":
+        return new_embeddings.withColumn("cluster", cluster)
+    if kind == "ivfpq_res":
+        cent_arr = F.array(
+            *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
+        )
+        res = new_embeddings.withColumn("cluster", cluster).select(
+            id_col,
+            "cluster",
+            F.zip_with(
+                S.quantized_units(F.col(vec_col), units),
+                F.element_at(cent_arr, F.col("cluster") + 1),
+                lambda a, b: a - b,
+            ).alias("_u"),
+        )
+        books = [
+            [[int(x) for x in cent] for cent in sub]
+            for sub in artifacts["codebooks"]
+        ]
+        return S._pq_encode_units(
+            res, books, id_col=id_col, pack=packed, extra_cols=["cluster"]
+        )
+    raise ValueError(f"unknown index kind {kind!r}")
+
+
+def extend_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    check_ids: bool = True,
+) -> int:
+    """Append a new crawl generation to a stored index WITHOUT
+    retraining: encode ``new_embeddings`` against the index's frozen
+    centroids/codebooks/vmax and land the codes as a committed
+    ``generations/gen=N`` slice that :func:`load_index` unions under
+    the base relation. The weekly-crawl counterpart of the signature
+    ledger's ``delta_sign`` (dedup.py): old generations are never
+    rescanned, extend cost scales with the DELTA, and the trained
+    artifacts stay bit-identical — so pre-extend query results are
+    unchanged except for genuinely new neighbors.
+
+    The trade: new vectors are quantized with codebooks fitted to the
+    ORIGINAL corpus distribution. Drift therefore shows up as falling
+    recall on new-generation queries, not as an error — run
+    :func:`recall_drift` after each extend and retrain (a fresh
+    :func:`build_knn_index` into a new directory) when it says so.
+
+    ``check_ids`` guards the append with one column-pruned semi-join:
+    an id that already exists in the stored relation would silently
+    serve duplicate rows forever. Returns the generation number.
+
+    Crash safety mirrors ``save_index``: parquet lands first, the
+    ``_META.json`` marker lands last via atomic rename — a crashed
+    extend leaves an uncommitted dir that loads skip and the next
+    extend numbers past."""
+    index = load_index(spark, index_dir)
+    main = KIND_TABLE[index.kind]
+    id_col = index.params["id_col"]
+    vec_col = index.params["vec_col"]
+    missing = [c for c in (id_col, vec_col) if c not in new_embeddings.columns]
+    if missing:
+        raise ValueError(
+            f"extend_index: new_embeddings schema is missing {missing} — "
+            "the delta must carry the same columns the index was built "
+            f"from (have {new_embeddings.columns})"
+        )
+    if check_ids:
+        clash = (
+            new_embeddings.select(id_col)
+            .join(index.tables[main].select(id_col), id_col, "semi")
+            .limit(1)
+            .count()
+        )
+        if clash:
+            raise ValueError(
+                f"extend_index: {id_col} values in new_embeddings already "
+                "exist in the stored index — an append would serve "
+                "duplicate rows (pass check_ids=False only if ids are "
+                "externally guaranteed fresh)"
+            )
+    with open(f"{index_dir}/manifest.json") as f:
+        manifest = json.load(f)
+    want_schema = manifest["tables"][main]["schema"]
+    packed = "pq_code" in want_schema
+    slice_df = _encode_generation(
+        new_embeddings, index.kind, index.params, index.artifacts, packed
+    )
+    got = slice_df.schema.simpleString()
+    if got != want_schema:
+        raise ValueError(
+            f"extend_index: encoded slice schema {got} does not match the "
+            f"stored {main} schema {want_schema} — new_embeddings must "
+            "carry the same columns the index was built from"
+        )
+    gen_n = _next_generation_number(index_dir)
+    gdir = f"{index_dir}/{GENERATIONS_DIR}/gen={gen_n}"
+    slice_df.write.mode("error").parquet(f"{gdir}/{main}")
+    n_rows = spark.read.parquet(f"{gdir}/{main}").count()
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": index.kind,
+        "table": main,
+        "generation": gen_n,
+        "n_rows": n_rows,
+    }
+    tmp = f"{gdir}/{_GEN_META}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.rename(tmp, f"{gdir}/{_GEN_META}")
+    return gen_n
+
+
+def recall_drift(
+    embeddings: DataFrame,
+    index: AnnIndex,
+    k: int = 10,
+    candidates: int = 50,
+    nprobe: int = 2,
+    sample_mod: int = 1,
+    per_generation_cap: int = 64,
+    drift_budget: float = 0.10,
+    recall_floor: float = 0.60,
+) -> dict:
+    """Recall telemetry over a mixed-generation index — the instrument
+    that decides when :func:`extend_index`'s frozen-artifact appends
+    have drifted far enough to justify a true retrain.
+
+    Samples query ids from EVERY generation slice (deterministic
+    hash-order pick of ≤ ``per_generation_cap`` each — spread across
+    the id space and a bounded collect, so no generation can fall out
+    of the sample the way a shared id-modulus would let it), computes
+    the exact integer-L2 truth for the sample against the full
+    ``embeddings`` relation (one sample-sized broadcast scan, never
+    corpus × corpus), serves the same queries from the stored index,
+    and reports recall@k overall and per query generation. What is
+    scored is the PRODUCTION serving quality: for ivfpq_res the ADC
+    cut at ``candidates`` followed by the exact integer re-rank to
+    ``k`` (the same stage 2 every bulk job runs — raw ADC@k would
+    measure quantizer distortion, not serving recall); the other tiers'
+    serve paths already re-rank internally.
+
+    Retrain trigger (the documented policy): ``retrain_due`` is True
+    when any post-base generation's recall falls more than
+    ``drift_budget`` below generation 0's (the new crawl's distribution
+    has left the codebooks), or when any generation dips under
+    ``recall_floor`` outright. Acting on it means a fresh
+    :func:`build_knn_index` into a new directory — indexes are
+    versioned artifacts, so serving flips atomically."""
+    from hadoop_tfidf_spark.operators import similarity as S
+
+    id_col = index.params["id_col"]
+    vec_col = index.params["vec_col"]
+    units = index.params["units"]
+    if not index.generations:
+        raise ValueError("recall_drift: index has no generation handles")
+    qid_gen: dict[int, int] = {}
+    for g in index.generations:
+        # deterministic spread: order by a hash of the id, take the cap —
+        # every generation contributes, no shared modulus can zero one out
+        rows = (
+            g["df"].where((F.col(id_col) % sample_mod) == 0)
+            .select(id_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(per_generation_cap).collect()
+        )
+        for r in rows:
+            qid_gen[int(r[id_col])] = g["generation"]
+    if not qid_gen:
+        raise ValueError(
+            "recall_drift: query sample is empty — lower sample_mod"
+        )
+    qids = sorted(qid_gen)
+    sample_q = embeddings.where(F.col(id_col).isin(qids))
+    truth = {
+        (int(r["query_id"]), int(r[id_col]))
+        for r in S.int_l2_topk(
+            embeddings, sample_q, k=k, units=units,
+            id_col=id_col, vec_col=vec_col,
+        ).select("query_id", id_col).collect()
+    }
+    if index.kind == "ivfpq_res":
+        # production shape: ADC cut at `candidates`, exact re-rank to k
+        cut = serve_knn(
+            embeddings, index, qids, k=candidates, nprobe=nprobe
+        ).select("query_id", id_col)
+        ranked = S._exact_rerank(
+            embeddings, cut, k, units=units, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        ranked = serve_knn(
+            embeddings, index, qids, k=k,
+            candidates=candidates, nprobe=nprobe,
+        )
+    served = {
+        (int(r["query_id"]), int(r[id_col]))
+        for r in ranked.select("query_id", id_col).collect()
+    }
+    hits_by_gen: dict[int, int] = {}
+    truth_by_gen: dict[int, int] = {}
+    for pair in truth:
+        g = qid_gen[pair[0]]
+        truth_by_gen[g] = truth_by_gen.get(g, 0) + 1
+        if pair in served:
+            hits_by_gen[g] = hits_by_gen.get(g, 0) + 1
+    by_generation = {
+        g: hits_by_gen.get(g, 0) / truth_by_gen[g]
+        for g in sorted(truth_by_gen)
+    }
+    overall = sum(hits_by_gen.values()) / sum(truth_by_gen.values())
+    base = by_generation.get(0, 1.0)
+    retrain_due = any(
+        (base - r) > drift_budget or r < recall_floor
+        for g, r in by_generation.items()
+        if g != 0
+    ) or base < recall_floor
+    return {
+        "overall": overall,
+        "by_generation": by_generation,
+        "n_queries": len(qids),
+        "k": k,
+        "drift_budget": drift_budget,
+        "recall_floor": recall_floor,
+        "retrain_due": retrain_due,
+    }

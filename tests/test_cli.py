@@ -879,3 +879,52 @@ def test_ledger_compact_flag_contracts():
             env=env,
         )
         assert res.returncode == 2 and msg in res.stderr
+
+
+def test_knn_extend_and_drift_cli(spark, tmp_path):
+    """Crawl-over-crawl growth through the CLI in separate processes:
+    knn-build trains on the base crawl, knn-extend appends the new
+    generation encode-only (its census reports both generations),
+    knn --index-dir then serves NEW-generation vectors, and knn-drift
+    prints the per-generation recall telemetry with the retrain flag
+    quiet on same-distribution data."""
+    import json
+
+    base_path = str(tmp_path / "base.parquet")
+    delta_path = str(tmp_path / "delta.parquet")
+    all_path = str(tmp_path / "all.parquet")
+    rows = [
+        (i, [((i * 29 + d * 13) % 19 - 9) / 10.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    emb.where("vec_id % 5 != 0").write.parquet(base_path)
+    emb.where("vec_id % 5 = 0").write.parquet(delta_path)
+    emb.write.parquet(all_path)
+
+    idx_dir = str(tmp_path / "idx")
+    _run("knn-build", base_path, idx_dir, "--knn-index", "ivfpq",
+         "--coarse-k", "4", "--units", "1000")
+    res = _run("knn-extend", delta_path, idx_dir)
+    census = json.loads(res.stdout.strip().splitlines()[-1])
+    assert census["kind"] == "ivfpq_res" and census["generation"] == 1
+    assert [g["generation"] for g in census["generations"]] == [0, 1]
+    assert census["generations"][1]["n_rows"] == 8
+
+    # a new-generation vector is servable as a query over the full corpus
+    out = str(tmp_path / "served")
+    _run("knn", all_path, out, "--query-ids", "0,7", "--k", "5",
+         "--index-dir", idx_dir, "--nprobe", "4", "--candidates", "30")
+    got = duckdb.sql(
+        f"SELECT query_id, vec_id FROM '{out}/*.parquet'"
+    ).fetchall()
+    assert {r[0] for r in got} == {0, 7} and len(got) == 10
+
+    res = _run("knn-drift", all_path, "-", "--index-dir", idx_dir,
+               "--k", "5", "--nprobe", "4", "--candidates", "30")
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert set(rep["by_generation"]) == {"0", "1"}
+    assert rep["retrain_due"] is False
+    assert 0.0 <= rep["overall"] <= 1.0
