@@ -780,11 +780,23 @@ def bloom_geometry_sharded(
     ceiling = M31 - (M31 % _BLOOM_LANE)
     total = max(_BLOOM_LANE, n_keys * bits_per_key)
     n_shards = -(-total // ceiling)
-    keys_per_shard = -(-n_keys // n_shards)
-    bits = max(
-        _BLOOM_LANE,
-        -(-keys_per_shard * bits_per_key // _BLOOM_LANE) * _BLOOM_LANE,
-    )
+    # The per-shard size is keys_per_shard·bits_per_key rounded UP to a
+    # whole lane — at boundary key counts that rounding alone can push
+    # a shard past the ceiling the shard count was derived from (e.g.
+    # n_keys=429,496,723 at 10 b/key: 2 shards of 2,147,483,620 bits
+    # lane-round to 2,147,483,648 > M31). Recompute the shard count
+    # from the LANE-ROUNDED per-shard size until it fits; each retry
+    # strictly shrinks the per-shard key share, so this terminates in
+    # at most a couple of steps.
+    while True:
+        keys_per_shard = -(-n_keys // n_shards)
+        bits = max(
+            _BLOOM_LANE,
+            -(-keys_per_shard * bits_per_key // _BLOOM_LANE) * _BLOOM_LANE,
+        )
+        if bits <= ceiling:
+            break
+        n_shards += 1
     if hashes is None:
         hashes = min(max(1, round(0.6931 * bits_per_key)), len(MINHASH_A))
     return bits, hashes, n_shards
@@ -889,10 +901,15 @@ def contamination_bloom_sharded(
     staging discipline) probed against a SHARDED filter — the form a
     10⁹-shingle benchmark release needs once a single filter would
     cross the M31 position range. ZERO aggregation/joins/shuffles; the
-    whole sharded filter rides the plan as one flat literal (still a
-    broadcast-able few hundred MB at the sizes that force sharding —
-    the alternative, an exact semi-join against a multi-GB string set,
-    shuffles the corpus)."""
+    whole sharded filter rides the plan as one flat literal — which is
+    only sane for SMALL sharded geometries (tests, the forced-shard
+    gate fixture): measured, the literal expression costs ~0.6 ms of
+    driver-side plan build PER WORD (~38 s at 0.5 MB), so at any size
+    that genuinely forces sharding use
+    :func:`contamination_bloom_sharded_bc`, which ships the words once
+    per executor as a SparkContext broadcast and keeps the plan tiny.
+    (Either way beats the alternative — an exact semi-join against a
+    multi-GB string set shuffles the corpus.)"""
     _check_geometry(sharded.bits_per_shard, sharded.hashes)
     if len(sharded.words) != sharded.n_shards * (
         sharded.bits_per_shard // _BLOOM_LANE
@@ -955,6 +972,144 @@ def decontaminate_bloom_sharded(
     anti-joins back on the id."""
     dropped = (
         contamination_bloom_sharded(
+            docs, sharded, k=k, max_overlap=max_overlap
+        )
+        .where(F.col("keep") == 0)
+        .select("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti")
+
+
+def contamination_bloom_sharded_bc(
+    docs: DataFrame,
+    sharded: ShardedBloom,
+    k: int = 3,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """:func:`contamination_bloom_sharded` with the filter shipped as a
+    ``SparkContext.broadcast`` HANDLE instead of a plan literal — the
+    form for geometries that FORCE sharding. A multi-Gbit filter as a
+    flat expression literal rides inside every serialized plan and task
+    closure (hundreds of MB re-shipped per job); a broadcast ships the
+    word array to each executor ONCE (torrent-style, off the task path)
+    and the plan stays tiny. The probe itself moves from a codegen
+    expression to one Arrow ``mapInPandas`` stage with batch-level
+    numpy — same hash geometry (md5 base mod M31, the Carter–Wegman
+    ``(A·x+B) mod M31 mod bits`` family, shard-major word layout), same
+    output schema and keep rule, row-equal to the literal form (pinned
+    in tests). Still ZERO corpus-side joins and shuffles.
+
+    Measured crossover (SCALE.md, ``tools/bloom_probe_scale_check.py``):
+    the literal's binding cost is PLAN CONSTRUCTION, not shipping — a
+    0.5 MB filter already costs ~38 s of driver-side expression build
+    (one py4j round per word) before the first task runs, while the
+    broadcast form handles 64 MB end-to-end in ~1.1 s. So: keep the
+    literal form for the default/gate geometries (≤ a few thousand
+    words — whole-stage codegen, no Python stage); use THIS form for
+    anything big enough to force sharding. Driver-memory
+    note (per advisory): the BUILD side still collects the full word
+    array once (n_shards × bits/8 bytes — ~1.25 GB at the 10⁹-key
+    example), so size the driver for the build or build per-shard;
+    the broadcast then caps the per-executor cost at one copy."""
+    _check_geometry(sharded.bits_per_shard, sharded.hashes)
+    from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A, MINHASH_B
+
+    n_shards = sharded.n_shards
+    bits = sharded.bits_per_shard
+    hashes = sharded.hashes
+    wps = bits // _BLOOM_LANE
+    if len(sharded.words) != n_shards * wps:
+        raise ValueError(
+            "ShardedBloom words length does not match its geometry "
+            f"({len(sharded.words)} words for {n_shards} shards "
+            f"x {bits} bits)"
+        )
+    import numpy as np
+
+    A = [int(a) for a in MINHASH_A[:hashes]]
+    B = [int(b) for b in MINHASH_B[:hashes]]
+    bc = docs.sparkSession.sparkContext.broadcast(
+        np.asarray(sharded.words, dtype=np.int64)
+    )
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    out_schema = (
+        f"doc_id {id_type}, n_shingles BIGINT, n_hits BIGINT, keep INT"
+    )
+
+    def probe(batches):
+        import hashlib
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as _np
+        import pandas as pd
+
+        words = bc.value
+        for pdf in batches:
+            ids, ns, hits_out, keeps = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # mirror the expression form exactly: split on single
+                # spaces (empty tokens preserved), k-grams joined by
+                # " ", distinct
+                w = ("" if text is None else text).split(" ")
+                grams = (
+                    {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+                    if len(w) >= k
+                    else set()
+                )
+                n = len(grams)
+                if n == 0:
+                    hit_n, keep = 0, 1
+                else:
+                    xs = _np.fromiter(
+                        (
+                            int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                            % M31
+                            for g in grams
+                        ),
+                        dtype=_np.int64,
+                        count=n,
+                    )
+                    ok = _np.ones(n, dtype=bool)
+                    base_word = (xs % n_shards) * wps
+                    for h in range(hashes):
+                        pos = (A[h] * xs + B[h]) % M31 % bits
+                        word = words[base_word + pos // _BLOOM_LANE]
+                        ok &= ((word >> (pos % _BLOOM_LANE)) & 1).astype(bool)
+                    hit_n = int(ok.sum())
+                    # F.round is HALF_UP on the shortest decimal repr of
+                    # the double — BigDecimal.valueOf semantics
+                    ratio = Decimal(str(hit_n / n)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                    keep = 1 if float(ratio) <= max_overlap else 0
+                ids.append(doc_id)
+                ns.append(n)
+                hits_out.append(hit_n)
+                keeps.append(keep)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_shingles": ns,
+                    "n_hits": hits_out,
+                    "keep": keeps,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(probe, out_schema)
+
+
+def decontaminate_bloom_sharded_bc(
+    docs: DataFrame,
+    sharded: ShardedBloom,
+    k: int = 3,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """APPLY form of the broadcast-handle sharded probe — identical
+    keep/drop semantics to :func:`decontaminate_bloom_sharded`, with
+    the filter shipped once per executor instead of inside every
+    serialized plan."""
+    dropped = (
+        contamination_bloom_sharded_bc(
             docs, sharded, k=k, max_overlap=max_overlap
         )
         .where(F.col("keep") == 0)
@@ -1036,6 +1191,24 @@ def _untag_bitmap(
             )
         return bitmap[:-1], built
     return bitmap, BLOOM_HASHES if hashes is None else hashes
+
+
+def untag_bitmap(
+    bitmap: list[int], hashes: int | None = None
+) -> tuple[list[int], int]:
+    """PUBLIC form of the bitmap untag (round-16, per advisory): anyone
+    who persisted a :func:`bloom_bitmap` result and needs the raw
+    packed words (e.g. to derive ``bits`` as ``len(words) * 32``, or to
+    ship the words to another system) should call this instead of
+    slicing the list — the returned list NEVER includes the trailing
+    ``-hashes`` sentinel the tagged format appends, and the paired hash
+    count comes back validated. Format note: since round 15
+    :func:`bloom_bitmap` returns ``bits//32`` packed words PLUS the
+    sentinel, so ``len(bitmap) * 32`` over a raw stored list
+    over-counts by one word — always derive geometry from this
+    function's output."""
+    words, h = _untag_bitmap(list(bitmap), hashes)
+    return words, h
 
 
 def _check_geometry(bits: int, hashes: int) -> None:
