@@ -38,7 +38,7 @@ Usage::
                   [--candidates C] [--nprobe P] [--units U]
                   [--index-dir DIR]
     python -m hadoop_tfidf_spark.cli knn-build     IN INDEX_DIR
-                  --knn-index ivf|bq|sq|ivfsq|ivfpq [--coarse-k K]
+                  --knn-index ivf|bq|sq|ivfsq|ivfpq|opq [--coarse-k K]
                   [--units U]
     python -m hadoop_tfidf_spark.cli knn-extend    DELTA INDEX_DIR
     python -m hadoop_tfidf_spark.cli knn-drift     IN - --index-dir DIR
@@ -100,8 +100,10 @@ parquet — ``operators/index_store``), then ``knn --index-dir DIR``
 serves queries from the stored index without re-running any training
 job (no Lloyd rounds, no calibration scan). ``ivfpq`` is the residual
 IVFADC tier (coarse cells + 8-byte packed residual codes, ADC ranking)
-— available through the build/serve split only, since a one-shot
-retrain per query set defeats its point. ``knn-graph`` is the bulk job:
+and ``opq`` the same index trained behind the OPQ variance-balancing
+coordinate permutation (the permutation persists as one more integer
+artifact) — both available through the build/serve split only, since a
+one-shot retrain per query set defeats their point. ``knn-graph`` is the bulk job:
 the whole-corpus kNN graph (semantic-dedup / clustering input) from a
 stored ivfpq index, with the search budget either pinned
 (``--nprobe``/``--candidates``) or AUTO-SIZED from a target recall
@@ -271,12 +273,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--query-ids", default=None, metavar="ID,ID,...",
                    help="knn: comma-separated vec_ids to search for")
     p.add_argument("--knn-index", dest="knn_index", default=None,
-                   choices=["brute", "ivf", "bq", "sq", "ivfsq", "ivfpq"],
+                   choices=["brute", "ivf", "bq", "sq", "ivfsq", "ivfpq",
+                            "opq"],
                    help="knn/knn-build: index tier — exact integer-L2 "
                         "scan (knn only), full-precision IVF "
                         "(knn-build/--index-dir only), binary "
                         "sign-bit/Hamming, flat INT8 SQ, IVF-SQ8 (probed "
-                        "byte-coded residuals), or residual IVFADC "
+                        "byte-coded residuals), residual IVFADC, or "
+                        "OPQ-permuted residual IVFADC "
                         "(knn-build/--index-dir only)")
     p.add_argument("--index-dir", default=None, metavar="DIR",
                    help="knn: serve from the stored index a knn-build "
@@ -313,16 +317,21 @@ def main(argv: list[str] | None = None) -> None:
             p.error(f"knn: --query-ids must be integers, got {args.query_ids!r}")
         if not knn_ids:
             p.error("knn: --query-ids is empty")
-        if args.index_dir is None and args.knn_index in ("ivfpq", "ivf"):
+        if args.index_dir is None and args.knn_index in (
+            "ivfpq", "ivf", "opq"
+        ):
             p.error(
                 f"knn: the {args.knn_index} tier serves from a stored "
                 "index only — run knn-build first, then knn --index-dir "
                 "DIR (a one-shot retrain per query set defeats its point)"
             )
     if args.tool == "knn-build":
-        if args.knn_index not in ("ivf", "bq", "sq", "ivfsq", "ivfpq"):
+        if args.knn_index not in (
+            "ivf", "bq", "sq", "ivfsq", "ivfpq", "opq"
+        ):
             p.error(
-                "knn-build: --knn-index ivf|bq|sq|ivfsq|ivfpq is required"
+                "knn-build: --knn-index ivf|bq|sq|ivfsq|ivfpq|opq is "
+                "required"
             )
     if args.tool == "knn-graph":
         if args.index_dir is None:
@@ -448,7 +457,9 @@ def main(argv: list[str] | None = None) -> None:
         )
 
         emb = spark.read.parquet(args.input)
-        kind = "ivfpq_res" if args.knn_index == "ivfpq" else args.knn_index
+        kind = {"ivfpq": "ivfpq_res", "opq": "opq_ivfpq"}.get(
+            args.knn_index, args.knn_index
+        )
         build_knn_index(
             emb, kind, args.output,
             units=args.units, coarse_k=args.coarse_k,

@@ -24,6 +24,12 @@ parquet + JSON:
   unreachable during serve). Results are bit-equal to an in-session
   build+search because every artifact is integer-exact and round-trips
   JSON losslessly.
+- :func:`extend_index` / :func:`recall_drift` (round 16) — crawl-over-
+  crawl growth: encode-only generation appends against the frozen
+  artifacts (``generations/gen=N`` slices unioned at load), plus the
+  per-generation recall telemetry and documented retrain trigger that
+  decide when the frozen codebooks have drifted enough for a true
+  rebuild.
 
 Reference parity: the reference engine (6 Java MapReduce classes) has no
 ANN surface at all — this is part of the LLM-data-pipeline extension
@@ -47,8 +53,11 @@ FORMAT_VERSION = 1
 #: Index kinds build_knn_index knows how to train and serve_knn how to
 #: answer. Each maps to the similarity-module functions used. "ivf" is
 #: the full-precision tier (the exact-scoring baseline whose index IS
-#: the cluster-assigned corpus); the byte-code tiers follow the ladder.
-KNN_KINDS = ("ivf", "bq", "sq", "ivfsq", "ivfpq_res")
+#: the cluster-assigned corpus); the byte-code tiers follow the ladder;
+#: "opq_ivfpq" is the residual tier with the OPQ variance-balancing
+#: permutation in front (the permutation persists as one more integer
+#: artifact — dimension order is part of the trained index).
+KNN_KINDS = ("ivf", "bq", "sq", "ivfsq", "ivfpq_res", "opq_ivfpq")
 
 
 #: The one stored relation each tier's searches scan — the relation
@@ -59,7 +68,20 @@ KIND_TABLE = {
     "sq": "index",
     "ivfsq": "index",
     "ivfpq_res": "codes",
+    "opq_ivfpq": "codes",
 }
+
+
+def _permuted(df: DataFrame, perm: list[int], id_col: str, vec_col: str) -> DataFrame:
+    """The OPQ coordinate reorder as a projection (free at encode time —
+    no arithmetic). Keeps only (id, vec): every opq-tier consumer works
+    in the permuted space, where L2 distances are identical."""
+    return df.select(
+        id_col,
+        F.array(
+            *[F.col(vec_col).getItem(int(p)) for p in perm]
+        ).alias(vec_col),
+    )
 
 #: Subdirectory holding encode-only generation appends; each committed
 #: generation is ``generations/gen=N/<table>`` parquet plus a
@@ -323,6 +345,18 @@ def build_knn_index(
     # ivfpq_res: the production recommendation — coarse cells bound the
     # scan, residual PQ codes are 8 bytes/vector, exact re-rank optional
     # downstream. Stored relation is the pre-joined (cluster, pq_code).
+    # opq_ivfpq: the same index trained in the OPQ variance-balanced
+    # space — the permutation (one more integer artifact) reorders
+    # coordinates in front of every encode/search, and L2 is
+    # permutation-invariant so results rank the same true distances.
+    extra_artifacts = {}
+    if kind == "opq_ivfpq":
+        perm = S.opq_permutation(
+            embeddings, m=m, in_dim=in_dim, units=units,
+            id_col=id_col, vec_col=vec_col,
+        )
+        extra_artifacts["perm"] = [int(p) for p in perm]
+        embeddings = _permuted(embeddings, perm, id_col, vec_col)
     assigned, cents, codes, codebooks = S.ivfpq_build_residual(
         embeddings, coarse_k=coarse_k, coarse_iters=coarse_iters,
         m=m, k=pq_k, iters=pq_iters, units=units,
@@ -337,7 +371,8 @@ def build_knn_index(
         {"centroids": [[int(x) for x in c] for c in cents],
          "codebooks": [
              [[int(x) for x in cent] for cent in sub] for sub in codebooks
-         ]},
+         ],
+         **extra_artifacts},
         {"codes": codes},
     )
 
@@ -394,7 +429,13 @@ def serve_knn(
             centroids=[[int(x) for x in c] for c in index.artifacts["centroids"]],
             vmax=int(index.artifacts["vmax"]),
         )
-    if index.kind == "ivfpq_res":
+    if index.kind in ("ivfpq_res", "opq_ivfpq"):
+        if index.kind == "opq_ivfpq":
+            # reorder into the trained space; L2 is permutation-
+            # invariant so the served distances are the true ones
+            embeddings = _permuted(
+                embeddings, index.artifacts["perm"], id_col, vec_col
+            )
         return S.ivfpq_topk(
             embeddings,  # assigned is only the query-vector default here
             [[int(x) for x in c] for c in index.artifacts["centroids"]],
@@ -431,12 +472,23 @@ def serve_knn_bulk(
     either way."""
     from hadoop_tfidf_spark.operators import similarity as S
 
-    if index.kind != "ivfpq_res":
+    if index.kind not in ("ivfpq_res", "opq_ivfpq"):
         raise ValueError(
-            f"serve_knn_bulk needs an ivfpq_res index (got {index.kind!r})"
-            " — the compressed tier is the one whose bulk scan pays"
+            f"serve_knn_bulk needs an ivfpq_res/opq_ivfpq index (got "
+            f"{index.kind!r}) — the compressed tiers are the ones whose "
+            "bulk scan pays"
         )
     p = index.params
+    if index.kind == "opq_ivfpq":
+        from pyspark.storagelevel import StorageLevel
+
+        # permute once and KEEP the projection materialized for the
+        # bulk job: unpersisted, every distance lambda inlines the
+        # in_dim-getItem array build and re-evaluates it per element
+        # (the measured 10.6s-vs-2.0s rp_ivfpq precedent, SCALE.md)
+        embeddings = _permuted(
+            embeddings, index.artifacts["perm"], p["id_col"], p["vec_col"]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     cents = [[int(x) for x in c] for c in index.artifacts["centroids"]]
     books = [
         [[int(x) for x in cent] for cent in sub]
@@ -502,6 +554,12 @@ def _encode_generation(
             int(artifacts["vmax"]), units=units, in_dim=in_dim,
             id_col=id_col, vec_col=vec_col,
         )
+    if kind == "opq_ivfpq":
+        # frozen permutation first; the rest is the ivfpq_res encode in
+        # the permuted space
+        new_embeddings = _permuted(
+            new_embeddings, artifacts["perm"], id_col, vec_col
+        )
     cents = [[int(x) for x in c] for c in artifacts["centroids"]]
     # frozen-centroid assignment: nearest_centroid_ids' first element is
     # the same first-minimum argmin ivf_build's final Lloyd pass takes
@@ -510,7 +568,7 @@ def _encode_generation(
     )
     if kind == "ivf":
         return new_embeddings.withColumn("cluster", cluster)
-    if kind == "ivfpq_res":
+    if kind in ("ivfpq_res", "opq_ivfpq"):
         cent_arr = F.array(
             *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
         )
@@ -688,8 +746,10 @@ def recall_drift(
             id_col=id_col, vec_col=vec_col,
         ).select("query_id", id_col).collect()
     }
-    if index.kind == "ivfpq_res":
+    if index.kind in ("ivfpq_res", "opq_ivfpq"):
         # production shape: ADC cut at `candidates`, exact re-rank to k
+        # (for opq the re-rank runs in the RAW space — L2 is
+        # permutation-invariant, so the ranking is identical)
         cut = serve_knn(
             embeddings, index, qids, k=candidates, nprobe=nprobe
         ).select("query_id", id_col)

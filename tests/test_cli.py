@@ -928,3 +928,41 @@ def test_knn_extend_and_drift_cli(spark, tmp_path):
     assert set(rep["by_generation"]) == {"0", "1"}
     assert rep["retrain_due"] is False
     assert 0.0 <= rep["overall"] <= 1.0
+
+
+def test_knn_build_opq_tier_serves(spark, tmp_path):
+    """The OPQ-permuted residual IVFADC tier through the CLI: knn-build
+    --knn-index opq persists the permutation as an integer artifact
+    beside centroids/codebooks, and knn --index-dir serves from it; the
+    one-shot path refuses opq like ivfpq (a per-query-set retrain
+    defeats the trained permutation)."""
+    import json
+
+    emb_path = str(tmp_path / "emb.parquet")
+    rows = [
+        (i, [((i * 29 + d * 13) % 19 - 9) / 10.0 for d in range(8)])
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(emb_path)
+    idx_dir = str(tmp_path / "idx")
+    res = _run("knn-build", emb_path, idx_dir, "--knn-index", "opq",
+               "--coarse-k", "4", "--units", "1000")
+    census = json.loads(res.stdout.strip().splitlines()[-1])
+    assert census["kind"] == "opq_ivfpq"
+    assert census["artifacts"] == ["centroids", "codebooks", "perm"]
+    out = str(tmp_path / "served")
+    _run("knn", emb_path, out, "--query-ids", "0,7", "--k", "5",
+         "--index-dir", idx_dir, "--nprobe", "4")
+    got = duckdb.sql(
+        f"SELECT query_id, vec_id, rn FROM '{out}/*.parquet'"
+    ).fetchall()
+    assert {r[0] for r in got} == {0, 7} and len(got) == 10
+
+    res = subprocess.run(
+        [sys.executable, "-m", "hadoop_tfidf_spark.cli", "knn", emb_path,
+         str(tmp_path / "x"), "--query-ids", "0", "--knn-index", "opq"],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert res.returncode != 0 and "knn-build" in res.stderr

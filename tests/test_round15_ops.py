@@ -351,6 +351,16 @@ def _in_session_twin(spark, emb, kind, qids, k, candidates, nprobe):
             emb, qids, k=k, candidates=candidates, nprobe=nprobe,
             coarse_k=4, units=1000, in_dim=8,
         )
+    if kind == "opq_ivfpq":
+        # round 16: the OPQ tier joined the store — permute with the
+        # same deterministic allocation, then the ivfpq_res twin
+        perm = S.opq_permutation(emb, m=2, in_dim=8, units=1000)
+        emb = emb.select(
+            "vec_id",
+            F.array(
+                *[F.col("embedding").getItem(int(p)) for p in perm]
+            ).alias("embedding"),
+        )
     assigned, cents, codes, codebooks = S.ivfpq_build_residual(
         emb, coarse_k=4, m=2, k=4, iters=1, units=1000, pack=True
     )

@@ -89,14 +89,25 @@ def test_extend_index_slice_equals_frozen_encode_all_tiers(spark, tmp_path):
                     1,
                 ),
             )
-        else:  # ivfpq_res
+        else:  # ivfpq_res / opq_ivfpq (identical encode in its space)
+            src = emb
+            if kind == "opq_ivfpq":
+                src = emb.select(
+                    "vec_id",
+                    F.array(
+                        *[
+                            F.col("embedding").getItem(int(p))
+                            for p in a["perm"]
+                        ]
+                    ).alias("embedding"),
+                )
             cent_arr = F.array(
                 *[
                     F.array(*[F.lit(int(x)).cast("bigint") for x in c])
                     for c in a["centroids"]
                 ]
             )
-            res = emb.withColumn(
+            res = src.withColumn(
                 "cluster",
                 F.element_at(
                     S.nearest_centroid_ids(
