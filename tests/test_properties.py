@@ -605,3 +605,41 @@ def test_temperature_rates_match_pure_python_reference(
         share = round(pt_u[k] / tot, 6)
         rate = min(100, max(0, math.floor(100.0 * budget * share / v)))
         assert got[k] == (v, share, rate), (k, got[k], (v, share, rate))
+
+
+bloom_corpus_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS + ["token1", "token9"]),
+             min_size=0, max_size=10).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=bloom_corpus_strategy)
+@SETTINGS
+def test_sharded_bloom_bc_probe_equals_literal_probe(spark, texts):
+    """Round 16: the broadcast-handle numpy probe and the expression
+    probe are the SAME operator for ANY corpus — per-doc (n_shingles,
+    n_hits, keep) identical, including empty and sub-k docs whose
+    verdict is keep-by-no-evidence. Generated docs overlap the bench
+    vocabulary partially, so hits exercise both shard routing and the
+    all-hashes-set conjunction."""
+    from hadoop_tfidf_spark.functions.text import (
+        bloom_bitmap_sharded,
+        contamination_bloom_sharded,
+        contamination_bloom_sharded_bc,
+    )
+
+    bench = _docs(
+        spark,
+        ["alpha beta gamma delta", "delta epsilon zeta alpha beta"],
+    )
+    sb = bloom_bitmap_sharded(bench, k=3, n_shards=3)
+    docs = _docs(spark, texts)
+    lit = sorted(
+        map(tuple, contamination_bloom_sharded(docs, sb, k=3).collect())
+    )
+    bc = sorted(
+        map(tuple, contamination_bloom_sharded_bc(docs, sb, k=3).collect())
+    )
+    assert lit == bc
