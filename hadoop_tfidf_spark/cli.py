@@ -43,6 +43,7 @@ Usage::
     python -m hadoop_tfidf_spark.cli knn-extend    DELTA INDEX_DIR
     python -m hadoop_tfidf_spark.cli knn-drift     IN - --index-dir DIR
                   [--k K] [--candidates C] [--nprobe P]
+    python -m hadoop_tfidf_spark.cli knn-flip      INDEX_DIR ROOT
     python -m hadoop_tfidf_spark.cli knn-graph     IN OUT --index-dir DIR
                   (--target-recall R | --nprobe P --candidates C)
                   [--k K]
@@ -111,6 +112,14 @@ stored ivfpq index, with the search budget either pinned
 integer-L2 truth and picks the cheapest clearing budget — the measured
 dial, not a guess).
 
+``knn-flip`` makes the versioned-artifact story operational:
+``knn-flip INDEX_DIR ROOT`` atomically points ``ROOT/CURRENT.json`` at
+a validated index version, and every ``--index-dir`` consumer (and
+``knn-extend``'s target) accepts EITHER a concrete version dir or a
+serving root — so a retrain ships as knn-build to a fresh dir,
+knn-drift to validate, knn-flip to move every serving job, with readers
+seeing the old or the new index and never a torn state.
+
 ``knn-extend`` grows a stored index crawl-over-crawl WITHOUT
 retraining: it encodes a new generation's vectors against the frozen
 centroids/codebooks/vmax (O(delta) — old generations are never
@@ -174,8 +183,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("tool", choices=[
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
         "curate", "select", "bpe-train", "project", "compact", "knn",
-        "knn-build", "knn-extend", "knn-drift", "knn-graph", "sign",
-        "ledger-compact", "explain",
+        "knn-build", "knn-extend", "knn-drift", "knn-graph", "knn-flip",
+        "sign", "ledger-compact", "explain",
         "frontier",
     ])
     p.add_argument("input")
@@ -390,6 +399,22 @@ def main(argv: list[str] | None = None) -> None:
     ):
         p.error("--keys/--through are ledger-compact-only")
 
+    if args.tool == "knn-flip":
+        # IN is a knn-build index dir; OUT is the serving ROOT whose
+        # CURRENT.json pointer every serving job resolves through.
+        # Pure filesystem (validation + tmp/rename atomicity live in
+        # set_current_index) — no Spark session is started.
+        import json
+
+        from hadoop_tfidf_spark.operators.index_store import (
+            set_current_index,
+        )
+
+        target = set_current_index(args.output, args.input)
+        print(json.dumps({"root": args.output, "current": target},
+                         sort_keys=True))
+        return
+
     from hadoop_tfidf_spark.corpus import tokenize
     from hadoop_tfidf_spark.search import query_term_bag, rank, search, tfidf_rank
     from hadoop_tfidf_spark.session import get_spark
@@ -487,11 +512,13 @@ def main(argv: list[str] | None = None) -> None:
         from hadoop_tfidf_spark.operators.index_store import (
             extend_index,
             load_index,
+            resolve_index_dir,
         )
 
         delta = spark.read.parquet(args.input)
-        gen = extend_index(spark, args.output, delta)
-        idx = load_index(spark, args.output)
+        target = resolve_index_dir(args.output)
+        gen = extend_index(spark, target, delta)
+        idx = load_index(spark, target)
         print(json.dumps({
             "kind": idx.kind, "path": args.output, "generation": gen,
             "generations": [
@@ -512,10 +539,11 @@ def main(argv: list[str] | None = None) -> None:
         from hadoop_tfidf_spark.operators.index_store import (
             load_index,
             recall_drift,
+            resolve_index_dir,
         )
 
         emb = spark.read.parquet(args.input)
-        idx = load_index(spark, args.index_dir)
+        idx = load_index(spark, resolve_index_dir(args.index_dir))
         rep = recall_drift(
             emb, idx, k=args.k, candidates=args.candidates,
             nprobe=args.nprobe,
@@ -532,11 +560,12 @@ def main(argv: list[str] | None = None) -> None:
         # --target-recall via the sample recall curve.
         from hadoop_tfidf_spark.operators.index_store import (
             load_index,
+            resolve_index_dir,
             serve_knn_bulk,
         )
 
         emb = spark.read.parquet(args.input)
-        idx = load_index(spark, args.index_dir)
+        idx = load_index(spark, resolve_index_dir(args.index_dir))
         if args.target_recall is not None:
             out = serve_knn_bulk(
                 emb, idx, k=args.k, target_recall=args.target_recall
@@ -562,11 +591,14 @@ def main(argv: list[str] | None = None) -> None:
         if args.index_dir is not None:
             from hadoop_tfidf_spark.operators.index_store import (
                 load_index,
+                resolve_index_dir,
                 serve_knn,
             )
 
-            idx = load_index(spark, args.index_dir)
-            want = "ivfpq_res" if args.knn_index == "ivfpq" else args.knn_index
+            idx = load_index(spark, resolve_index_dir(args.index_dir))
+            want = {"ivfpq": "ivfpq_res", "opq": "opq_ivfpq"}.get(
+                args.knn_index, args.knn_index
+            )
             if want is not None and want != idx.kind:
                 p.error(
                     f"knn: --index-dir holds a {idx.kind!r} index but "

@@ -792,3 +792,62 @@ def recall_drift(
         "recall_floor": recall_floor,
         "retrain_due": retrain_due,
     }
+
+
+#: Atomic serving pointer: a root directory's ``CURRENT.json`` names the
+#: active index version. Rebuilds land in fresh dirs (save_index refuses
+#: overwrites), then one pointer flip moves every serving job — readers
+#: see the old or the new index, never a torn state.
+CURRENT_POINTER = "CURRENT.json"
+
+
+def set_current_index(root: str, index_dir: str) -> str:
+    """Point ``root``'s serving pointer at ``index_dir`` — the atomic
+    flip the versioned-artifact story ends with: ``build_knn_index`` a
+    new version into its own directory (or :func:`extend_index` an
+    existing one), validate/measure it (:func:`recall_drift`), then
+    flip. The write is tmp + ``os.rename`` so a concurrent
+    :func:`resolve_index_dir` reads the old pointer or the new one,
+    never a partial file. Refuses to point at anything that is not a
+    loadable index (no manifest ⇒ a crashed or wrong path — flipping
+    serving onto it would take every reader down)."""
+    if not os.path.exists(f"{index_dir}/manifest.json"):
+        raise FileNotFoundError(
+            f"{index_dir} has no manifest.json — not a saved index; "
+            "refusing to flip serving onto it"
+        )
+    with open(f"{index_dir}/manifest.json") as f:
+        kind = json.load(f)["kind"]
+    os.makedirs(root, exist_ok=True)
+    pointer = {"path": os.path.abspath(index_dir), "kind": kind}
+    tmp = f"{root}/{CURRENT_POINTER}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(pointer, f, sort_keys=True)
+    os.rename(tmp, f"{root}/{CURRENT_POINTER}")
+    return pointer["path"]
+
+
+def resolve_index_dir(path: str) -> str:
+    """Resolve a serving path: a concrete index dir (has its own
+    ``manifest.json``) resolves to itself; a ROOT dir with a
+    ``CURRENT.json`` pointer resolves to the version it names — so
+    every ``--index-dir`` consumer can be handed either a pinned
+    version or the rolling pointer. A root whose pointer names a
+    since-deleted dir fails loudly here rather than as a confusing
+    read error downstream."""
+    if os.path.exists(f"{path}/manifest.json"):
+        return path
+    pointer_path = f"{path}/{CURRENT_POINTER}"
+    if os.path.exists(pointer_path):
+        with open(pointer_path) as f:
+            target = json.load(f)["path"]
+        if not os.path.exists(f"{target}/manifest.json"):
+            raise FileNotFoundError(
+                f"{pointer_path} names {target}, which has no "
+                "manifest.json — the pointed-at index version is gone"
+            )
+        return target
+    raise FileNotFoundError(
+        f"{path} is neither a saved index (no manifest.json) nor a "
+        f"serving root (no {CURRENT_POINTER})"
+    )

@@ -966,3 +966,50 @@ def test_knn_build_opq_tier_serves(spark, tmp_path):
         capture_output=True, text=True, timeout=60, cwd="/root/repo",
     )
     assert res.returncode != 0 and "knn-build" in res.stderr
+
+
+def test_knn_flip_and_root_serving(spark, tmp_path):
+    """The atomic serving flip through the CLI: knn-flip points a root
+    at a validated version, knn/knn-extend/knn-drift accept the ROOT
+    (resolving through CURRENT.json), and flipping to a second version
+    moves serving without touching any consumer invocation."""
+    import json
+
+    emb_path = str(tmp_path / "emb.parquet")
+    rows = [
+        (i, [((i * 29 + d * 13) % 19 - 9) / 10.0 for d in range(8)])
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).write.parquet(emb_path)
+    v1 = str(tmp_path / "v1")
+    root = str(tmp_path / "serving")
+    _run("knn-build", emb_path, v1, "--knn-index", "ivfpq",
+         "--coarse-k", "4", "--units", "1000")
+    res = _run("knn-flip", v1, root)
+    flip = json.loads(res.stdout.strip().splitlines()[-1])
+    assert flip["current"].endswith("v1")
+    # serve through the ROOT — identical to serving the version directly
+    out_root = str(tmp_path / "via_root")
+    out_dir = str(tmp_path / "via_dir")
+    _run("knn", emb_path, out_root, "--query-ids", "0,7", "--k", "5",
+         "--index-dir", root, "--nprobe", "4")
+    _run("knn", emb_path, out_dir, "--query-ids", "0,7", "--k", "5",
+         "--index-dir", v1, "--nprobe", "4")
+    a = sorted(duckdb.sql(
+        f"SELECT query_id, vec_id, rn FROM '{out_root}/*.parquet'"
+    ).fetchall())
+    b = sorted(duckdb.sql(
+        f"SELECT query_id, vec_id, rn FROM '{out_dir}/*.parquet'"
+    ).fetchall())
+    assert a == b and len(a) == 10
+
+    # flipping to an unbuilt version refuses without touching the pointer
+    res = subprocess.run(
+        [sys.executable, "-m", "hadoop_tfidf_spark.cli", "knn-flip",
+         str(tmp_path / "v2"), root],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    assert res.returncode != 0
+    assert json.load(open(f"{root}/CURRENT.json"))["path"].endswith("v1")

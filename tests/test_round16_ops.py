@@ -461,3 +461,71 @@ def test_sharded_bloom_broadcast_probe_row_equal(spark):
     }
     assert kept_lit == kept_bc
     assert all(i >= 1000 for i in kept_lit)  # bench docs all self-hit
+
+
+# ------------------------------------------------ serving pointer (flip)
+
+
+def test_current_pointer_flip_and_resolution(spark, tmp_path):
+    """The atomic serving flip the versioned-artifact story ends with:
+    a root's CURRENT.json names the active version, resolve accepts
+    either a concrete index dir or a root, flips refuse non-indexes,
+    and a pointer to a deleted version fails loudly at resolve time."""
+    import shutil
+
+    from hadoop_tfidf_spark.operators.index_store import (
+        build_knn_index,
+        load_index,
+        resolve_index_dir,
+        set_current_index,
+    )
+
+    _, base, delta = _split(spark)
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    root = str(tmp_path / "serving")
+    build_knn_index(base, "ivfpq_res", v1, **_BUILD_KW)
+    with pytest.raises(FileNotFoundError, match="manifest"):
+        set_current_index(root, v2)  # not built yet — refuse the flip
+    set_current_index(root, v1)
+    assert resolve_index_dir(root) == os.path.abspath(v1)
+    assert resolve_index_dir(v1) == v1  # concrete dir resolves to itself
+    assert load_index(spark, resolve_index_dir(root)).kind == "ivfpq_res"
+    # retrain lands in v2, one flip moves serving
+    build_knn_index(base.unionByName(delta), "ivfpq_res", v2, **_BUILD_KW)
+    set_current_index(root, v2)
+    assert resolve_index_dir(root) == os.path.abspath(v2)
+    # a pointer to a deleted version fails at resolve, not as a read error
+    shutil.rmtree(v2)
+    with pytest.raises(FileNotFoundError, match="gone"):
+        resolve_index_dir(root)
+    with pytest.raises(FileNotFoundError, match="neither"):
+        resolve_index_dir(str(tmp_path / "nothing"))
+
+
+def test_opq_bulk_serve_from_store(spark, tmp_path):
+    """serve_knn_bulk over a stored opq_ivfpq index: the whole-corpus
+    kNN graph at a pinned budget covers every vector as a query, and
+    (probing every cell with a corpus-wide candidate cut) the exact
+    re-rank reproduces the brute-force integer-L2 ranking — the
+    permutation changes the codes, never the served distances."""
+    from hadoop_tfidf_spark.operators import similarity as S
+    from hadoop_tfidf_spark.operators.index_store import (
+        build_knn_index,
+        load_index,
+        serve_knn_bulk,
+    )
+
+    emb, _, _ = _split(spark)
+    d = str(tmp_path / "idx")
+    build_knn_index(emb, "opq_ivfpq", d, **_BUILD_KW)
+    got = serve_knn_bulk(
+        emb, load_index(spark, d), k=3, candidates=60, nprobe=4
+    )
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == set(range(60))
+    assert all(r["query_id"] != r["vec_id"] for r in rows)
+    truth = sorted(
+        (r["query_id"], r["vec_id"], r["rn"])
+        for r in S.int_l2_topk(emb, emb, k=3, units=1000).collect()
+    )
+    assert sorted((r["query_id"], r["vec_id"], r["rn"]) for r in rows) == truth
