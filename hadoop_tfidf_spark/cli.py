@@ -44,6 +44,7 @@ Usage::
     python -m hadoop_tfidf_spark.cli knn-drift     IN - --index-dir DIR
                   [--k K] [--candidates C] [--nprobe P]
     python -m hadoop_tfidf_spark.cli knn-flip      INDEX_DIR ROOT
+    python -m hadoop_tfidf_spark.cli knn-compact   INDEX_DIR NEW_DIR
     python -m hadoop_tfidf_spark.cli knn-graph     IN OUT --index-dir DIR
                   (--target-recall R | --nprobe P --candidates C)
                   [--k K]
@@ -120,6 +121,11 @@ serving root — so a retrain ships as knn-build to a fresh dir,
 knn-drift to validate, knn-flip to move every serving job, with readers
 seeing the old or the new index and never a torn state.
 
+``knn-compact`` folds an extended index's generation slices into a
+fresh single-base version (artifacts byte-identical, no training — the
+stored-index counterpart of ``ledger-compact``); flip serving to the
+compacted dir with ``knn-flip`` when crawl-count file overhead grows.
+
 ``knn-extend`` grows a stored index crawl-over-crawl WITHOUT
 retraining: it encodes a new generation's vectors against the frozen
 centroids/codebooks/vmax (O(delta) — old generations are never
@@ -184,7 +190,7 @@ def main(argv: list[str] | None = None) -> None:
         "docwordcount", "termfrequency", "tfidf", "search", "rank", "tfidfrank",
         "curate", "select", "bpe-train", "project", "compact", "knn",
         "knn-build", "knn-extend", "knn-drift", "knn-graph", "knn-flip",
-        "sign", "ledger-compact", "explain",
+        "knn-compact", "sign", "ledger-compact", "explain",
         "frontier",
     ])
     p.add_argument("input")
@@ -525,6 +531,30 @@ def main(argv: list[str] | None = None) -> None:
                 {"generation": g["generation"], "n_rows": g["n_rows"]}
                 for g in idx.generations
             ],
+        }, sort_keys=True))
+        spark.stop()
+        return
+
+    if args.tool == "knn-compact":
+        # IN is an extended index dir (or a serving root); OUT is the
+        # fresh dir the folded single-base version lands in. Pure
+        # rewrite — no training job runs; flip serving with knn-flip.
+        import json
+
+        from hadoop_tfidf_spark.operators.index_store import (
+            KIND_TABLE,
+            compact_index,
+            load_index,
+            resolve_index_dir,
+        )
+
+        src_dir = resolve_index_dir(args.input)
+        compact_index(spark, src_dir, args.output)
+        idx = load_index(spark, args.output)
+        print(json.dumps({
+            "kind": idx.kind, "from": src_dir, "path": args.output,
+            "n_rows": idx.tables[KIND_TABLE[idx.kind]].count(),
+            "generations": len(idx.generations),
         }, sort_keys=True))
         spark.stop()
         return

@@ -851,3 +851,38 @@ def resolve_index_dir(path: str) -> str:
         f"{path} is neither a saved index (no manifest.json) nor a "
         f"serving root (no {CURRENT_POINTER})"
     )
+
+
+def compact_index(spark: SparkSession, index_dir: str, out_dir: str) -> str:
+    """Fold an index's committed generation slices into a fresh base —
+    the stored-index counterpart of the signature ledger's
+    ``compact_ledger`` (a table format's OPTIMIZE on plain parquet).
+    Weekly :func:`extend_index` appends accumulate many small
+    ``generations/gen=N`` parquet slices; every load unions them, so
+    file-listing and small-file overhead grow with crawl count.
+    Compaction writes a NEW versioned index dir whose main relation is
+    the full union as ONE table and whose artifacts are byte-identical
+    (NO training job runs — the codes were already encoded; this is a
+    pure rewrite, pinned in tests with the trainers unreachable).
+    Reconstruction-invariant: the compacted index serves row-equal to
+    the multi-generation one. Ship it like any rebuild: compact into a
+    fresh dir, then :func:`set_current_index` flips serving atomically;
+    the old dir stays readable until retired."""
+    index = load_index(spark, index_dir)
+    with open(f"{index_dir}/manifest.json") as f:
+        manifest = json.load(f)
+    main = KIND_TABLE.get(index.kind)
+    tables = dict(index.tables)  # main is already the full union
+    out = save_index(
+        out_dir, index.kind, index.params, index.artifacts, tables
+    )
+    # sanity: the rewrite preserved the recorded schema pairing
+    want = manifest["tables"][main]["schema"] if main in manifest["tables"] else None
+    with open(f"{out_dir}/manifest.json") as f:
+        got = json.load(f)["tables"][main]["schema"]
+    if want is not None and got != want:
+        raise ValueError(
+            f"compact_index: rewritten {main} schema {got} does not "
+            f"match the source index's {want}"
+        )
+    return out

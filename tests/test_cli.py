@@ -1013,3 +1013,50 @@ def test_knn_flip_and_root_serving(spark, tmp_path):
     )
     assert res.returncode != 0
     assert json.load(open(f"{root}/CURRENT.json"))["path"].endswith("v1")
+
+
+def test_knn_compact_cli(spark, tmp_path):
+    """knn-compact end-to-end: build, extend, compact to a fresh dir
+    (census reports the folded row count and a single generation),
+    flip serving to it, and serve through the root — identical rows to
+    serving the multi-generation original."""
+    import json
+
+    emb_path = str(tmp_path / "emb.parquet")
+    rows = [
+        (i, [((i * 29 + d * 13) % 19 - 9) / 10.0 for d in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    emb.write.parquet(emb_path)
+    base_path = str(tmp_path / "base.parquet")
+    delta_path = str(tmp_path / "delta.parquet")
+    emb.where("vec_id % 5 != 0").write.parquet(base_path)
+    emb.where("vec_id % 5 = 0").write.parquet(delta_path)
+
+    v1 = str(tmp_path / "v1")
+    _run("knn-build", base_path, v1, "--knn-index", "ivfpq",
+         "--coarse-k", "4", "--units", "1000")
+    _run("knn-extend", delta_path, v1)
+    v2 = str(tmp_path / "v2")
+    res = _run("knn-compact", v1, v2)
+    census = json.loads(res.stdout.strip().splitlines()[-1])
+    assert census["n_rows"] == 40 and census["generations"] == 1
+
+    root = str(tmp_path / "serving")
+    _run("knn-flip", v2, root)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    _run("knn", emb_path, out_a, "--query-ids", "0,7", "--k", "5",
+         "--index-dir", root, "--nprobe", "4")
+    _run("knn", emb_path, out_b, "--query-ids", "0,7", "--k", "5",
+         "--index-dir", v1, "--nprobe", "4")
+    a = sorted(duckdb.sql(
+        f"SELECT query_id, vec_id, rn FROM '{out_a}/*.parquet'"
+    ).fetchall())
+    b = sorted(duckdb.sql(
+        f"SELECT query_id, vec_id, rn FROM '{out_b}/*.parquet'"
+    ).fetchall())
+    assert a == b and len(a) == 10

@@ -529,3 +529,65 @@ def test_opq_bulk_serve_from_store(spark, tmp_path):
         for r in S.int_l2_topk(emb, emb, k=3, units=1000).collect()
     )
     assert sorted((r["query_id"], r["vec_id"], r["rn"]) for r in rows) == truth
+
+
+def test_compact_index_folds_generations_losslessly(spark, tmp_path, monkeypatch):
+    """Generation compaction (the stored-index ledger-compact): after
+    two extends, compacting writes a fresh single-base version whose
+    artifacts are byte-identical, whose relation is the full union, and
+    which serves ROW-EQUAL to the multi-generation index — with every
+    trainer unreachable during the fold (a compact is a rewrite, never
+    a retrain)."""
+    import json as _json
+
+    from hadoop_tfidf_spark.operators import similarity as S
+    from hadoop_tfidf_spark.operators.index_store import (
+        build_knn_index,
+        compact_index,
+        extend_index,
+        load_index,
+        serve_knn,
+    )
+
+    emb, base, delta = _split(spark)
+    d = str(tmp_path / "idx")
+    build_knn_index(base, "ivfpq_res", d, **_BUILD_KW)
+    extend_index(spark, d, delta.where(F.col("vec_id") < 30))
+    extend_index(spark, d, delta.where(F.col("vec_id") >= 30))
+    before = load_index(spark, d)
+    assert [g["generation"] for g in before.generations] == [0, 1, 2]
+
+    def _trap(name):
+        def boom(*a, **kw):
+            raise AssertionError(f"training job {name} ran during compact")
+
+        return boom
+
+    for trainer in (
+        "ivf_build", "pq_build", "ivfpq_build_residual", "ivfsq_build",
+        "bq_build", "sq_build", "sq_vmax", "opq_permutation",
+        "_pq_train_units",
+    ):
+        monkeypatch.setattr(S, trainer, _trap(trainer))
+
+    out = str(tmp_path / "compacted")
+    compact_index(spark, d, out)
+    after = load_index(spark, out)
+    assert [g["generation"] for g in after.generations] == [0]
+    assert after.artifacts == before.artifacts
+    assert sorted(map(tuple, after.tables["codes"].collect())) == sorted(
+        map(tuple, before.tables["codes"].collect())
+    )
+    qids = [0, 7, 30]
+    assert sorted(
+        map(tuple, serve_knn(emb, after, qids, k=5, nprobe=2).collect())
+    ) == sorted(
+        map(tuple, serve_knn(emb, before, qids, k=5, nprobe=2).collect())
+    )
+    # the compacted dir is a full versioned index: overwrite refuses
+    with pytest.raises(FileExistsError):
+        compact_index(spark, d, out)
+    # manifest schema pairing preserved
+    m_old = _json.load(open(f"{d}/manifest.json"))
+    m_new = _json.load(open(f"{out}/manifest.json"))
+    assert m_new["tables"] == m_old["tables"]
