@@ -12,6 +12,7 @@ distributed — no skew concern at 100 TB).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -980,61 +981,21 @@ def decontaminate_bloom_sharded(
     return docs.join(dropped, "doc_id", "left_anti")
 
 
-def contamination_bloom_sharded_bc(
-    docs: DataFrame,
-    sharded: ShardedBloom,
-    k: int = 3,
-    max_overlap: float = 0.1,
-) -> DataFrame:
-    """:func:`contamination_bloom_sharded` with the filter shipped as a
-    ``SparkContext.broadcast`` HANDLE instead of a plan literal — the
-    form for geometries that FORCE sharding. A multi-Gbit filter as a
-    flat expression literal rides inside every serialized plan and task
-    closure (hundreds of MB re-shipped per job); a broadcast ships the
-    word array to each executor ONCE (torrent-style, off the task path)
-    and the plan stays tiny. The probe itself moves from a codegen
-    expression to one Arrow ``mapInPandas`` stage with batch-level
-    numpy — same hash geometry (md5 base mod M31, the Carter–Wegman
-    ``(A·x+B) mod M31 mod bits`` family, shard-major word layout), same
-    output schema and keep rule, row-equal to the literal form (pinned
-    in tests). Still ZERO corpus-side joins and shuffles.
-
-    Measured crossover (SCALE.md, ``tools/bloom_probe_scale_check.py``):
-    the literal's binding cost is PLAN CONSTRUCTION, not shipping — a
-    0.5 MB filter already costs ~38 s of driver-side expression build
-    (one py4j round per word) before the first task runs, while the
-    broadcast form handles 64 MB end-to-end in ~1.1 s. So: keep the
-    literal form for the default/gate geometries (≤ a few thousand
-    words — whole-stage codegen, no Python stage); use THIS form for
-    anything big enough to force sharding. Driver-memory
-    note (per advisory): the BUILD side still collects the full word
-    array once (n_shards × bits/8 bytes — ~1.25 GB at the 10⁹-key
-    example), so size the driver for the build or build per-shard;
-    the broadcast then caps the per-executor cost at one copy."""
-    _check_geometry(sharded.bits_per_shard, sharded.hashes)
+def _numpy_bloom_probe_fn(
+    get_words, n_shards: int, bits: int, hashes: int, k: int,
+    max_overlap: float,
+):
+    """The one numpy batch-probe used by BOTH off-plan filter forms
+    (broadcast handle and stored directory): same shingling as the
+    expression probe (single-space split, k-grams, distinct), same md5
+    base / Carter–Wegman positions / shard-major word layout, same
+    HALF_UP keep rule. ``get_words`` defers the word-array fetch to the
+    worker (broadcast .value, or the per-worker storage cache)."""
     from hadoop_tfidf_spark.operators.dedup import M31, MINHASH_A, MINHASH_B
-
-    n_shards = sharded.n_shards
-    bits = sharded.bits_per_shard
-    hashes = sharded.hashes
-    wps = bits // _BLOOM_LANE
-    if len(sharded.words) != n_shards * wps:
-        raise ValueError(
-            "ShardedBloom words length does not match its geometry "
-            f"({len(sharded.words)} words for {n_shards} shards "
-            f"x {bits} bits)"
-        )
-    import numpy as np
 
     A = [int(a) for a in MINHASH_A[:hashes]]
     B = [int(b) for b in MINHASH_B[:hashes]]
-    bc = docs.sparkSession.sparkContext.broadcast(
-        np.asarray(sharded.words, dtype=np.int64)
-    )
-    id_type = docs.schema["doc_id"].dataType.simpleString()
-    out_schema = (
-        f"doc_id {id_type}, n_shingles BIGINT, n_hits BIGINT, keep INT"
-    )
+    wps = bits // _BLOOM_LANE
 
     def probe(batches):
         import hashlib
@@ -1043,7 +1004,7 @@ def contamination_bloom_sharded_bc(
         import numpy as _np
         import pandas as pd
 
-        words = bc.value
+        words = get_words()
         for pdf in batches:
             ids, ns, hits_out, keeps = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -1095,7 +1056,272 @@ def contamination_bloom_sharded_bc(
                 }
             )
 
+    return probe
+
+
+def contamination_bloom_sharded_bc(
+    docs: DataFrame,
+    sharded: ShardedBloom,
+    k: int = 3,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """:func:`contamination_bloom_sharded` with the filter shipped as a
+    ``SparkContext.broadcast`` HANDLE instead of a plan literal — the
+    form for geometries that FORCE sharding. A multi-Gbit filter as a
+    flat expression literal rides inside every serialized plan and task
+    closure (hundreds of MB re-shipped per job); a broadcast ships the
+    word array to each executor ONCE (torrent-style, off the task path)
+    and the plan stays tiny. The probe itself moves from a codegen
+    expression to one Arrow ``mapInPandas`` stage with batch-level
+    numpy — same hash geometry (md5 base mod M31, the Carter–Wegman
+    ``(A·x+B) mod M31 mod bits`` family, shard-major word layout), same
+    output schema and keep rule, row-equal to the literal form (pinned
+    in tests). Still ZERO corpus-side joins and shuffles.
+
+    Measured crossover (SCALE.md, ``tools/bloom_probe_scale_check.py``):
+    the literal's binding cost is PLAN CONSTRUCTION, not shipping — a
+    0.5 MB filter already costs ~38 s of driver-side expression build
+    (one py4j round per word) before the first task runs, while the
+    broadcast form handles 64 MB end-to-end in ~1.1 s. So: keep the
+    literal form for the default/gate geometries (≤ a few thousand
+    words — whole-stage codegen, no Python stage); use THIS form for
+    anything big enough to force sharding. Driver-memory
+    note (per advisory): the BUILD side still collects the full word
+    array once (n_shards × bits/8 bytes — ~1.25 GB at the 10⁹-key
+    example), so size the driver for the build or build per-shard;
+    the broadcast then caps the per-executor cost at one copy."""
+    _check_geometry(sharded.bits_per_shard, sharded.hashes)
+    n_shards = sharded.n_shards
+    bits = sharded.bits_per_shard
+    hashes = sharded.hashes
+    wps = bits // _BLOOM_LANE
+    if len(sharded.words) != n_shards * wps:
+        raise ValueError(
+            "ShardedBloom words length does not match its geometry "
+            f"({len(sharded.words)} words for {n_shards} shards "
+            f"x {bits} bits)"
+        )
+    import numpy as np
+
+    bc = docs.sparkSession.sparkContext.broadcast(
+        np.asarray(sharded.words, dtype=np.int64)
+    )
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    out_schema = (
+        f"doc_id {id_type}, n_shingles BIGINT, n_hits BIGINT, keep INT"
+    )
+    probe = _numpy_bloom_probe_fn(
+        lambda: bc.value, n_shards, bits, hashes, k, max_overlap
+    )
     return docs.select("doc_id", "text").mapInPandas(probe, out_schema)
+
+
+#: Per-worker-process cache for stored Bloom filters: Spark reuses
+#: Python workers (spark.python.worker.reuse), so each worker loads the
+#: word array from storage ONCE and every later task on that worker
+#: probes from memory. Keyed by filter dir; values are numpy int64.
+_STORED_BLOOM_CACHE: dict = {}
+
+
+def bloom_store_sharded(
+    bench_docs: DataFrame,
+    filter_dir: str,
+    k: int = 3,
+    bits_per_shard: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+    n_shards: int = 1,
+) -> str:
+    """Build a sharded benchmark Bloom filter INTO STORAGE, one shard at
+    a time — the largest-geometry form the advisory asked for: the
+    driver's peak memory is ONE shard's words (≤ ~256 MB by the M31
+    ceiling), never the whole filter, so the 10⁹-key ~1.25 GB example
+    builds on an ordinary driver. Each shard is its own ``bit_or``
+    aggregation over the shard's key share (the same single definition
+    of the hash geometry all probe forms use) written as parquet
+    ``words/shard=i``; ``geometry.json`` lands LAST + atomically (the
+    ``save_index`` commit-marker pattern — a crashed build can never be
+    probed). Probe with :func:`contamination_bloom_stored`, which loads
+    the words executor-side from this directory: the filter never rides
+    a plan, a broadcast, or the driver again."""
+    from hadoop_tfidf_spark.operators.dedup import shingles
+
+    _check_geometry(bits_per_shard, hashes)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if os.path.exists(f"{filter_dir}/geometry.json"):
+        raise FileExistsError(
+            f"{filter_dir}/geometry.json already exists; a stored filter "
+            "is a versioned artifact — build the new benchmark release "
+            "into a new directory"
+        )
+    wps = bits_per_shard // _BLOOM_LANE
+    base = shingles(bench_docs, k=k).select(
+        _md5_base(F.col("shingle")).alias("x")
+    )
+    for shard in range(n_shards):
+        packed = (
+            base.where((F.col("x") % n_shards) == shard)
+            .select(
+                F.explode(
+                    F.array(
+                        *_bloom_positions(F.col("x"), bits_per_shard, hashes)
+                    )
+                ).alias("pos")
+            )
+            .groupBy((F.col("pos") / _BLOOM_LANE).cast("int").alias("w_idx"))
+            .agg(
+                F.bit_or(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        (F.col("pos") % _BLOOM_LANE).cast("int"),
+                    )
+                ).alias("bits")
+            )
+            .collect()
+        )
+        words = [0] * wps
+        for row in packed:
+            words[row["w_idx"]] = row["bits"]
+        spark = bench_docs.sparkSession
+        spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)],
+            "w_idx INT, bits BIGINT",
+        ).coalesce(1).write.mode("error").parquet(
+            f"{filter_dir}/words/shard={shard}"
+        )
+        del words, packed  # driver peak stays one shard
+    import json as _json
+
+    geom = {
+        "format_version": 1,
+        "bits_per_shard": bits_per_shard,
+        "n_shards": n_shards,
+        "hashes": hashes,
+        "k": k,
+    }
+    tmp = f"{filter_dir}/geometry.json.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(geom, f, sort_keys=True)
+    os.rename(tmp, f"{filter_dir}/geometry.json")
+    return filter_dir
+
+
+def _load_stored_bloom_words(filter_dir: str, geom: dict):
+    """Worker-side load of a stored filter into one flat shard-major
+    numpy array, memoized per Python worker process."""
+    cached = _STORED_BLOOM_CACHE.get(filter_dir)
+    if cached is not None:
+        return cached
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    wps = geom["bits_per_shard"] // _BLOOM_LANE
+    flat = np.zeros(geom["n_shards"] * wps, dtype=np.int64)
+    for shard in range(geom["n_shards"]):
+        t = pq.read_table(f"{filter_dir}/words/shard={shard}")
+        idx = t.column("w_idx").to_numpy()
+        bits = t.column("bits").to_numpy()
+        flat[shard * wps + idx] = bits
+    _STORED_BLOOM_CACHE[filter_dir] = flat
+    return flat
+
+
+def load_stored_bloom(filter_dir: str) -> ShardedBloom:
+    """Driver-side convenience: read a stored filter back into the
+    in-memory :class:`ShardedBloom` form (for the literal/broadcast
+    probes or inspection). Refuses a directory without its
+    ``geometry.json`` commit marker — a crashed build."""
+    import json as _json
+
+    geom_path = f"{filter_dir}/geometry.json"
+    if not os.path.exists(geom_path):
+        raise FileNotFoundError(
+            f"{geom_path} not found — not a stored Bloom filter (a "
+            "crashed build leaves no geometry marker by design)"
+        )
+    with open(geom_path) as f:
+        geom = _json.load(f)
+    flat = _load_stored_bloom_words(filter_dir, geom)
+    return ShardedBloom(
+        [int(w) for w in flat],
+        geom["bits_per_shard"],
+        geom["n_shards"],
+        geom["hashes"],
+    )
+
+
+def contamination_bloom_stored(
+    docs: DataFrame,
+    filter_dir: str,
+    k: int | None = None,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """The STORED-filter probe — the largest-geometry serving shape:
+    the mapInPandas closure captures only the directory PATH; each
+    Python worker loads the word array from storage once
+    (:data:`_STORED_BLOOM_CACHE`) and probes every later batch from
+    memory. Nothing filter-sized ever touches the plan, a broadcast,
+    or the driver — the per-executor cost is one storage read of the
+    filter, the cluster-wide cost one copy per worker process (the
+    same residency the broadcast form pays, minus its driver copy and
+    ship). Output and semantics are identical to
+    :func:`contamination_bloom_sharded` /
+    :func:`contamination_bloom_sharded_bc` (row-equal, pinned in
+    tests); ``k`` defaults to the shingle width the filter was built
+    with (recorded in ``geometry.json`` — a mismatched probe width
+    would silently break the no-false-negative contract, so the
+    recorded value is the default and an explicit contradicting value
+    raises)."""
+    import json as _json
+
+    geom_path = f"{filter_dir}/geometry.json"
+    if not os.path.exists(geom_path):
+        raise FileNotFoundError(
+            f"{geom_path} not found — not a stored Bloom filter (a "
+            "crashed build leaves no geometry marker by design)"
+        )
+    with open(geom_path) as f:
+        geom = _json.load(f)
+    if k is not None and k != geom["k"]:
+        raise ValueError(
+            f"filter at {filter_dir} was built over {geom['k']}-gram "
+            f"shingles but the probe requested k={k}; a width mismatch "
+            "breaks the Bloom no-false-negative guarantee"
+        )
+    k = geom["k"]
+    bits = geom["bits_per_shard"]
+    n_shards = geom["n_shards"]
+    hashes = geom["hashes"]
+    _check_geometry(bits, hashes)
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    out_schema = (
+        f"doc_id {id_type}, n_shingles BIGINT, n_hits BIGINT, keep INT"
+    )
+    probe = _numpy_bloom_probe_fn(
+        lambda: _load_stored_bloom_words(filter_dir, geom),
+        n_shards, bits, hashes, k, max_overlap,
+    )
+    return docs.select("doc_id", "text").mapInPandas(probe, out_schema)
+
+
+def decontaminate_bloom_stored(
+    docs: DataFrame,
+    filter_dir: str,
+    k: int | None = None,
+    max_overlap: float = 0.1,
+) -> DataFrame:
+    """APPLY form of the stored-filter probe — keep every doc whose
+    shard-local Bloom overlap is ≤ ``max_overlap``; same one-sided
+    error contract as every other probe form."""
+    dropped = (
+        contamination_bloom_stored(
+            docs, filter_dir, k=k, max_overlap=max_overlap
+        )
+        .where(F.col("keep") == 0)
+        .select("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti")
 
 
 def decontaminate_bloom_sharded_bc(

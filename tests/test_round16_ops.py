@@ -591,3 +591,70 @@ def test_compact_index_folds_generations_losslessly(spark, tmp_path, monkeypatch
     m_old = _json.load(open(f"{d}/manifest.json"))
     m_new = _json.load(open(f"{out}/manifest.json"))
     assert m_new["tables"] == m_old["tables"]
+
+
+def test_stored_bloom_filter_builds_probes_and_guards(spark, tmp_path):
+    """The stored-filter form (the advisory's largest-geometry shape):
+    per-shard build bounds the driver to one shard, geometry.json is
+    the atomic commit marker, the executor-side stored probe is
+    row-equal to BOTH in-memory probe forms, load_stored_bloom
+    round-trips the exact word array, and the guards hold (overwrite
+    refusal, crashed build unprobeable, shingle-width mismatch
+    refused)."""
+    import shutil
+
+    from hadoop_tfidf_spark.functions.text import (
+        bloom_bitmap_sharded,
+        bloom_store_sharded,
+        contamination_bloom_sharded,
+        contamination_bloom_stored,
+        decontaminate_bloom_stored,
+        load_stored_bloom,
+    )
+
+    bench = _bench(spark)
+    d = str(tmp_path / "filter")
+    bloom_store_sharded(bench, d, k=3, n_shards=3)
+    with pytest.raises(FileExistsError, match="versioned"):
+        bloom_store_sharded(bench, d, k=3, n_shards=3)
+
+    # stored words == the one-job in-memory build, exactly
+    sb_mem = bloom_bitmap_sharded(bench, k=3, n_shards=3)
+    sb_disk = load_stored_bloom(d)
+    assert sb_disk.words == sb_mem.words
+    assert (sb_disk.bits_per_shard, sb_disk.n_shards, sb_disk.hashes) == (
+        sb_mem.bits_per_shard, sb_mem.n_shards, sb_mem.hashes,
+    )
+
+    docs = bench.unionByName(
+        spark.createDataFrame(
+            [(1000, "one two"), (1001, None),
+             (1002, "fresh words entirely new content here")],
+            "doc_id BIGINT, text STRING",
+        )
+    )
+    stored_rows = sorted(
+        map(tuple, contamination_bloom_stored(docs, d).collect())
+    )
+    lit_rows = sorted(
+        map(tuple, contamination_bloom_sharded(docs, sb_mem, k=3).collect())
+    )
+    assert stored_rows == lit_rows
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_bloom_stored(docs, d).select("doc_id").collect()
+    }
+    assert kept == {1000, 1001, 1002}  # bench docs all self-hit
+
+    # probing at a different shingle width than the build refuses
+    with pytest.raises(ValueError, match="width"):
+        contamination_bloom_stored(docs, d, k=4)
+
+    # a crashed build (no geometry marker) can never be probed
+    crashed = str(tmp_path / "crashed")
+    shutil.copytree(d, crashed)
+    os.remove(f"{crashed}/geometry.json")
+    with pytest.raises(FileNotFoundError, match="geometry"):
+        contamination_bloom_stored(docs, crashed)
+    with pytest.raises(FileNotFoundError, match="geometry"):
+        load_stored_bloom(crashed)

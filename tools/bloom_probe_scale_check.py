@@ -48,10 +48,15 @@ def main() -> None:
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     import numpy as np
 
+    import json as _json
+    import shutil
+    import tempfile
+
     from hadoop_tfidf_spark.functions.text import (
         ShardedBloom,
         contamination_bloom_sharded,
         contamination_bloom_sharded_bc,
+        contamination_bloom_stored,
     )
     from hadoop_tfidf_spark.session import get_spark
 
@@ -71,6 +76,23 @@ def main() -> None:
             "total_words": total_words,
             "filter_mb": round(total_words * 8 / 2**20, 1),
         }
+        # stored-filter twin of the same geometry: words parquet in the
+        # bloom_store_sharded layout + geometry marker, probed from
+        # storage with the per-worker cache COLD on the first trial
+        fdir = tempfile.mkdtemp(prefix="bloom_stored_")
+        shutil.rmtree(fdir)
+        for shard in range(N_SHARDS):
+            spark.createDataFrame(
+                [(i, int(w)) for i, w in enumerate(
+                    words[shard * wps : (shard + 1) * wps]
+                )],
+                "w_idx INT, bits BIGINT",
+            ).coalesce(1).write.parquet(f"{fdir}/words/shard={shard}")
+        with open(f"{fdir}/geometry.json", "w") as fh:
+            _json.dump(
+                {"format_version": 1, "bits_per_shard": bits,
+                 "n_shards": N_SHARDS, "hashes": 4, "k": 3}, fh,
+            )
         run_literal = total_words <= LIT_CAP
         if run_literal:
             t0 = time.monotonic()
@@ -78,8 +100,8 @@ def main() -> None:
             point["literal_plan_build_s"] = round(time.monotonic() - t0, 3)
         else:
             point["literal_plan_build_s"] = None
-        lit_times, bc_times = [], []
-        for _ in range(trials):
+        lit_times, bc_times, stored_times = [], [], []
+        for t in range(trials):
             if run_literal:
                 t0 = time.monotonic()
                 lit_df.count()
@@ -87,8 +109,16 @@ def main() -> None:
             t0 = time.monotonic()
             contamination_bloom_sharded_bc(docs, sb, k=3).count()
             bc_times.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+            contamination_bloom_stored(docs, fdir).count()
+            el = time.monotonic() - t0
+            if t == 0:
+                point["stored_cold_s"] = round(el, 3)  # incl. worker load
+            stored_times.append(el)
         point["literal_s"] = round(min(lit_times), 3) if lit_times else None
         point["broadcast_s"] = round(min(bc_times), 3)
+        point["stored_s"] = round(min(stored_times), 3)
+        shutil.rmtree(fdir, ignore_errors=True)
         out["points"].append(point)
         print(f"point done: {point}", file=sys.stderr)
     print(json.dumps(out, sort_keys=True))
