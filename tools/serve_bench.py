@@ -7,8 +7,9 @@ Per run: train the ivfsq and ivfpq_res tiers once at
 ``$SPARK_GRAFT_SF_DIR`` (default sf0.1, defaults matching the r15
 serve-vs-rebuild wall in SCALE.md), then time
 
-- ``serve_knn`` (5 queries, k=10) per tier — first call (plan compile
-  included) and min over ``trials`` warm calls;
+- ``serve_knn`` (5 queries, k=10) per stored tier (ivfsq, ivfpq_res,
+  opq_ivfpq since round 16) — first call (plan compile included) and
+  min over ``trials`` warm calls;
 - ``serve_knn_bulk`` at the SCALE.md-sized (nprobe=8, candidates=80)
   budget — the whole-corpus kNN graph from storage.
 
@@ -51,7 +52,7 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="serve_bench_")
     out = {"sf_dir": SF_DIR, "trials": trials, "queries": len(QUERY_IDS)}
     try:
-        for kind in ("ivfsq", "ivfpq_res"):
+        for kind in ("ivfsq", "ivfpq_res", "opq_ivfpq"):
             d = f"{work}/{kind}"
             t0 = time.monotonic()
             build_knn_index(emb, kind, d)
