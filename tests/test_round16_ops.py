@@ -658,3 +658,40 @@ def test_stored_bloom_filter_builds_probes_and_guards(spark, tmp_path):
         contamination_bloom_stored(docs, crashed)
     with pytest.raises(FileNotFoundError, match="geometry"):
         load_stored_bloom(crashed)
+
+
+def test_extend_after_compact_continues_the_lifecycle(spark, tmp_path):
+    """The full crawl lifecycle composes: build → extend → compact →
+    extend again. A compacted version is a first-class index, so the
+    next crawl appends to it as generation 1 of the NEW dir, the
+    duplicate-id guard still sees the folded rows, and drift telemetry
+    reports the fresh generation split."""
+    from hadoop_tfidf_spark.operators.index_store import (
+        build_knn_index,
+        compact_index,
+        extend_index,
+        load_index,
+        recall_drift,
+    )
+
+    emb = _emb(spark, n=75)
+    gen_a = emb.where(F.col("vec_id") < 48)
+    gen_b = emb.where((F.col("vec_id") >= 48) & (F.col("vec_id") < 60))
+    gen_c = emb.where(F.col("vec_id") >= 60)
+    d1, d2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    build_knn_index(gen_a, "ivfpq_res", d1, **_BUILD_KW)
+    extend_index(spark, d1, gen_b)
+    compact_index(spark, d1, d2)
+    # the folded rows guard the next append
+    with pytest.raises(ValueError, match="already"):
+        extend_index(spark, d2, gen_b.limit(2))
+    assert extend_index(spark, d2, gen_c) == 1
+    idx = load_index(spark, d2)
+    assert [g["generation"] for g in idx.generations] == [0, 1]
+    assert idx.tables["codes"].count() == 75
+    rep = recall_drift(
+        emb, idx, k=5, candidates=60, nprobe=4,
+        drift_budget=0.5, recall_floor=0.05,
+    )
+    assert set(rep["by_generation"]) == {0, 1}
+    assert rep["retrain_due"] is False
