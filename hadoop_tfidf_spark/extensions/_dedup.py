@@ -133,7 +133,9 @@ def q_dedup_semantic(spark, sf_dir):
     not data volume."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    emb = _emb(spark, sf_dir, rebalance=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     out = S.semantic_dedup(
         emb,
         k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS,
@@ -157,7 +159,7 @@ def q_dedup_semantic_capped(spark, sf_dir):
     the flagged fraction is the re-cluster-with-larger-k alarm. Oracle
     replays the cap over the same Lloyd chain."""
     return S.semantic_dedup(
-        _emb(spark, sf_dir),
+        _emb(spark, sf_dir, rebalance=True),
         k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS,
         threshold=GATE_NEAR_DUP_COS,
         max_cell_size=GATE_SEM_CELL_CAP,

@@ -55,7 +55,7 @@ def q_pipeline_curate_semantic(spark, sf_dir):
 
     return curate_corpus(
         _docs(spark, sf_dir, rebalance=True),
-        embeddings=_emb(spark, sf_dir),
+        embeddings=_emb(spark, sf_dir, rebalance=True),
         semantic_threshold=GATE_NEAR_DUP_COS,
         semantic_k=IVF_K,
         semantic_iters=IVF_ITERS,

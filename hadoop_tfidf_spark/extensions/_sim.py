@@ -165,7 +165,7 @@ def q_sim_topk_ivf_bulk(spark, sf_dir):
     HASH-GATED: integer micro-unit probes are bit-identical to the
     driver loop's python-int distances (same ``(d2, ci)`` tie-break), so
     the unrolled DuckDB oracle covers both paths with one SQL chain."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, rebalance=True)
     assigned, cents = S.ivf_build(emb, k=IVF_K, iters=IVF_ITERS, units=IVF_UNITS)
     return S.ivf_topk(
         assigned,
@@ -355,7 +355,7 @@ def q_sim_pca_topk(spark, sf_dir):
     past-cap-newcomer rule."""
     from hadoop_tfidf_spark.operators.similarity import pca_topk
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, rebalance=True)
     queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
     return pca_topk(
         emb,
@@ -454,7 +454,9 @@ def q_sim_topk_rp_ivfpq(spark, sf_dir):
     replays in DuckDB."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    emb = _emb(spark, sf_dir, rebalance=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     out = S.rp_ivfpq_topk(
         emb, SIM_QUERY_IDS, k=SIM_K, candidates=RP_TOPK_CANDIDATES,
         nprobe=IVF_NPROBE, out_dim=RP_GATE_OUT_DIM, in_dim=RP_GATE_IN_DIM,
@@ -551,7 +553,9 @@ def q_sim_topk_ivfpq_res(spark, sf_dir):
     per-subspace Lloyd + per-cell ADC unrolled."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    emb = _emb(spark, sf_dir, rebalance=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     assigned, cents, codes, books = S.ivfpq_build_residual(
         emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
         m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
@@ -587,7 +591,9 @@ def q_sim_topk_ivfpq_bulk(spark, sf_dir):
     ADC cut + exact re-rank unrolled."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    emb = _emb(spark, sf_dir, rebalance=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     assigned, cents, codes, books = S.ivfpq_build_residual(
         emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
         m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
@@ -617,7 +623,9 @@ def q_sim_recall_audit(spark, sf_dir):
     deterministic round of a BIGINT/BIGINT double division)."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    emb = _emb(spark, sf_dir, rebalance=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     assigned, cents, codes, books = S.ivfpq_build_residual(
         emb, coarse_k=IVF_K, coarse_iters=IVF_ITERS,
         m=PQ_M, k=PQ_K, iters=PQ_ITERS, units=IVF_UNITS, pack=True,
@@ -883,7 +891,7 @@ def q_sim_topk_sq(spark, sf_dir):
     IEEE double op identical in both engines."""
     from hadoop_tfidf_spark.operators.similarity import sq_topk
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, rebalance=True)
     queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
     return sq_topk(
         emb, queries, k=SIM_K, candidates=RP_TOPK_CANDIDATES,
@@ -946,14 +954,14 @@ def q_sim_sq_recall(spark, sf_dir):
     return out
 
 
-def _scaled_emb(spark, sf_dir):
+def _scaled_emb(spark, sf_dir, rebalance=False):
     """The OPQ gate fixture: first :data:`OPQ_HOT_DIMS` dimensions
     scaled by :data:`OPQ_HOT_SCALE` (power of two ⇒ the double multiply
     is exact, so both engines quantize identical values). On the raw
     iid embeddings every dimension carries the same variance and the
     permutation is a no-op by construction; the skewed fixture is the
     deployment the allocation step exists for."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, rebalance=rebalance)
     return emb.select(
         "vec_id",
         F.transform(
@@ -1036,13 +1044,13 @@ def q_sim_opq_recall(spark, sf_dir):
     return branches[0].unionByName(branches[1])
 
 
-def _opq_permuted_emb(spark, sf_dir):
+def _opq_permuted_emb(spark, sf_dir, rebalance=False):
     """The OPQ-permuted skewed fixture: train the variance-balanced
     permutation on the id-prefix sample (one dim-sized stats collect —
     the ``perm=``-style trainer pattern), then reorder coordinates as a
     zero-cost projection. Shared by the composed-index query and its
     recall row."""
-    emb = _scaled_emb(spark, sf_dir)
+    emb = _scaled_emb(spark, sf_dir, rebalance=rebalance)
     perm = S.opq_permutation(
         emb, m=PQ_M, in_dim=64, units=IVF_UNITS, sample_n=OPQ_SAMPLE_N
     )
@@ -1068,7 +1076,7 @@ def q_sim_topk_opq_ivfpq(spark, sf_dir):
     permuted relation through the full residual-IVFADC replay."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = _opq_permuted_emb(spark, sf_dir).persist(
+    emb = _opq_permuted_emb(spark, sf_dir, rebalance=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     assigned, cents, codes, books = S.ivfpq_build_residual(
@@ -1155,7 +1163,7 @@ def q_sim_topk_ivfsq(spark, sf_dir):
     BIGINT-exact; the oracle replays coarse Lloyd + residual + vmax +
     codes + probe + both stages unrolled."""
     return S.ivfsq_topk(
-        _emb(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K,
+        _emb(spark, sf_dir, rebalance=True), SIM_QUERY_IDS, k=SIM_K,
         candidates=RP_TOPK_CANDIDATES, nprobe=IVF_NPROBE,
         coarse_k=IVF_K, coarse_iters=IVF_ITERS, units=IVF_UNITS, in_dim=64,
     )
@@ -1220,7 +1228,7 @@ def q_sim_topk_bq(spark, sf_dir):
     The oracle replays the pack and both stages bit-for-bit."""
     from hadoop_tfidf_spark.operators.similarity import bq_topk
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, rebalance=True)
     queries = emb.where(F.col("vec_id").isin(SIM_QUERY_IDS))
     return bq_topk(
         emb, queries, k=SIM_K, candidates=RP_TOPK_CANDIDATES,

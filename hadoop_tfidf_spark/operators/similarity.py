@@ -248,9 +248,16 @@ def ivf_build(
                 lambda acc, x: acc + x,
             ),
         )
-        return df.withColumn(
-            "cluster", F.array_position(dists, F.array_min(dists)).cast("int") - 1
-        )
+        cluster = F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        # The argmin is never null on real rows, but Catalyst can't prove
+        # it, so every downstream equi-join on `cluster` infers an
+        # IsNotNull(cluster) constraint and pushes THE WHOLE ASSIGNMENT
+        # EXPRESSION below any rebalance exchange to the scan — a second,
+        # single-task evaluation of the k×dim distance aggregate per row.
+        # coalesce with a literal makes the column provably non-nullable,
+        # so the inferred filter constant-folds away (values unchanged:
+        # the fallback -1 is unreachable).
+        return df.withColumn("cluster", F.coalesce(cluster, F.lit(-1)))
 
     # Lloyd statistics over the TRAIN relation only; the final
     # assignment (below) covers the full corpus. With train=None the
@@ -362,15 +369,22 @@ def ivf_topk(
     if probe_select == "auto":
         n_q = queries.limit(DRIVER_PROBE_MAX + 1).count()
         probe_select = "driver" if n_q <= DRIVER_PROBE_MAX else "executor"
+    # Each side's norm is computed ONCE per row before the join (the
+    # brute_force_topk economy): per candidate pair only the dot remains
+    # — at avg cell size s that's a ~3x cut of the per-pair flops, and
+    # cosine = dot/(n_a·n_b) is the identical IEEE sequence either way
+    # (same aggregate expression over the same rows, evaluated earlier).
+    emb_n = assigned.withColumn("_nrm", norm(F.col(vec_col)))
     if probe_select == "executor":
         probes = queries.select(
             F.col(id_col).cast("bigint").alias("query_id"),
             _as_double(F.col(vec_col)).alias("q_vec"),
+            norm(F.col(vec_col)).alias("_qnrm"),
             F.explode(
                 nearest_centroid_ids(F.col(vec_col), centroids, nprobe, units)
             ).alias("cluster"),
         )
-        joined = assigned.join(probes, "cluster").where(
+        joined = emb_n.join(probes, "cluster").where(
             F.col(id_col) != F.col("query_id")
         )
     else:
@@ -404,14 +418,21 @@ def ivf_topk(
         spark = assigned.sparkSession
         probes = spark.createDataFrame(
             probe_rows, "query_id BIGINT, q_vec ARRAY<DOUBLE>, cluster INT"
-        )
-        joined = assigned.join(F.broadcast(probes), "cluster").where(
+        ).withColumn("_qnrm", norm(F.col("q_vec")))
+        joined = emb_n.join(F.broadcast(probes), "cluster").where(
             F.col(id_col) != F.col("query_id")
         )
     scored = joined.select(
         "query_id",
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        F.round(
+            _cos_from_parts(
+                dot(F.col(vec_col), F.col("q_vec")),
+                F.col("_nrm"),
+                F.col("_qnrm"),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
