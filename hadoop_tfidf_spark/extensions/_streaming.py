@@ -625,9 +625,15 @@ def q_streaming_dsir(spark, sf_dir):
     )
 
     docs = _tbl(spark, sf_dir, "documents")
+    # persist the trained ratio table: the static side of a
+    # stream-static join is RE-EVALUATED every micro-batch, so without
+    # this the full-corpus bigram aggregation ran once per arriving
+    # file (4x here; once per trigger at scale) instead of once per
+    # train (guide §2.4 — don't recompute what one pass already built).
+    # 256 rows — the persist is model-sized, values unchanged.
     ratios = dsir_ratios(
         docs, F.col("source") == DSIR_GATE_TARGET, n_buckets=DSIR_GATE_BUCKETS
-    )
+    ).persist()
     base = staged_source(
         ("documents", sf_dir, "full4"),
         lambda p: docs.repartition(4).write.mode("overwrite").parquet(p),
