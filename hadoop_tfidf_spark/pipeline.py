@@ -74,7 +74,9 @@ def curate_corpus(
     contract of :func:`quality_score`), so the kept set is identical in
     any engine that reproduces the 6-decimal rounding.
 
-    ``persist_intermediate``: the deduped-and-filtered corpus is a
+    ``persist_intermediate`` (keep_text=True path only since round 17 —
+    the default path persists the text-free metadata relation instead,
+    see the inline note): the deduped-and-filtered corpus is a
     diamond — it feeds BOTH the MinHash side and the final anti-join, so
     unpersisted the annotate+filter+dedup prefix is derived twice.
     Measured at sf0.1 the memory-cache is consistently SLOWER (3.8s vs
@@ -92,22 +94,61 @@ def curate_corpus(
     # they are projected in place — the whole annotate+filter prefix is
     # NARROW (no join, no shuffle; lives inside the scan's codegen stage).
     pred_lang, _ = lang_id_columns(F.col("text"))
-    kept = docs.select(
-        "doc_id",
-        "text",
-        quality_column(F.col("text")).alias("quality"),
-        pred_lang.alias("pred_lang"),
-    ).where((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
-    exact_keep = (
-        kept.groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    kept = kept.join(exact_keep, "doc_id", "left_semi")
-    if persist_intermediate:
+    if not keep_text:
+        # Round 17 (guide §1.2 "don't compute things you throw away" /
+        # §2.4): nothing downstream of the filter needs `text` — the
+        # output is (doc_id, pred_lang, quality, split) and the exact-
+        # dedup key is md5(text), computable in the same projection. So
+        # the annotate+filter+md5 pass lands in a TEXT-FREE persisted
+        # metadata relation (4 narrow columns) that every consumer
+        # branch (exact-keep aggregation, both near-dup semi-join
+        # probes, the final output) reads, instead of re-evaluating the
+        # inlined lang-id/quality expression tree over the corpus per
+        # branch — the before-plan scanned documents.parquet 5×, the
+        # after-plan 2× (once into this cache, once for the LSH
+        # shingle pass). The cache is metadata-sized (no text), so the
+        # write cost that made caching the FULL kept relation a wash
+        # (the persist_intermediate note below) does not apply; at
+        # 100 TB the same relation is what a curation run would
+        # checkpoint between stages. Values unchanged: same rows, same
+        # expressions, evaluated once.
         from pyspark.storagelevel import StorageLevel
 
-        kept = kept.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+        meta = (
+            docs.select(
+                "doc_id",
+                F.md5("text").alias("_h"),
+                quality_column(F.col("text")).alias("quality"),
+                pred_lang.alias("pred_lang"),
+            )
+            .where(
+                (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
+            )
+            .persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+        )
+        exact_keep = (
+            meta.groupBy("_h")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        kept = meta.join(exact_keep, "doc_id", "left_semi")
+    else:
+        kept = docs.select(
+            "doc_id",
+            "text",
+            quality_column(F.col("text")).alias("quality"),
+            pred_lang.alias("pred_lang"),
+        ).where((F.col("pred_lang") == lang) & (F.col("quality") >= min_quality))
+        exact_keep = (
+            kept.groupBy(F.md5("text").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        kept = kept.join(exact_keep, "doc_id", "left_semi")
+        if persist_intermediate:
+            from pyspark.storagelevel import StorageLevel
+
+            kept = kept.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     if max_bucket_size is None:
         # Physical-strategy identity: a pair is an LSH candidate iff the
         # two docs share a band bucket — a function of each doc's OWN
@@ -134,11 +175,17 @@ def curate_corpus(
         # A bucket-size cap breaks the identity (bucket populations differ
         # between the raw and filtered corpora), so the capped variant
         # pays for LSH over the filtered relation — the semantically
-        # exact formulation.
-        near_drop = (
-            minhash_lsh_dedup(
-                kept.select("doc_id", "text"), max_bucket_size=max_bucket_size
+        # exact formulation. The text-free kept relation re-attaches
+        # text via a doc_id semi-join on the raw scan (same rows).
+        capped_src = (
+            kept.select("doc_id", "text")
+            if "text" in kept.columns
+            else docs.select("doc_id", "text").join(
+                kept.select("doc_id"), "doc_id", "left_semi"
             )
+        )
+        near_drop = (
+            minhash_lsh_dedup(capped_src, max_bucket_size=max_bucket_size)
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
