@@ -52,6 +52,13 @@ def load_text_dir(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+#: Bytes per rebalance target partition when the input is larger than
+#: ``defaultParallelism`` partitions' worth of data — matches Spark's
+#: ``spark.sql.files.maxPartitionBytes`` default so a rebalanced blob
+#: ends up split the way a splittable scan of the same bytes would be.
+REBALANCE_TARGET_BYTES = 128 * 1024 * 1024
+
+
 def rebalance_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Spread an under-partitioned scan across the cluster's cores.
 
@@ -59,16 +66,36 @@ def rebalance_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     MinHash/fingerprint) is CPU-bound and narrow — it runs at the *scan's*
     parallelism. A corpus arriving as a few unsplittable files (single
     parquet row group, gzip text) pins all of it to a few cores. This
-    helper round-robin repartitions to ``defaultParallelism`` **only when
-    the scan has fewer partitions than that** — on a real cluster reading
+    helper round-robin repartitions **only when the scan has fewer
+    partitions than ``defaultParallelism``** — on a real cluster reading
     a many-file 100 TB corpus the condition is false and this is a no-op
     (no shuffle inserted); when it does fire, the exchange moves only the
     raw input bytes, which the downstream CPU work dwarfs.
+
+    The target count is scale-adaptive (round 17, guide §2.2): ``max(
+    defaultParallelism, sizeInBytes / 128 MiB)``. Locally (small inputs)
+    that is exactly the old ``defaultParallelism`` — bench behavior
+    unchanged; at scale a handful of multi-GB unsplittable blobs would
+    previously have been squeezed into ``defaultParallelism`` partitions
+    regardless of size, so every downstream narrow stage ran with
+    cluster-core-count × oversized tasks (and the §2.5 skew profile that
+    implies). Size comes from the optimized plan's statistics (exact
+    file-size sum for parquet scans — a driver-side lookup, no job).
     """
     parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        return df.repartition(parallelism)
-    return df
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = 0
+    if size >= 1 << 60:
+        # Catalyst's "unknown" statistic is Long.MaxValue-ish; deriving a
+        # partition count from it would be nonsense — fall back to the
+        # parallelism floor rather than a billion-partition exchange.
+        size = 0
+    target = max(parallelism, min(-(-size // REBALANCE_TARGET_BYTES), 1_000_000))
+    return df.repartition(int(target))
 
 
 def load_docs(
